@@ -1,0 +1,259 @@
+"""Registry of conformance queries + DuckDB oracle SQL.
+
+Each query is a callable ``(sf_dir: str) -> ray.data.Dataset`` built
+from etlray operators; ``ORACLES[name]`` is ANSI SQL DuckDB runs over
+the same parquet tables (views: region nation customer supplier part
+orders lineitem events documents embeddings). Column names match
+between the two sides — the driver hash-compares values after sorting
+columns by name.
+
+Queries without an oracle entry (non-SQL-expressible: CDC replay,
+MinHash-LSH, …) get a rows-only check; their correctness gates live in
+tests/.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from etlray.sources import ParquetSource
+from etlray.stages import (
+    AggregateTransform,
+    BroadcastJoinTransform,
+    ComputedColumnTransform,
+    ConvertTypesTransform,
+    DistinctTransform,
+    FilterTransform,
+    GlobalAggregateTransform,
+    HashJoinTransform,
+    LimitTransform,
+    RenameColumnsTransform,
+    SelectColumnsTransform,
+    SortTransform,
+    UnionTransform,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _pq(sf_dir: str, table: str, columns=None, filter=None) -> ParquetSource:
+    return ParquetSource(f"{sf_dir}/{table}.parquet", columns=columns, filter=filter)
+
+
+# ---------------------------------------------------------------------------
+# filter + projection + computed column (reference FilterTransform /
+# MapTransform / SelectColumns, src/transform/common.rs:10-60,428-453)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    """,
+)
+def filter_project(sf_dir: str):
+    src = _pq(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice", "l_discount"],
+              filter=(pc.field("l_quantity") > 30) & (pc.field("l_discount") < 0.05))
+    ds = src.read()
+    ds = ComputedColumnTransform(
+        "revenue",
+        lambda t: pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+    ).apply(ds)
+    return SelectColumnsTransform(
+        ["l_orderkey", "l_linenumber", "l_quantity", "revenue"]).apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# group-by aggregate with reference {col}_{func} naming
+# (AggregateTransform, src/transform/common.rs:258-371)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_events_by_type",
+    """
+    SELECT event_type,
+           sum(value)   AS value_sum,
+           avg(value)   AS value_average,
+           min(value)   AS value_min,
+           max(value)   AS value_max,
+           count(*)     AS value_count
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_events_by_type(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    return AggregateTransform(
+        ["event_type"],
+        [("value", "sum"), ("value", "average"), ("value", "min"),
+         ("value", "max"), ("value", "count")],
+    ).apply(ds)
+
+
+# TPC-H Q1-shaped pricing summary
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                   AS sum_qty,
+           sum(l_extendedprice)                              AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))           AS sum_disc_price,
+           avg(l_quantity)                                   AS avg_qty,
+           count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(sf_dir: str):
+    import datetime as dt
+
+    cutoff = dt.datetime(1998, 9, 2)
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_shipdate"],
+             filter=(pc.field("l_shipdate") <= cutoff)).read()
+    ds = ComputedColumnTransform(
+        "disc_price",
+        lambda t: pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+    ).apply(ds)
+    agg = AggregateTransform(
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
+         ("l_quantity", "average"), ("l_quantity", "count")],
+    ).apply(ds)
+    return RenameColumnsTransform({
+        "l_quantity_sum": "sum_qty",
+        "l_extendedprice_sum": "sum_base_price",
+        "disc_price_sum": "sum_disc_price",
+        "l_quantity_average": "avg_qty",
+        "l_quantity_count": "count_order",
+    }).apply(agg)
+
+
+# ---------------------------------------------------------------------------
+# lenient type conversion (ConvertTypesTransform, common.rs:186-254)
+# ---------------------------------------------------------------------------
+@register(
+    "convert_types",
+    """
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) AS doc_id_str,
+           CAST(n_chars AS DOUBLE) AS n_chars_f
+    FROM documents
+    """,
+)
+def convert_types(sf_dir: str):
+    from etlray.coerce import as_float, as_string
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"]).read()
+    ds = ComputedColumnTransform("doc_id_str", lambda t: as_string(t["doc_id"])).apply(ds)
+    ds = ComputedColumnTransform("n_chars_f", lambda t: as_float(t["n_chars"])).apply(ds)
+    return SelectColumnsTransform(["doc_id", "doc_id_str", "n_chars_f"]).apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# joins (declared Joiner surface, reference src/traits.rs:109-125)
+# ---------------------------------------------------------------------------
+@register(
+    "join_broadcast_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_broadcast_inner(sf_dir: str):
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).read()
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]).read()
+    ds = BroadcastJoinTransform(cust, on="o_custkey", right_on="c_custkey",
+                                how="inner").apply(orders)
+    return SelectColumnsTransform(["o_orderkey", "o_totalprice", "c_name", "c_nationkey"]).apply(ds)
+
+
+@register(
+    "join_hash_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_hash_left(sf_dir: str):
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).read()
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).read()
+    ds = HashJoinTransform(orders, on="c_custkey", right_on="o_custkey",
+                           how="left_outer").apply(cust)
+    return SelectColumnsTransform(["c_custkey", "c_name", "o_orderkey"]).apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / distinct / union (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+@register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def sort_limit_topk(sf_dir: str):
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).read()
+    ds = SortTransform(["o_totalprice", "o_orderkey"], descending=[True, False]).apply(ds)
+    return LimitTransform(10).apply(ds)
+
+
+@register(
+    "distinct_flags",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flags(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"]).read()
+    return DistinctTransform(["l_returnflag", "l_linestatus"]).apply(ds)
+
+
+@register(
+    "union_all_events",
+    """
+    SELECT event_id, event_type, value FROM events WHERE value > 400
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'signup' AND value <= 400
+    """,
+)
+def union_all_events(sf_dir: str):
+    cols = ["event_id", "event_type", "value"]
+    hi = _pq(sf_dir, "events", columns=cols, filter=(pc.field("value") > 400)).read()
+    sg = _pq(sf_dir, "events", columns=cols,
+             filter=(pc.field("event_type") == "signup") & (pc.field("value") <= 400)).read()
+    return UnionTransform(sg).apply(hi)
+
+
+@register(
+    "global_agg",
+    """
+    SELECT sum(l_quantity)  AS l_quantity_sum,
+           avg(l_quantity)  AS l_quantity_average,
+           min(l_quantity)  AS l_quantity_min,
+           max(l_quantity)  AS l_quantity_max,
+           count(*)         AS l_quantity_count
+    FROM lineitem
+    """,
+)
+def global_agg(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem", columns=["l_quantity"]).read()
+    return GlobalAggregateTransform(
+        [("l_quantity", "sum"), ("l_quantity", "average"), ("l_quantity", "min"),
+         ("l_quantity", "max"), ("l_quantity", "count")],
+    ).apply(ds)

@@ -1,0 +1,6 @@
+from etlray.sinks.parquet import ParquetSink
+from etlray.sinks.json import JsonLinesSink, JsonSink
+from etlray.sinks.console import ConsoleSink
+from etlray.sinks.memory import MemorySink
+
+__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink"]

@@ -1,0 +1,209 @@
+"""Group-by aggregation — Ray-native hash aggregate with the
+reference's naming and coercion semantics.
+
+Reference: /root/reference/src/transform/common.rs:258-371 —
+single-thread HashMap group-by; functions Count/Sum/Average/Min/Max/
+First/Last over one value column each; output column named
+``{col}_{func}`` lowercased (common.rs:363); Sum/Average/Min/Max
+coerce values through ``as_float`` and emit Float; Sum of an empty /
+all-null group is 0.0 while Average/Min/Max are Null
+(common.rs:285-325); Count counts all present values incl. nulls
+(i.e. group size for a typed column).
+
+Deviations (documented, SURVEY.md §7.3):
+* the reference accepts ``HashMap<col, func>`` — one function per
+  column max; we accept a list of ``(col, func)`` pairs.
+* reference First/Last order is HashMap-iteration-undefined; we define
+  it as order of ``order_by`` (ascending) when given, else dataset
+  block order (still nondeterministic after a shuffle — pass order_by).
+
+Scale: the numeric path is two stages — a vectorized per-batch coerce
+(``map_batches``) followed by Ray's hash ``groupby().aggregate(...)``,
+which partially aggregates per block before the shuffle, so only one
+row per (key, block) crosses the exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import pyarrow as pa
+
+from etlray.coerce import as_float
+from etlray.errors import TransformError
+from etlray.stages.common import Transform
+
+_NUMERIC_FUNCS = {"sum", "average", "min", "max"}
+_ALL_FUNCS = _NUMERIC_FUNCS | {"count", "first", "last"}
+
+
+def _normalize(aggregations) -> list[tuple[str, str]]:
+    if isinstance(aggregations, Mapping):
+        pairs = [(c, f) for c, f in aggregations.items()]
+    else:
+        pairs = [(c, f) for c, f in aggregations]
+    out = []
+    for col, func in pairs:
+        f = func.lower()
+        if f in ("avg", "mean"):
+            f = "average"
+        if f not in _ALL_FUNCS:
+            raise TransformError(f"unknown aggregate function: {func}")
+        out.append((col, f))
+    return out
+
+
+class AggregateTransform(Transform):
+    """``AggregateTransform(group_by=[...], aggregations=[(col, func), ...])``.
+
+    Output columns: the group keys plus one ``{col}_{func}`` per pair.
+    """
+
+    def __init__(
+        self,
+        group_by: Sequence[str],
+        aggregations: Mapping[str, str] | Sequence[tuple[str, str]],
+        order_by: str | None = None,
+    ) -> None:
+        self.group_by = list(group_by)
+        self.aggregations = _normalize(aggregations)
+        self.order_by = order_by
+
+    # ------------------------------------------------------------------
+    def apply(self, ds):
+        if not self.group_by:
+            return GlobalAggregateTransform(self.aggregations, self.order_by).apply(ds)
+        needs_order = any(f in ("first", "last") for _, f in self.aggregations)
+        if needs_order:
+            return self._apply_map_groups(ds)
+        return self._apply_native(ds)
+
+    # ----- fast path: built-in Ray aggregates --------------------------
+    def _coerce_stage(self, ds):
+        """Add float64 shadow columns for the numeric aggregations."""
+        numeric_cols = sorted({c for c, f in self.aggregations if f in _NUMERIC_FUNCS})
+        if not numeric_cols:
+            return ds, {}
+        shadow = {c: f"__f_{c}" for c in numeric_cols}
+
+        def coerce(t: pa.Table) -> pa.Table:
+            for col, name in shadow.items():
+                arr = as_float(t.column(col))
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                t = t.append_column(name, arr)
+            return t
+        return ds.map_batches(coerce, **self._mb_kwargs()), shadow
+
+    def _apply_native(self, ds):
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        ds, shadow = self._coerce_stage(ds)
+        aggs = []
+        sum_names = []
+        for col, func in self.aggregations:
+            name = f"{col}_{func}"
+            if func == "count":
+                aggs.append(Count(alias_name=name))
+            elif func == "sum":
+                aggs.append(Sum(shadow[col], alias_name=name, ignore_nulls=True))
+                sum_names.append(name)
+            elif func == "average":
+                aggs.append(Mean(shadow[col], alias_name=name, ignore_nulls=True))
+            elif func == "min":
+                aggs.append(Min(shadow[col], alias_name=name, ignore_nulls=True))
+            elif func == "max":
+                aggs.append(Max(shadow[col], alias_name=name, ignore_nulls=True))
+        out = ds.groupby(self.group_by).aggregate(*aggs)
+        if sum_names:
+            def fix_sum(t: pa.Table) -> pa.Table:
+                # reference: Sum over empty/all-null group is 0.0, not null
+                import pyarrow.compute as pc
+                for name in sum_names:
+                    idx = t.column_names.index(name)
+                    col = pc.fill_null(pc.cast(t.column(idx), pa.float64()), 0.0)
+                    t = t.set_column(idx, name, col.combine_chunks()
+                                     if isinstance(col, pa.ChunkedArray) else col)
+                return t
+            out = out.map_batches(fix_sum, **self._mb_kwargs())
+        return out
+
+    # ----- general path: map_groups (first/last) -----------------------
+    def _apply_map_groups(self, ds):
+        import pandas as pd
+        import numpy as np
+
+        group_by, aggregations, order_by = self.group_by, self.aggregations, self.order_by
+
+        def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
+            if order_by is not None:
+                g = g.sort_values(order_by, kind="stable")
+            row: dict[str, Any] = {k: [g[k].iloc[0]] for k in group_by}
+            for col, func in aggregations:
+                name = f"{col}_{func}"
+                if func == "count":
+                    row[name] = [int(len(g))]
+                    continue
+                if func == "first":
+                    row[name] = [g[col].iloc[0] if len(g) else None]
+                    continue
+                if func == "last":
+                    row[name] = [g[col].iloc[-1] if len(g) else None]
+                    continue
+                vals = pd.to_numeric(g[col], errors="coerce").dropna().to_numpy(dtype=np.float64)
+                if func == "sum":
+                    row[name] = [float(vals.sum()) if len(vals) else 0.0]
+                elif func == "average":
+                    row[name] = [float(vals.mean()) if len(vals) else None]
+                elif func == "min":
+                    row[name] = [float(vals.min()) if len(vals) else None]
+                elif func == "max":
+                    row[name] = [float(vals.max()) if len(vals) else None]
+            return pd.DataFrame(row)
+
+        return ds.groupby(group_by).map_groups(per_group, batch_format="pandas")
+
+
+class GlobalAggregateTransform(Transform):
+    """group_by=[] — single output row (reference common.rs:330-370)."""
+
+    def __init__(
+        self,
+        aggregations: Mapping[str, str] | Sequence[tuple[str, str]],
+        order_by: str | None = None,
+    ) -> None:
+        self.aggregations = _normalize(aggregations)
+        self.order_by = order_by
+
+    def apply(self, ds):
+        import ray.data
+
+        needs_order = any(f in ("first", "last") for _, f in self.aggregations)
+        if needs_order:
+            # take first/last via limit; global order = dataset order
+            raise TransformError("global first/last: use AggregateTransform with a "
+                                 "synthetic constant key and order_by instead")
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        agg = AggregateTransform(["__k"], self.aggregations)
+        ds2, shadow = agg._coerce_stage(ds)
+        aggs = []
+        sum_names = []
+        for col, func in self.aggregations:
+            name = f"{col}_{func}"
+            if func == "count":
+                aggs.append(Count(alias_name=name))
+            elif func == "sum":
+                aggs.append(Sum(shadow[col], alias_name=name, ignore_nulls=True))
+                sum_names.append(name)
+            elif func == "average":
+                aggs.append(Mean(shadow[col], alias_name=name, ignore_nulls=True))
+            elif func == "min":
+                aggs.append(Min(shadow[col], alias_name=name, ignore_nulls=True))
+            elif func == "max":
+                aggs.append(Max(shadow[col], alias_name=name, ignore_nulls=True))
+        res = ds2.aggregate(*aggs)  # dict
+        for name in sum_names:
+            if res.get(name) is None:
+                res[name] = 0.0
+        return ray.data.from_items([res])

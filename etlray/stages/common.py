@@ -1,0 +1,319 @@
+"""Core stateless transforms — vectorized map_batches re-expressions of
+the reference's row-at-a-time transformers
+(/root/reference/src/transform/common.rs).
+
+Every transform is a tiny object with ``apply(ds: Dataset) -> Dataset``;
+the hot path always runs as ``map_batches(batch_format="pyarrow",
+zero_copy_batch=True)`` over Arrow blocks — never a Python loop per row.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from etlray.coerce import KERNELS
+from etlray.errors import TransformError
+
+
+class Transform:
+    """Base: subclasses set ``batch_size`` (None = block-native) and
+    implement ``apply``."""
+
+    batch_size: int | None = None
+
+    def apply(self, ds):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def _mb_kwargs(self) -> dict:
+        kw: dict[str, Any] = {"batch_format": "pyarrow", "zero_copy_batch": True}
+        if self.batch_size is not None:
+            kw["batch_size"] = self.batch_size
+        return kw
+
+
+class FilterTransform(Transform):
+    """Keep rows matching a predicate (reference FilterTransform,
+    common.rs:10-33 — closure ``Fn(&DataRow)->bool``).
+
+    Accepted predicates, fastest first:
+    * ``pyarrow.dataset`` expression (``pc.field("age") >= 18``) —
+      evaluated per block, fully vectorized;
+    * callable ``pa.Table -> BooleanArray`` (mask function);
+    * callable ``dict -> bool`` with ``row_level=True`` — compatibility
+      shim for reference-style row closures (slow path, evaluated via
+      a python loop inside the batch, still one task per block).
+    """
+
+    def __init__(self, predicate: Any, row_level: bool = False) -> None:
+        self.predicate = predicate
+        self.row_level = row_level
+
+    def apply(self, ds):
+        pred = self.predicate
+        if isinstance(pred, pc.Expression):
+            def filt_expr(t: pa.Table, _e=pred) -> pa.Table:
+                return t.filter(_e)
+            return ds.map_batches(filt_expr, **self._mb_kwargs())
+        if self.row_level:
+            def filt_rows(t: pa.Table, _p=pred) -> pa.Table:
+                mask = pa.array([bool(_p(r)) for r in t.to_pylist()], type=pa.bool_())
+                return t.filter(mask)
+            return ds.map_batches(filt_rows, **self._mb_kwargs())
+
+        def filt_mask(t: pa.Table, _p=pred) -> pa.Table:
+            return t.filter(_p(t))
+        return ds.map_batches(filt_mask, **self._mb_kwargs())
+
+
+class BatchMapTransform(Transform):
+    """Vectorized map: ``fn(pa.Table) -> pa.Table`` (the reference's
+    MapTransform, common.rs:37-60, lifted from row to batch)."""
+
+    def __init__(self, fn: Callable[[pa.Table], pa.Table], concurrency: int | None = None,
+                 num_cpus: float | None = None) -> None:
+        self.fn = fn
+        self.concurrency = concurrency
+        self.num_cpus = num_cpus
+
+    def apply(self, ds):
+        kw = self._mb_kwargs()
+        if self.concurrency is not None:
+            kw["concurrency"] = self.concurrency
+        if self.num_cpus is not None:
+            kw["num_cpus"] = self.num_cpus
+        return ds.map_batches(self.fn, **kw)
+
+
+class RowMapTransform(Transform):
+    """Compatibility shim for reference-style per-row closures
+    ``fn(dict) -> dict`` (MapTransform / AsyncMapTransform,
+    common.rs:37-88). Runs the loop inside one task per block — correct
+    but slow; prefer BatchMapTransform in hot paths."""
+
+    def __init__(self, fn: Callable[[dict], dict]) -> None:
+        self.fn = fn
+
+    def apply(self, ds):
+        def mapper(t: pa.Table, _f=self.fn) -> pa.Table:
+            return pa.Table.from_pylist([_f(r) for r in t.to_pylist()])
+        return ds.map_batches(mapper, **self._mb_kwargs())
+
+
+class AddColumnTransform(Transform):
+    """Add a constant column (reference AddColumnTransform,
+    common.rs:92-116)."""
+
+    def __init__(self, name: str, value: Any, dtype: pa.DataType | None = None) -> None:
+        self.name = name
+        self.value = value
+        self.dtype = dtype
+
+    def apply(self, ds):
+        name, value, dtype = self.name, self.value, self.dtype
+
+        def add(t: pa.Table) -> pa.Table:
+            scalar = pa.scalar(value, type=dtype) if dtype else pa.scalar(value)
+            col = pa.nulls(len(t), type=scalar.type) if value is None \
+                else pa.array([value] * len(t), type=scalar.type)
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            return t.append_column(name, col)
+        return ds.map_batches(add, **self._mb_kwargs())
+
+
+class ComputedColumnTransform(Transform):
+    """Add/replace a column computed from the batch:
+    ``fn(pa.Table) -> pa.Array`` (covers the reference examples'
+    computed-column closures, e.g. discount calc
+    examples/example_01.rs:49-62)."""
+
+    def __init__(self, name: str, fn: Callable[[pa.Table], pa.Array]) -> None:
+        self.name = name
+        self.fn = fn
+
+    def apply(self, ds):
+        name, fn = self.name, self.fn
+
+        def add(t: pa.Table) -> pa.Table:
+            col = fn(t)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if name in t.column_names:
+                t = t.drop_columns([name])
+            return t.append_column(name, col)
+        return ds.map_batches(add, **self._mb_kwargs())
+
+
+class RemoveColumnsTransform(Transform):
+    """Drop columns; absent names ignored (reference common.rs:120-148)."""
+
+    def __init__(self, columns: Sequence[str]) -> None:
+        self.columns = list(columns)
+
+    @classmethod
+    def single(cls, column: str) -> "RemoveColumnsTransform":
+        return cls([column])
+
+    def apply(self, ds):
+        cols = self.columns
+
+        def drop(t: pa.Table) -> pa.Table:
+            present = [c for c in cols if c in t.column_names]
+            return t.drop_columns(present) if present else t
+        return ds.map_batches(drop, **self._mb_kwargs())
+
+
+class RenameColumnsTransform(Transform):
+    """Rename by map, missing keys pass through (reference
+    common.rs:152-182)."""
+
+    def __init__(self, mapping: Mapping[str, str]) -> None:
+        self.mapping = dict(mapping)
+
+    @classmethod
+    def single(cls, old: str, new: str) -> "RenameColumnsTransform":
+        return cls({old: new})
+
+    def apply(self, ds):
+        mapping = self.mapping
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+        return ds.map_batches(rename, **self._mb_kwargs())
+
+
+class SelectColumnsTransform(Transform):
+    """Projection; silently drops absent columns (reference
+    common.rs:428-453)."""
+
+    def __init__(self, columns: Sequence[str]) -> None:
+        self.columns = list(columns)
+
+    def apply(self, ds):
+        cols = self.columns
+
+        def select(t: pa.Table) -> pa.Table:
+            present = [c for c in cols if c in t.column_names]
+            return t.select(present)
+        return ds.map_batches(select, **self._mb_kwargs())
+
+
+class ConvertTypesTransform(Transform):
+    """Per-column lenient cast, failure → null, never raises (reference
+    common.rs:186-254 + the as_* coercions in src/types.rs:206-331).
+    Targets: string integer float boolean date datetime timestamp."""
+
+    def __init__(self, conversions: Mapping[str, str]) -> None:
+        bad = [t for t in conversions.values() if t.lower() not in KERNELS]
+        if bad:
+            raise TransformError(f"unknown conversion target(s): {bad}")
+        self.conversions = {c: t.lower() for c, t in conversions.items()}
+
+    @classmethod
+    def single(cls, column: str, target: str) -> "ConvertTypesTransform":
+        return cls({column: target})
+
+    def apply(self, ds):
+        conversions = self.conversions
+
+        def convert(t: pa.Table) -> pa.Table:
+            for col, target in conversions.items():
+                if col not in t.column_names:
+                    continue  # reference: missing column untouched
+                idx = t.column_names.index(col)
+                new = KERNELS[target](t.column(idx))
+                if isinstance(new, pa.ChunkedArray):
+                    new = new.combine_chunks()
+                t = t.set_column(idx, col, new)
+            return t
+        return ds.map_batches(convert, **self._mb_kwargs())
+
+
+class CompositeTransform(Transform):
+    """Sequential chain (reference CompositeTransformer,
+    common.rs:456-481). The Dataset plan is the composition."""
+
+    def __init__(self, transforms: Sequence[Any] | None = None) -> None:
+        self.transforms = list(transforms or [])
+
+    def add(self, t: Any) -> "CompositeTransform":
+        self.transforms.append(t)
+        return self
+
+    def apply(self, ds):
+        for t in self.transforms:
+            ds = t.apply(ds) if hasattr(t, "apply") else t(ds)
+        return ds
+
+
+class ParallelTransform(Transform):
+    """Parity shim for the reference's ParallelTransform
+    (common.rs:374-424 — chunk one Vec across tokio tasks). Ray Data
+    already parallelizes map_batches across blocks; this just widens
+    the block count before the inner transform."""
+
+    def __init__(self, inner: Any, num_workers: int) -> None:
+        self.inner = inner
+        self.num_workers = num_workers
+
+    def apply(self, ds):
+        ds = ds.repartition(self.num_workers)
+        return self.inner.apply(ds) if hasattr(self.inner, "apply") else self.inner(ds)
+
+
+class SortTransform(Transform):
+    """Global sort — an all-to-all range shuffle; use per-partition
+    sorting inside map_groups where global order isn't required
+    (SURVEY.md §2.6; reference exposes only the DataValue total order,
+    src/types.rs:88-156)."""
+
+    def __init__(self, key: str | list[str], descending: bool | list[bool] = False) -> None:
+        self.key = key
+        self.descending = descending
+
+    def apply(self, ds):
+        return ds.sort(self.key, descending=self.descending)
+
+
+class LimitTransform(Transform):
+    """First-n (reference extract_batch(n) surface, src/traits.rs:12-16)."""
+
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+    def apply(self, ds):
+        return ds.limit(self.n)
+
+
+class DistinctTransform(Transform):
+    """Exact distinct rows over the given key columns (keeps one row per
+    key; non-key columns dropped). A hash shuffle."""
+
+    def __init__(self, columns: Sequence[str]) -> None:
+        self.columns = list(columns)
+
+    def apply(self, ds):
+        cols = self.columns
+
+        # local distinct per block first → shrink the shuffle input
+        def local(t: pa.Table) -> pa.Table:
+            return t.select(cols).group_by(cols).aggregate([])
+        pre = ds.map_batches(local, **self._mb_kwargs())
+
+        def per_group(g):
+            return g.head(1)
+        return pre.groupby(cols).map_groups(per_group, batch_format="pandas")
+
+
+class UnionTransform(Transform):
+    """Append other datasets (bag semantics, like SQL UNION ALL)."""
+
+    def __init__(self, *others) -> None:
+        self.others = list(others)
+
+    def apply(self, ds):
+        others = [(_o.read() if hasattr(_o, "read") else _o) for _o in self.others]
+        return ds.union(*others)

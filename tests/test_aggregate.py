@@ -1,0 +1,78 @@
+"""Aggregate semantics vs reference
+(/root/reference/src/transform/common.rs:258-371): {col}_{func} naming,
+as_float coercion, Sum-empty→0.0, Average/Min/Max-empty→null, Count
+includes nulls."""
+
+import math
+
+import pytest
+
+from etlray.sources import MemorySource
+from etlray.stages import AggregateTransform, GlobalAggregateTransform
+
+
+@pytest.fixture()
+def cat_ds():
+    return MemorySource([
+        {"category": "A", "value": 10},
+        {"category": "A", "value": 20},
+        {"category": "B", "value": 5},
+        {"category": "B", "value": None},
+        {"category": "C", "value": None},
+    ]).read()
+
+
+def _by_cat(ds):
+    return {r["category"]: r for r in ds.take_all()}
+
+
+def test_groupby_sum_naming_and_coercion(cat_ds):
+    out = AggregateTransform(["category"], [("value", "sum")]).apply(cat_ds)
+    rows = _by_cat(out)
+    assert rows["A"]["value_sum"] == 30.0          # Float, reference naming check :576
+    assert rows["B"]["value_sum"] == 5.0
+    assert rows["C"]["value_sum"] == 0.0           # empty sum → 0.0, not null
+
+
+def test_groupby_count_includes_nulls(cat_ds):
+    out = AggregateTransform(["category"], [("value", "count")]).apply(cat_ds)
+    rows = _by_cat(out)
+    assert rows["B"]["value_count"] == 2
+    assert rows["C"]["value_count"] == 1
+
+
+def test_groupby_avg_min_max_null_on_empty(cat_ds):
+    out = AggregateTransform(
+        ["category"], [("value", "average"), ("value", "min"), ("value", "max")]
+    ).apply(cat_ds)
+    rows = _by_cat(out)
+    assert rows["A"]["value_average"] == 15.0
+    assert rows["A"]["value_min"] == 10.0
+    assert rows["A"]["value_max"] == 20.0
+    for f in ("value_average", "value_min", "value_max"):
+        v = rows["C"][f]
+        assert v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def test_string_values_coerced():
+    ds = MemorySource([
+        {"category": "A", "value": "10"},
+        {"category": "A", "value": "x"},
+    ]).read()
+    out = AggregateTransform(["category"], [("value", "sum")]).apply(ds)
+    assert _by_cat(out)["A"]["value_sum"] == 10.0
+
+
+def test_first_last_with_order(cat_ds):
+    out = AggregateTransform(["category"], [("value", "first"), ("value", "last")],
+                             order_by="value").apply(cat_ds)
+    rows = _by_cat(out)
+    assert rows["A"]["value_first"] == 10
+    assert rows["A"]["value_last"] == 20
+
+
+def test_global_aggregate(cat_ds):
+    out = GlobalAggregateTransform([("value", "sum"), ("value", "count")]).apply(cat_ds)
+    row = out.take_all()[0]
+    assert row["value_sum"] == 35.0
+    assert row["value_count"] == 5
