@@ -1,0 +1,119 @@
+"""apply_changes — the distributed last-writer-wins upsert.
+
+The north-rule flagship (BASELINE.json): consume a binlog Dataset,
+key-partition by (repo, path) via an explicit hash-bucket groupby, and
+apply ordered max-LSN upserts through vectorized map_batches /
+map_groups on zero-copy Arrow.
+
+Physical plan (designed for 10^10 events / 100 TB):
+
+1. ``conform``: every epoch's blocks are renamed/backfilled/widened to
+   the unified schema (map_batches, vectorized — schema evolution).
+2. ``partial LWW combine`` (map_batches): each input block is reduced
+   to max-LSN-per-key BEFORE the shuffle. This is the combiner that
+   collapses Zipf-hot keys — a key touched 10^6 times in a block
+   crosses the exchange once. Equivalent to salting: the pre-shuffle
+   key-space per block is already unique, so no single reducer sees
+   the raw hot-key row count.
+3. ``bucket``: a deterministic hash of the key columns mod B is added
+   as ``bucket_id`` (stable across processes — required for
+   watermarks/resume to mean anything).
+4. ``groupby(bucket_id).map_groups``: Ray guarantees each bucket lands
+   wholly in one call; inside, the SAME vectorized sort+mask reduce
+   runs per bucket (no per-key Python). Tombstones are dropped after
+   the final reduce; the per-row ``content_sha`` invariant is stamped.
+
+The only all-to-all exchange is step 4's bucket shuffle, over data
+already reduced by step 2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from etlray.cdc.lww import drop_deletes, lww_reduce
+
+KEYS = ("repo", "path")
+BUCKET_COL = "bucket_id"  # NO leading underscore: pyarrow dataset discovery hides _-prefixed paths
+APPLIED_COL = "__applied"
+
+
+def stable_bucket(table: pa.Table, keys: Sequence[str], num_buckets: int) -> np.ndarray:
+    """Deterministic uint32 bucket per row from the key columns.
+
+    Uses pandas' SipHash-based ``hash_array`` with a FIXED hash_key so
+    the mapping is identical in every worker process and across runs —
+    the property checkpoints/watermarks depend on.
+    """
+    joined = pc.binary_join_element_wise(
+        *[pc.cast(table.column(k), pa.string()) for k in keys], "\x1f")
+    h = pd.util.hash_array(np.asarray(joined.to_pandas(), dtype=object),
+                           hash_key="etlray_cdc_bkt01")  # must be exactly 16 bytes
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def with_bucket(table: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Table:
+    if BUCKET_COL in table.column_names:
+        return table
+    return table.append_column(BUCKET_COL,
+                               pa.array(stable_bucket(table, keys, num_buckets)))
+
+
+def sha256_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row sha256(content) — the BASELINE.json invariant column."""
+    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+           for v in arr.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
+def apply_changes(
+    events_ds,
+    keys: Sequence[str] = KEYS,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    num_buckets: int = 32,
+    sha_col: str | None = "content_sha",
+    content_col: str = "content",
+    track_applied: bool = False,
+):
+    """events_ds (base rows included as op='insert' with their last
+    LSN, or lsn=0 for a bootstrap) → Dataset of the final table, one
+    row per live key, bucketed by ``bucket_id``.
+
+    ``track_applied=True`` adds a per-bucket constant ``__applied``
+    column (rows that entered the final reduce) used for lineage —
+    readable later from parquet footer stats without a second pass.
+    """
+    keys = list(keys)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = lww_reduce(t, keys, lsn_col)
+        return with_bucket(t, keys, num_buckets)
+
+    pre = events_ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        applied = t.num_rows
+        t = lww_reduce(t, keys, lsn_col)
+        t = drop_deletes(t, op_col)
+        if sha_col and content_col in t.column_names:
+            col = sha256_column(t.column(content_col))
+            if sha_col in t.column_names:
+                t = t.set_column(t.column_names.index(sha_col), sha_col, col)
+            else:
+                t = t.append_column(sha_col, col)
+        if track_applied:
+            t = t.append_column(APPLIED_COL,
+                                pa.array(np.full(t.num_rows, applied, dtype=np.int64)))
+        return t
+
+    return pre.groupby(BUCKET_COL).map_groups(
+        finalize, batch_format="pyarrow")

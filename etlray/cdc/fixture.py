@@ -1,0 +1,183 @@
+"""Deterministic CDC fixture generator + single-process oracle applier.
+
+Synthesizes the BASELINE.json input shape: a base Parquet table of
+source-code repo files ``(repo, path, commit, lang, content)`` and a
+simulated binlog/WAL ``changes`` table
+``(lsn:int64, op:insert|update|delete, repo, path, commit, lang,
+content)`` with:
+
+* Zipf-skewed hot keys (popular repos receive most updates — the skew
+  the north rule demands explicit handling for);
+* schema-evolution epochs written as SEPARATE parquet files with
+  genuinely different schemas:
+    - epoch 0: (lsn, op, repo, path, commit, lang, content)
+    - epoch 1: + size:int32 (added column)
+    - epoch 2: lang→language (renamed), size:int64 (widened)
+* ops are upsert-semantics: insert/update both upsert; delete removes;
+  delete of an absent key is a no-op (standard CDC tolerance) — this
+  keeps generation fully vectorized (no driver-side state machine).
+
+Everything is seeded (default 42) — same args, same bytes.
+
+The oracle (``oracle_apply``) is an intentionally boring dict replay;
+tests compare the engine's distributed result to it by per-row
+``sha256(content)`` (BASELINE.json invariant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["py", "rs", "js", "go", "java", "c", "rb", "ts"]
+RENAME_MAP = {"lang": "language"}  # epoch-2 rename, applied at read
+
+
+def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray) -> list[str]:
+    """Deterministic source-like text, length varying ~100..2000 chars."""
+    out = []
+    for r, k, l in zip(rng_ints, keys, lsns):
+        pad = int(r % 16) + 1
+        body = f"def fn_{k}_{l}(x):\n    return x * {r}\n"
+        out.append(body * pad)
+    return out
+
+
+def _commits(rng: np.random.Generator, n: int) -> list[str]:
+    return [bytes(b).hex() for b in rng.integers(0, 256, size=(n, 20), dtype=np.uint8)]
+
+
+def generate_fixture(
+    out_dir: str,
+    n_events: int = 20_000,
+    n_keys: int = 4_000,
+    n_repos: int = 50,
+    n_base: int = 2_000,
+    seed: int = 42,
+    zipf_a: float = 1.4,
+    p_delete: float = 0.2,
+) -> dict:
+    """Write base.parquet + changes_epoch{0,1,2}.parquet into out_dir.
+
+    Returns a manifest dict {base, epochs: [paths], n_events, ...}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    # --- key universe: repo popularity is Zipf-skewed ------------------
+    repo_of_key = np.minimum(rng.zipf(zipf_a, size=n_keys) - 1, n_repos - 1)
+    repos = np.array([f"org/repo_{i}" for i in range(n_repos)])
+    paths = np.array([f"src/m{i % 97}/f_{i}.{LANGS[i % len(LANGS)]}" for i in range(n_keys)])
+
+    # --- base table ----------------------------------------------------
+    base_keys = rng.choice(n_keys, size=n_base, replace=False)
+    base_r = rng.integers(1, 1 << 31, size=n_base)
+    base = pa.table({
+        "repo": pa.array(repos[repo_of_key[base_keys]]),
+        "path": pa.array(paths[base_keys]),
+        "commit": pa.array(_commits(rng, n_base)),
+        "lang": pa.array([LANGS[k % len(LANGS)] for k in base_keys]),
+        "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int))),
+    })
+    base_path = os.path.join(out_dir, "base.parquet")
+    pq.write_table(base, base_path)
+
+    # --- change log: Zipf-hot keys, vectorized -------------------------
+    ev_keys = np.minimum(rng.zipf(zipf_a, size=n_events) - 1, n_keys - 1)
+    is_del = rng.random(n_events) < p_delete
+    ops = np.where(is_del, "delete", np.where(rng.random(n_events) < 0.5, "insert", "update"))
+    lsns = np.arange(1, n_events + 1, dtype=np.int64)
+    ev_r = rng.integers(1, 1 << 31, size=n_events)
+    contents = _content(ev_r, ev_keys, lsns)
+    commits = _commits(rng, n_events)
+    langs = [LANGS[k % len(LANGS)] for k in ev_keys]
+    sizes_np = np.array([len(c) for c in contents], dtype=np.int64)
+    # delete events carry no payload (FIXTURES.md §3.2: null for delete)
+    contents = [None if d else c for d, c in zip(is_del, contents)]
+    commits = [None if d else c for d, c in zip(is_del, commits)]
+    langs = [None if d else c for d, c in zip(is_del, langs)]
+    sizes = [None if d else int(s) for d, s in zip(is_del, sizes_np)]
+
+    thirds = [slice(0, n_events // 3), slice(n_events // 3, 2 * n_events // 3),
+              slice(2 * n_events // 3, n_events)]
+    epoch_paths = []
+
+    def seg(arr, s):
+        return arr[s] if isinstance(arr, np.ndarray) else arr[s.start:s.stop]
+
+    for epoch, s in enumerate(thirds):
+        cols = {
+            "lsn": pa.array(lsns[s]),
+            "op": pa.array(seg(ops, s).tolist() if isinstance(ops, np.ndarray) else seg(ops, s)),
+            "repo": pa.array(repos[repo_of_key[ev_keys[s]]]),
+            "path": pa.array(paths[ev_keys[s]]),
+            "commit": pa.array(seg(commits, s)),
+            "content": pa.array(seg(contents, s)),
+        }
+        if epoch < 2:
+            cols["lang"] = pa.array(seg(langs, s))
+        else:
+            cols["language"] = pa.array(seg(langs, s))  # renamed column
+        if epoch == 1:
+            cols["size"] = pa.array(seg(sizes, s), type=pa.int32())
+        elif epoch == 2:
+            cols["size"] = pa.array(seg(sizes, s), type=pa.int64())  # widened
+        p = os.path.join(out_dir, f"changes_epoch{epoch}.parquet")
+        pq.write_table(pa.table(cols), p)
+        epoch_paths.append(p)
+
+    return {
+        "base": base_path,
+        "epochs": epoch_paths,
+        "n_events": n_events,
+        "n_keys": n_keys,
+        "seed": seed,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle: single-process replay, the correctness reference for tests
+# ---------------------------------------------------------------------------
+def sha256_hex(s: str | None) -> str | None:
+    if s is None:
+        return None
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def oracle_apply(base_path: str, epoch_paths: list[str],
+                 upto_lsn: int | None = None) -> dict[tuple[str, str], dict]:
+    """Dict replay in LSN order → {(repo, path): final row dict} with
+    unified-schema fields (language, size) and content_sha."""
+    state: dict[tuple[str, str], dict] = {}
+    base = pq.read_table(base_path).to_pylist()
+    for r in base:
+        key = (r["repo"], r["path"])
+        state[key] = {
+            "repo": r["repo"], "path": r["path"], "commit": r["commit"],
+            "language": r["lang"], "content": r["content"], "size": None,
+            "lsn": 0, "content_sha": sha256_hex(r["content"]),
+        }
+    events = []
+    for p in epoch_paths:
+        events.extend(pq.read_table(p).to_pylist())
+    events.sort(key=lambda e: e["lsn"])
+    for e in events:
+        if upto_lsn is not None and e["lsn"] > upto_lsn:
+            break
+        key = (e["repo"], e["path"])
+        if e["op"] == "delete":
+            state.pop(key, None)
+            continue
+        state[key] = {
+            "repo": e["repo"], "path": e["path"], "commit": e["commit"],
+            "language": e.get("language", e.get("lang")),
+            "content": e["content"],
+            "size": int(e["size"]) if e.get("size") is not None else None,
+            "lsn": int(e["lsn"]),
+            "content_sha": sha256_hex(e["content"]),
+        }
+    return state

@@ -257,3 +257,32 @@ def global_agg(sf_dir: str):
         [("l_quantity", "sum"), ("l_quantity", "average"), ("l_quantity", "min"),
          ("l_quantity", "max"), ("l_quantity", "count")],
     ).apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# CDC last-writer-wins upsert, SQL-checkable form: the same distributed
+# reduce the CDC engine uses (etlray.cdc.apply.apply_changes), keyed on
+# user_id with event_id as the LSN over the driver's events table.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_lww_upsert",
+    """
+    SELECT user_id,
+           max(event_id)               AS event_id,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(value, event_id)      AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_lww_upsert(sf_dir: str):
+    from etlray.cdc.apply import apply_changes
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]).read()
+
+    def add_op(t: pa.Table) -> pa.Table:
+        return t.append_column("op", pa.array(["insert"] * t.num_rows))
+    ds = ds.map_batches(add_op, batch_format="pyarrow", zero_copy_batch=True)
+    out = apply_changes(ds, keys=["user_id"], lsn_col="event_id", op_col="op",
+                        num_buckets=16, sha_col=None)
+    return SelectColumnsTransform(["user_id", "event_id", "event_type", "value"]).apply(out)

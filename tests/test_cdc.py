@@ -1,0 +1,131 @@
+"""CDC replay correctness (FIXTURES.md §3.3; BASELINE.json invariant:
+per-row sha256(content) equality vs the oracle-replayed final state).
+
+Scenarios:
+1. full replay → final table == oracle
+2. prefix replay → checkpoint → resume rest → identical final table
+3. duplicate delivery of a committed epoch → no-op (exactly-once)
+4. schema-evolution epochs → unified schema, old rows null-backfilled,
+   widened types
+5. lineage/watermarks recorded per bucket
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etlray.cdc.engine import CDCEngine
+from etlray.cdc.fixture import RENAME_MAP, generate_fixture, oracle_apply
+
+N_EVENTS = 3000
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc_fixture")
+    fx = generate_fixture(str(d), n_events=N_EVENTS, n_keys=600, n_base=300, seed=42)
+    return fx
+
+
+def _final_state(engine: CDCEngine) -> dict[tuple[str, str], dict]:
+    ds = engine.read_snapshot()
+    table = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")],
+        promote_options="permissive")
+    out = {}
+    for r in table.to_pylist():
+        out[(r["repo"], r["path"])] = r
+    assert len(out) == table.num_rows, "duplicate keys in final table!"
+    return out
+
+
+def _assert_matches_oracle(state: dict, oracle: dict) -> None:
+    assert set(state.keys()) == set(oracle.keys())
+    for k, orow in oracle.items():
+        row = state[k]
+        assert row["content_sha"] == orow["content_sha"], f"sha mismatch at {k}"
+        assert row["lsn"] == orow["lsn"], f"lsn mismatch at {k}"
+        assert row.get("language") == orow["language"], f"language mismatch at {k}"
+        assert row.get("size") == orow["size"], f"size mismatch at {k}"
+
+
+def test_full_replay_matches_oracle(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        res = eng.apply_log(p, epoch_id=i)
+        assert res["committed"]
+    oracle = oracle_apply(fixture_dir["base"], fixture_dir["epochs"])
+    _assert_matches_oracle(_final_state(eng), oracle)
+
+
+def test_prefix_then_resume_identical(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    # apply only epoch 0, simulate restart with a NEW engine object
+    eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+    eng2 = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    for i, p in enumerate(fixture_dir["epochs"][1:], start=1):
+        eng2.apply_log(p, epoch_id=i)
+    oracle = oracle_apply(fixture_dir["base"], fixture_dir["epochs"])
+    _assert_matches_oracle(_final_state(eng2), oracle)
+
+
+def test_duplicate_epoch_is_noop(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    r1 = eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+    assert r1["committed"]
+    r2 = eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)  # duplicate delivery
+    assert not r2["committed"]
+    # and re-delivering the same EVENTS under a new epoch id is also a
+    # no-op thanks to watermarks: final table unchanged
+    before = _final_state(eng)
+    r3 = eng.apply_log(fixture_dir["epochs"][0], epoch_id="dup-again")
+    assert r3["committed"]  # commits an epoch, but applies nothing new
+    after = _final_state(eng)
+    assert {k: v["content_sha"] for k, v in before.items()} == \
+           {k: v["content_sha"] for k, v in after.items()}
+
+
+def test_schema_evolution(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        eng.apply_log(p, epoch_id=i)
+    ds = eng.read_snapshot()
+    schema = {n: str(t) for n, t in zip(ds.schema().names, ds.schema().types)}
+    assert "language" in schema and "lang" not in schema   # rename applied
+    assert schema["size"] == "int64"                        # widened int32→int64
+    # rows surviving from epoch-0 events (no size column then) are null-backfilled
+    state = _final_state(eng)
+    epoch0_rows = [r for r in state.values()
+                   if 0 < r["lsn"] <= N_EVENTS // 3]
+    assert epoch0_rows and all(r["size"] is None for r in epoch0_rows)
+
+
+def test_lineage_and_watermarks(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8, rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+    cur = eng.manifest.current_epoch()
+    assert cur["id"] == 0
+    assert cur["watermarks"], "per-bucket watermarks missing"
+    assert all(int(v) >= 0 for v in cur["watermarks"].values())
+    lin = cur["lineage"]
+    assert lin and all("rows" in v and "applied_events" in v for v in lin.values())
+    assert os.path.exists(os.path.join(str(tmp_path / "table"), "_lineage.jsonl"))
