@@ -81,6 +81,7 @@ def apply_changes(
     sha_col: str | None = "content_sha",
     content_col: str = "content",
     track_applied: bool = False,
+    use_map_groups: bool = False,
 ):
     """events_ds (base rows included as op='insert' with their last
     LSN, or lsn=0 for a bootstrap) → Dataset of the final table, one
@@ -89,6 +90,12 @@ def apply_changes(
     ``track_applied=True`` adds a per-bucket constant ``__applied``
     column (rows that entered the final reduce) used for lineage —
     readable later from parquet footer stats without a second pass.
+
+    The final per-bucket reduce runs through ``etlray.exchange
+    .hash_exchange`` (raw-task shuffle) — Ray 2.49's
+    ``groupby().map_groups`` costs ~0.13 s per group which dominates
+    wall time at every scale tested; ``use_map_groups=True`` keeps the
+    Dataset-native path for comparison.
     """
     keys = list(keys)
 
@@ -115,5 +122,9 @@ def apply_changes(
                                 pa.array(np.full(t.num_rows, applied, dtype=np.int64)))
         return t
 
-    return pre.groupby(BUCKET_COL).map_groups(
-        finalize, batch_format="pyarrow")
+    if use_map_groups:
+        return pre.groupby(BUCKET_COL).map_groups(
+            finalize, batch_format="pyarrow")
+    from etlray.exchange import hash_exchange
+
+    return hash_exchange(pre, keys, num_buckets, finalize, bucket_col=BUCKET_COL)

@@ -1,25 +1,32 @@
 """CDCEngine — binlog tail → lake upsert with exactly-once commits,
-schema evolution and per-partition watermarks (the BASELINE.json north
-star; re-imagines the reference's execute_batch drain-loop + cursor +
-finalize-commit lifecycle, /root/reference/src/pipeline/mod.rs:215-269,
-as epoch-sliced Dataset replay).
+schema evolution, per-partition watermarks and INCREMENTAL bucket
+rewrite (the BASELINE.json north star; re-imagines the reference's
+execute_batch drain-loop + cursor + finalize-commit lifecycle,
+/root/reference/src/pipeline/mod.rs:215-269, as epoch-sliced Dataset
+replay).
 
 Table layout on disk::
 
     table_dir/
-      _manifest.json            # atomic commit manifest (epochs, watermarks)
+      _manifest.json            # atomic commit manifest (epochs → per-bucket files)
       _lineage.jsonl            # per-(epoch, bucket) lineage records
-      snap-<id>/                # snapshot: hive-partitioned by bucket_id
-        bucket_id=0/*.parquet   # (no '='/'_' prefixes in path roots —
-                                #  pyarrow discovery hides _-prefixed paths)
-        ...
+      snap-<id>/
+        bucket_id=<b>/part-0.parquet   # only buckets TOUCHED by epoch <id>
 
-Every snapshot is a full consistent table (one row per live key).
-Incremental apply reads the previous snapshot (already bucketed — no
-re-hash) plus the new events, reduces, and writes a NEW epoch dir, then
-atomically commits. A crashed/retried run of the same epoch id is a
-no-op after commit, and its half-written ``epoch=`` dir is simply
-never referenced (write-temp/atomic-manifest-swap idempotency).
+The manifest maps every bucket to the parquet file holding its current
+rows; an epoch's mapping may point into older ``snap-*`` dirs for
+buckets the epoch did not touch (carry-forward). Cost per epoch is
+therefore ∝ new events + data in touched buckets — NOT O(table) — the
+property that makes a 10^10-event log feasible: a binlog slice that
+touches 5% of key space rewrites 5% of the table.
+
+Write path: one ``hash_exchange`` gather task per touched bucket IS
+the writer — it merges the bucket's previous file + new events,
+LWW-reduces, stamps sha256(content) for new rows only, writes
+``snap-<id>/bucket_id=<b>/part-0.parquet`` and returns a stats row.
+Writes are deterministic-by-path (retry = overwrite, idempotent);
+visibility is gated solely by the atomic manifest swap, so a
+crashed/duplicated epoch can never double-apply.
 """
 
 from __future__ import annotations
@@ -30,16 +37,9 @@ from typing import Mapping, Sequence
 import numpy as np
 import pyarrow as pa
 
-from etlray.cdc.apply import (
-    APPLIED_COL,
-    BUCKET_COL,
-    apply_changes,
-    stable_bucket,
-)
-from etlray.cdc.evolve import conformer, unify_schemas
-from etlray.cdc.fixture import RENAME_MAP
+from etlray.cdc.apply import APPLIED_COL, BUCKET_COL, stable_bucket
+from etlray.cdc.evolve import conform_table, conformer, unify_schemas
 from etlray.cdc.manifest import Manifest, write_lineage_jsonl
-from etlray.errors import LoadError
 
 
 class CDCEngine:
@@ -65,16 +65,17 @@ class CDCEngine:
     # ------------------------------------------------------------------
     def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False):
         """Current (or time-travelled) table as a Dataset — the read
-        side of the reference's DeltaExtractor surface."""
+        side of the reference's DeltaExtractor surface
+        (/root/reference/src/extract/delta.rs:37-148)."""
         import ray.data
 
-        snap = self.manifest.snapshot_path(epoch_id)
-        if snap is None:
+        files = self.manifest.snapshot_files(epoch_id)
+        if files is None:
             return None
-        ds = ray.data.read_parquet(snap)
+        if not files:
+            return ray.data.from_arrow(pa.table({}))
+        ds = ray.data.read_parquet(sorted(files.values()))
         if not with_internal_cols:
-            # bucket_id MUST be dropped so the next apply recomputes it —
-            # a conformed null bucket column would break partitioning
             drop = [c for c in (APPLIED_COL, BUCKET_COL) if c in ds.schema().names]
             if drop:
                 ds = ds.drop_columns(drop)
@@ -83,7 +84,8 @@ class CDCEngine:
     # ------------------------------------------------------------------
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
         """Read every epoch-file/Dataset, conform to the unified schema
-        (schema evolution), union into one event Dataset."""
+        (schema evolution), union into one event Dataset. Blocks whose
+        schema already matches pass through zero-copy."""
         import ray.data
 
         if isinstance(changes, (str, list, tuple)):
@@ -105,24 +107,24 @@ class CDCEngine:
             ds = ds.union(*conformed[1:])
         return ds, target
 
-    def _watermark_filter(self, events_ds, watermarks: dict[int, int]):
-        """Drop events at-or-below the committed per-bucket watermark —
-        duplicate-delivery / resume tolerance. Vectorized lookup of a
-        small broadcast watermark array inside map_batches."""
-        if not watermarks:
-            return events_ds
+    def _watermark_bucket_stage(self, events_ds, watermarks: dict[int, int]):
+        """One pass that (a) stamps the stable bucket id and (b) drops
+        events at-or-below the committed per-bucket watermark —
+        duplicate-delivery / resume tolerance. The bucket column is
+        computed ONCE here and reused by the combine + split stages."""
         wm = np.full(self.num_buckets, -1, dtype=np.int64)
-        for b, v in watermarks.items():
+        for b, v in (watermarks or {}).items():
             wm[int(b)] = v
         keys, lsn_col, nb = self.keys, self.lsn_col, self.num_buckets
 
-        def filt(t: pa.Table) -> pa.Table:
+        def stage(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
-                return t
+                return t.append_column(BUCKET_COL, pa.array([], type=pa.int32()))
             buckets = stable_bucket(t, keys, nb)
+            t = t.append_column(BUCKET_COL, pa.array(buckets))
             lsns = t.column(lsn_col).to_numpy(zero_copy_only=False)
             return t.filter(pa.array(lsns > wm[buckets]))
-        return events_ds.map_batches(filt, batch_format="pyarrow",
+        return events_ds.map_batches(stage, batch_format="pyarrow",
                                      zero_copy_batch=True)
 
     # ------------------------------------------------------------------
@@ -155,94 +157,130 @@ class CDCEngine:
 
         Exactly-once: re-running a committed epoch id is a no-op;
         events below the per-bucket watermark are filtered (duplicate
-        delivery of individual events is also a no-op)."""
+        delivery of individual events is also a no-op). Only buckets
+        with surviving events are rewritten; the rest carry forward."""
         if self.manifest.committed(epoch_id):
             return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
         rename = dict(self.rename_map)
         rename.update(rename_map or {})
-        events, target = self._normalize_events(changes, rename)
-        events = self._watermark_filter(events, self.manifest.watermarks())
-
-        current = self.read_snapshot(with_internal_cols=False)
-        if current is not None:
-            # prior snapshot rows join the reduce as op='insert' at
-            # their recorded LSN; conform BOTH sides to the union of
-            # snapshot + event schemas (schema evolution across epochs)
-            s = current.schema()
-            snap_schema = pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
-            full = unify_schemas([snap_schema, target], rename)
-            events = events.map_batches(conformer(full, rename), batch_format="pyarrow",
-                                        zero_copy_batch=True)
-            current = current.map_batches(conformer(full, rename), batch_format="pyarrow",
-                                          zero_copy_batch=True)
-            events = events.union(current)
+        events, _target = self._normalize_events(changes, rename)
         return self._apply_and_commit(events, epoch_id)
 
     # ------------------------------------------------------------------
     def _apply_and_commit(self, events_ds, epoch_id) -> dict:
-        final = apply_changes(
-            events_ds,
-            keys=self.keys,
-            lsn_col=self.lsn_col,
-            op_col=self.op_col,
-            num_buckets=self.num_buckets,
-            content_col=self.content_col,
-            track_applied=True,
-        )
-        snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
-        os.makedirs(snap_dir, exist_ok=True)
-        final.write_parquet(snap_dir, partition_cols=[BUCKET_COL], mode="overwrite")
+        import hashlib as _hl
 
-        watermarks, lineage, total_rows = self._scan_written(snap_dir)
-        ok = self.manifest.commit_epoch(
-            epoch_id, snap_dir, watermarks, lineage,
-            metrics={"rows": total_rows})
-        if ok:
-            write_lineage_jsonl(os.path.join(self.table_dir, "_lineage.jsonl"),
-                                epoch_id, lineage)
-        return {"epoch": epoch_id, "committed": ok, "rows": total_rows,
-                "buckets": len(watermarks)}
-
-    def _scan_written(self, snap_dir: str):
-        """Per-bucket watermark + lineage from parquet FOOTERS only —
-        no dataset re-execution (rows / max lsn / applied counts come
-        from column statistics)."""
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        watermarks: dict[int, int] = {}
-        lineage: dict[int, dict] = {}
-        total = 0
-        for entry in sorted(os.listdir(snap_dir)):
-            full = os.path.join(snap_dir, entry)
-            if not (os.path.isdir(full) and entry.startswith(f"{BUCKET_COL}=")):
+        from etlray.cdc.lww import drop_deletes, lww_reduce
+        from etlray.exchange import hash_exchange
+
+        keys, lsn_col, op_col = self.keys, self.lsn_col, self.op_col
+        content_col, nb, rename = self.content_col, self.num_buckets, self.rename_map
+        snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
+        os.makedirs(snap_dir, exist_ok=True)
+
+        prev_files = self.manifest.snapshot_files() or {}
+        prev_lineage = self.manifest.lineage()
+        prev_watermarks = self.manifest.watermarks()
+
+        events_ds = self._watermark_bucket_stage(events_ds, prev_watermarks)
+
+        def combine(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return lww_reduce(t, keys, lsn_col)  # bucket col already present
+
+        pre = events_ds.map_batches(combine, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        def merge_write(t: pa.Table, bucket: int) -> pa.Table:
+            """Writer task for one bucket: merge previous bucket file +
+            new events, reduce, stamp shas for new rows, write."""
+            applied = t.num_rows
+            if applied == 0:  # untouched bucket → carry forward (no IO)
+                return pa.table({
+                    "bucket": pa.array([bucket], type=pa.int32()),
+                    "rows": pa.array([-1], type=pa.int64()),
+                    "max_lsn": pa.array([-1], type=pa.int64()),
+                    "applied_events": pa.array([0], type=pa.int64()),
+                })
+            tables = [t]
+            if bucket in prev_files:
+                tables.append(pq.read_table(prev_files[bucket]))
+            schemas = [x.schema for x in tables]
+            target = unify_schemas(schemas, rename)
+            tables = [x if x.schema.equals(target)
+                      else conform_table(x, target, rename) for x in tables]
+            merged = pa.concat_tables(tables)
+            merged = lww_reduce(merged, keys, lsn_col)
+            merged = drop_deletes(merged, op_col)
+            if content_col in merged.column_names:
+                texts = merged.column(content_col).to_pylist()
+                if "content_sha" in merged.column_names:
+                    old = merged.column("content_sha").to_pylist()
+                    shas = [o if o is not None else
+                            (None if v is None else _hl.sha256(v.encode()).hexdigest())
+                            for o, v in zip(old, texts)]
+                    merged = merged.set_column(
+                        merged.column_names.index("content_sha"), "content_sha",
+                        pa.array(shas, type=pa.string()))
+                else:
+                    shas = [None if v is None else _hl.sha256(v.encode()).hexdigest()
+                            for v in texts]
+                    merged = merged.append_column(
+                        "content_sha", pa.array(shas, type=pa.string()))
+            # normalize the bucket col (events carried it; prev file has it too)
+            if BUCKET_COL in merged.column_names:
+                merged = merged.drop_columns([BUCKET_COL])
+            merged = merged.append_column(
+                BUCKET_COL, pa.array([bucket] * merged.num_rows, type=pa.int32()))
+            max_lsn = int(pc.max(merged.column(lsn_col)).as_py()) if merged.num_rows else -1
+            d = os.path.join(snap_dir, f"{BUCKET_COL}={bucket}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(merged, os.path.join(d, "part-0.parquet"))
+            return pa.table({
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "rows": pa.array([merged.num_rows], type=pa.int64()),
+                "max_lsn": pa.array([max_lsn], type=pa.int64()),
+                "applied_events": pa.array([applied], type=pa.int64()),
+            })
+
+        import ray as _ray
+
+        stat_refs = hash_exchange(pre, keys, nb, merge_write,
+                                  bucket_col=BUCKET_COL, pass_bucket_id=True,
+                                  as_refs=True)
+        stats = [r for t in _ray.get(stat_refs) for r in t.to_pylist()]
+
+        files: dict[int, str] = {}
+        watermarks: dict[int, int] = dict(prev_watermarks)
+        lineage: dict[int, dict] = dict(prev_lineage)
+        touched = 0
+        for b, path in prev_files.items():
+            files[b] = os.path.relpath(path, self.table_dir)
+        for s in stats:
+            b = s["bucket"]
+            if s["rows"] < 0:  # carry-forward
                 continue
-            bucket = int(entry.split("=", 1)[1])
-            rows = 0
-            max_lsn = -1
-            applied = 0
-            for fn in os.listdir(full):
-                if not fn.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(full, fn)).metadata
-                rows += md.num_rows
-                schema_names = [md.schema.column(i).name
-                                for i in range(md.num_columns)]
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    for ci, name in enumerate(schema_names):
-                        if name == self.lsn_col:
-                            st = g.column(ci).statistics
-                            if st is not None and st.has_min_max:
-                                max_lsn = max(max_lsn, int(st.max))
-                        elif name == APPLIED_COL:
-                            st = g.column(ci).statistics
-                            if st is not None and st.has_min_max:
-                                applied = max(applied, int(st.max))
-            watermarks[bucket] = max_lsn
-            lineage[bucket] = {"rows": rows, "max_lsn": max_lsn,
-                               "applied_events": applied}
-            total += rows
-        return watermarks, lineage, total
+            touched += 1
+            files[b] = os.path.relpath(
+                os.path.join(snap_dir, f"{BUCKET_COL}={b}", "part-0.parquet"),
+                self.table_dir)
+            watermarks[b] = max(int(s["max_lsn"]), watermarks.get(b, -1))
+            lineage[b] = {"rows": int(s["rows"]), "max_lsn": int(watermarks[b]),
+                          "applied_events": int(s["applied_events"])}
+        total_rows = sum(v.get("rows", 0) for v in lineage.values())
+        ok = self.manifest.commit_epoch(
+            epoch_id, files, watermarks, lineage,
+            metrics={"rows": total_rows, "touched_buckets": touched})
+        if ok:
+            write_lineage_jsonl(os.path.join(self.table_dir, "_lineage.jsonl"),
+                                epoch_id,
+                                {b: v for b, v in lineage.items()})
+        return {"epoch": epoch_id, "committed": ok, "rows": total_rows,
+                "buckets": len(files), "touched_buckets": touched}
 
 
 # ---------------------------------------------------------------------------
@@ -256,7 +294,7 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
 
     import ray.data
 
-    from etlray.cdc.fixture import generate_fixture
+    from etlray.cdc.fixture import RENAME_MAP, generate_fixture
 
     scale = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}.get(
         os.path.basename(os.path.normpath(sf_dir)), 2_000)
@@ -264,8 +302,9 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
     n_keys = max(scale // 5, 100)
     fx = generate_fixture(os.path.join(work, "fixture"), n_events=scale,
                           n_keys=n_keys, n_base=n_keys // 2)
-    eng = CDCEngine(os.path.join(work, "table"), num_buckets=16)
+    eng = CDCEngine(os.path.join(work, "table"), num_buckets=16,
+                    rename_map=RENAME_MAP)
     eng.bootstrap(ray.data.read_parquet(fx["base"]))
     for i, p in enumerate(fx["epochs"]):
-        eng.apply_log(p, epoch_id=i, rename_map=RENAME_MAP)
+        eng.apply_log(p, epoch_id=i)
     return eng.read_snapshot()

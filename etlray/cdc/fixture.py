@@ -84,7 +84,7 @@ def generate_fixture(
         "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int))),
     })
     base_path = os.path.join(out_dir, "base.parquet")
-    pq.write_table(base, base_path)
+    pq.write_table(base, base_path, row_group_size=10_000)
 
     # --- change log: Zipf-hot keys, vectorized -------------------------
     ev_keys = np.minimum(rng.zipf(zipf_a, size=n_events) - 1, n_keys - 1)
@@ -127,7 +127,8 @@ def generate_fixture(
         elif epoch == 2:
             cols["size"] = pa.array(seg(sizes, s), type=pa.int64())  # widened
         p = os.path.join(out_dir, f"changes_epoch{epoch}.parquet")
-        pq.write_table(pa.table(cols), p)
+        # small row groups → Ray splits the file into parallel read tasks
+        pq.write_table(pa.table(cols), p, row_group_size=10_000)
         epoch_paths.append(p)
 
     return {

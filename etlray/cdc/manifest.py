@@ -57,20 +57,24 @@ class Manifest:
     def commit_epoch(
         self,
         epoch_id: str | int,
-        snapshot_dir: str,
+        files: dict[int, str],
         watermarks: dict[int, int],
         lineage: dict[int, dict] | None = None,
         metrics: dict | None = None,
     ) -> bool:
         """Atomically append an epoch. Returns False (no-op) if the
-        epoch is already committed — the exactly-once guarantee."""
+        epoch is already committed — the exactly-once guarantee.
+
+        ``files`` maps bucket → parquet path RELATIVE to table_dir; an
+        epoch's mapping may reference files written by EARLIER epochs
+        (incremental carry-forward of untouched buckets)."""
         os.makedirs(self.table_dir, exist_ok=True)
         m = self.load()
         if any(e["id"] == epoch_id for e in m["epochs"]):
             return False
         m["epochs"].append({
             "id": epoch_id,
-            "snapshot_dir": os.path.relpath(snapshot_dir, self.table_dir),
+            "files": {str(k): v for k, v in files.items()},
             "watermarks": {str(k): int(v) for k, v in watermarks.items()},
             "lineage": {str(k): v for k, v in (lineage or {}).items()},
             "metrics": metrics or {},
@@ -83,16 +87,26 @@ class Manifest:
         os.replace(tmp, self.path)  # atomic publish
         return True
 
-    def snapshot_path(self, epoch_id: str | int | None = None) -> str | None:
-        """Directory of a committed snapshot; None if nothing committed.
-        ``epoch_id`` gives time travel (reference DeltaExtractor
-        ``with_version``, /root/reference/src/extract/delta.rs:37-148)."""
+    def snapshot_files(self, epoch_id: str | int | None = None) -> dict[int, str] | None:
+        """bucket → absolute parquet path of a committed snapshot; None
+        if nothing committed. ``epoch_id`` gives time travel (reference
+        DeltaExtractor ``with_version``,
+        /root/reference/src/extract/delta.rs:37-148)."""
         m = self.load()
         target = m["current"] if epoch_id is None else epoch_id
         for e in m["epochs"]:
             if e["id"] == target:
-                return os.path.join(self.table_dir, e["snapshot_dir"])
+                return {int(k): os.path.join(self.table_dir, v)
+                        for k, v in e["files"].items()}
         return None
+
+    def lineage(self, epoch_id: str | int | None = None) -> dict[int, dict]:
+        m = self.load()
+        target = m["current"] if epoch_id is None else epoch_id
+        for e in m["epochs"]:
+            if e["id"] == target:
+                return {int(k): v for k, v in e.get("lineage", {}).items()}
+        return {}
 
 
 def write_lineage_jsonl(path: str, epoch_id, lineage: dict[int, dict]) -> None:

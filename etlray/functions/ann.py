@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``brute_force_topk`` — the exact baseline: the (small) query matrix
+  is broadcast ONCE via ``ray.put``; every batch does one numpy
+  matmul against it and emits its local top-k; a final tiny reduce
+  merges per-batch candidates. The dataset streams; only k rows per
+  (query, batch) cross the wire.
+* ``ivf_topk`` — the scale path: a coarse k-means codebook (trained on
+  a driver-side sample), cluster assignment per batch, then search
+  only batches' vectors belonging to the ``nprobe`` closest clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Actor-pool stage: fetches the broadcast query matrix once per
+    actor; per batch computes cosine to every query and emits the
+    batch-local top-k rows per query."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int) -> None:
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q_unit = _unit(np.asarray(q, dtype=np.float32))
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = np.array(t[self.vec_col].to_pylist(), dtype=np.float32)
+        if len(vecs) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             self.id_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        sims = _unit(vecs) @ self.q_unit.T            # (n, q)
+        ids = np.asarray(t[self.id_col].to_pylist())
+        k = min(self.k, len(vecs))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            part = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[part].tolist())
+            out_s.extend(sims[part, qi].astype(float).tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         self.id_col: pa.array(out_id, type=pa.int64()),
+                         "cosine": pa.array(out_s, type=pa.float64())})
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency=(1, 8)):
+    """Exact cosine top-k of each query row against the dataset.
+    Returns a Dataset (query_id, <id_col>, cosine) of k rows per query."""
+    import ray
+
+    ref = ray.put(np.asarray(queries, dtype=np.float32))
+    candidates = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(ref, vec_col, id_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "cosine", keep="first").sort_values(
+            ["cosine", id_col], ascending=[False, True]).head(k)
+
+    return candidates.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def train_codebook(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                   seed: int = 5) -> np.ndarray:
+    """Tiny driver-side k-means (numpy Lloyd's) on a sample — the IVF
+    coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    x = _unit(np.asarray(sample, dtype=np.float32))
+    centers = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ centers.T, axis=1)
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                centers[c] = x[m].mean(axis=0)
+        centers = _unit(centers)
+    return centers
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 2048, seed: int = 5):
+    """IVF-style ANN: assign every vector to its nearest codebook
+    cluster (map_batches), keep only vectors in the ``nprobe`` clusters
+    closest to any query, then exact top-k on the survivors."""
+    import ray
+
+    sample = np.array(
+        ds.limit(sample_size).to_pandas()[vec_col].tolist(), dtype=np.float32)
+    centers = train_codebook(sample, n_clusters, seed=seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float32))
+    probe = set()
+    for qi in range(len(q_unit)):
+        top = np.argsort(-(q_unit[qi] @ centers.T))[:nprobe]
+        probe.update(top.tolist())
+    probe_arr = np.array(sorted(probe))
+    centers_ref = ray.put(centers)
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        c = ray.get(centers_ref)
+        vecs = _unit(np.array(t[vec_col].to_pylist(), dtype=np.float32))
+        if len(vecs) == 0:
+            return t
+        assign = np.argmax(vecs @ c.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, probe_arr)))
+
+    pruned = ds.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(pruned, queries, k=k, vec_col=vec_col, id_col=id_col)

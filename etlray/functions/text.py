@@ -1,0 +1,165 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All stages are vectorized ``map_batches`` bodies (pyarrow.compute regex
+kernels / numpy) — no Python loop over rows in any hot path except the
+winnowing fingerprint, which is numpy-windowed per doc.
+
+No counterpart exists in the reference (it has no scalar-function
+library, SURVEY.md §2.7); these are the operations the 100 TB
+training-data tier needs on the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+_WS_TOKEN_RE = r"\S+"
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(arr, pattern: str = _WS_TOKEN_RE) -> pa.Array:
+    """Vectorized token count: number of regex matches per string
+    (whitespace tokens by default; pass _BPE_TOKEN_RE for a BPE-ish
+    split of letters / digits / punctuation runs)."""
+    return pc.count_substring_regex(arr, pattern)
+
+
+def add_token_counts(t: pa.Table, col: str = "text") -> pa.Table:
+    t = t.append_column("n_tokens", _cc(token_count(t[col])))
+    t = t.append_column("n_bpe_tokens", _cc(token_count(t[col], _BPE_TOKEN_RE)))
+    return t
+
+
+def _cc(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / digit / stopword ratios)
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+_STOP_RE = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+_DIGIT_RE = r"[0-9]"
+
+
+def quality_features(t: pa.Table, col: str = "text") -> pa.Table:
+    """Append char_count, word_count, avg_word_len, punct_ratio,
+    digit_ratio, stop_ratio, quality_score — all Arrow kernels."""
+    s = t[col]
+    chars = pc.cast(pc.utf8_length(s), pa.float64())
+    words = pc.cast(pc.count_substring_regex(s, _WS_TOKEN_RE), pa.float64())
+    punct = pc.cast(pc.count_substring_regex(s, _PUNCT_RE), pa.float64())
+    digit = pc.cast(pc.count_substring_regex(s, _DIGIT_RE), pa.float64())
+    stops = pc.cast(pc.count_substring_regex(s, _STOP_RE), pa.float64())
+    safe_chars = pc.max_element_wise(chars, 1.0)
+    safe_words = pc.max_element_wise(words, 1.0)
+    avg_wl = pc.divide(chars, safe_words)
+    punct_ratio = pc.divide(punct, safe_chars)
+    digit_ratio = pc.divide(digit, safe_chars)
+    stop_ratio = pc.divide(stops, safe_words)
+    # heuristic composite in [0, 1]: long-enough, word-shaped, some
+    # stopwords, not punctuation/digit soup
+    len_score = pc.min_element_wise(pc.divide(words, 100.0), 1.0)
+    wl_score = pc.if_else(pc.and_(pc.greater_equal(avg_wl, 3.0),
+                                  pc.less_equal(avg_wl, 12.0)), 1.0, 0.5)
+    noise = pc.min_element_wise(pc.add(punct_ratio, digit_ratio), 1.0)
+    score = pc.multiply(pc.multiply(len_score, wl_score),
+                        pc.subtract(1.0, pc.multiply(noise, 0.5)))
+    score = pc.add(pc.multiply(score, 0.8),
+                   pc.multiply(pc.min_element_wise(stop_ratio, 0.5), 0.4))
+    for name, col_arr in [("char_count", chars), ("word_count", words),
+                          ("avg_word_len", avg_wl), ("punct_ratio", punct_ratio),
+                          ("digit_ratio", digit_ratio), ("stop_ratio", stop_ratio),
+                          ("quality_score", score)]:
+        t = t.append_column(name, _cc(col_arr))
+    return t
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram / stopword heuristic)
+# ---------------------------------------------------------------------------
+#: per-language marker words — tiny, fast, adequate for bucketing;
+#: a real pipeline would swap in fasttext via an actor-pool stage.
+_LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "to", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "para"],
+    "pt": ["o", "a", "os", "que", "um", "uma", "não", "para"],
+}
+_CJK_RE = r"[一-鿿]"
+
+
+class LangIdStage:
+    """Actor-pool stage: compiles per-language regexes ONCE per actor
+    (__init__), scores each batch with vectorized regex counts.
+
+    Output column ``lang_pred`` ∈ {en,de,fr,es,pt,zh,unknown}.
+    """
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.lang_res = {
+            lang: r"(?i)\b(?:" + "|".join(ws) + r")\b"
+            for lang, ws in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = t[self.text_col]
+        words = np.maximum(
+            pc.count_substring_regex(s, _WS_TOKEN_RE).to_numpy(zero_copy_only=False), 1)
+        scores = np.stack([
+            pc.count_substring_regex(s, rx).to_numpy(zero_copy_only=False) / words
+            for rx in self.lang_res.values()
+        ])
+        langs = np.array(list(self.lang_res.keys()))
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(scores.shape[1])]
+        cjk = pc.count_substring_regex(s, _CJK_RE).to_numpy(zero_copy_only=False)
+        chars = np.maximum(pc.utf8_length(s).to_numpy(zero_copy_only=False), 1)
+        pred = np.where(cjk / chars > 0.05, "zh",
+                        np.where(best_score > 0.01, langs[best], "unknown"))
+        return t.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash / winnowing)
+# ---------------------------------------------------------------------------
+_MOD = np.uint64(0xFFFFFFFFFFFFFFC5)  # large prime < 2^64
+_BASE = np.uint64(1000003)
+
+
+def _rolling_hashes(codes: np.ndarray, window: int) -> np.ndarray:
+    """All w-gram polynomial hashes of a uint8 code sequence, vectorized
+    via a sliding window view and a powers dot-product (mod 2^64 wrap)."""
+    if len(codes) < window:
+        return np.array([np.sum(codes.astype(np.uint64) *
+                                _BASE ** np.arange(len(codes), dtype=np.uint64))],
+                        dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, window).astype(np.uint64)
+    powers = _BASE ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
+    return win @ powers
+
+
+def doc_fingerprint(text: str | None, window: int = 8) -> int | None:
+    """Winnowing-style fingerprint: min rolling-window hash of the
+    normalized text — stable under small appends/prepends."""
+    if text is None:
+        return None
+    norm = " ".join(text.lower().split())
+    codes = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    if len(codes) == 0:
+        return 0
+    return int(_rolling_hashes(codes, window).min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def add_fingerprint(t: pa.Table, col: str = "text", window: int = 8) -> pa.Table:
+    fps = [doc_fingerprint(v, window) for v in t[col].to_pylist()]
+    return t.append_column("fingerprint", pa.array(fps, type=pa.int64()))

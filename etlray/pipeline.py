@@ -109,9 +109,11 @@ class Pipeline:
         self.source = source
         self.transforms = transforms
         self.sinks = sinks
-        self.config = config or ETLConfig()
-        self.events = event_emitter or NullEventEmitter()
-        self.plugins = plugins or PluginRegistry()
+        self.config = config if config is not None else ETLConfig()
+        # explicit None checks: emitters/registries define __len__, so an
+        # EMPTY one is falsy and `or` would silently drop it
+        self.events = event_emitter if event_emitter is not None else NullEventEmitter()
+        self.plugins = plugins if plugins is not None else PluginRegistry()
         self.pipeline_id = pipeline_id or uuid.uuid4().hex[:12]
         self._lock = threading.Lock()
         self.state = PipelineState.IDLE

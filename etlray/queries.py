@@ -194,8 +194,10 @@ def join_broadcast_inner(sf_dir: str):
 def join_hash_left(sf_dir: str):
     cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_name"]).read()
     orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).read()
-    ds = HashJoinTransform(orders, on="c_custkey", right_on="o_custkey",
-                           how="left_outer").apply(cust)
+    from etlray.stages import PartitionedHashJoinTransform
+
+    ds = PartitionedHashJoinTransform(orders, on="c_custkey", right_on="o_custkey",
+                                      how="left").apply(cust)
     return SelectColumnsTransform(["c_custkey", "c_name", "o_orderkey"]).apply(ds)
 
 
@@ -286,3 +288,113 @@ def cdc_lww_upsert(sf_dir: str):
     out = apply_changes(ds, keys=["user_id"], lsn_col="event_id", op_col="op",
                         num_buckets=16, sha_col=None)
     return SelectColumnsTransform(["user_id", "event_id", "event_type", "value"]).apply(out)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators over documents/embeddings (SURVEY has no
+# counterpart — these are the 100TB-pipeline additions the tier requires)
+# ---------------------------------------------------------------------------
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE)                                    AS char_count,
+           CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE)         AS word_count,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1)                                   AS digit_ratio
+    FROM documents
+    """,
+)
+def text_stats(sf_dir: str):
+    from etlray.functions.text import quality_features
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    ds = ds.map_batches(quality_features, batch_format="pyarrow", zero_copy_batch=True)
+    return SelectColumnsTransform(["doc_id", "char_count", "word_count",
+                                   "digit_ratio"]).apply(ds)
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+      USING (doc_id)
+    """,
+)
+def exact_dedup_docs(sf_dir: str):
+    from etlray.functions.dedup import exact_dedup
+
+    ds = _pq(sf_dir, "documents").read()
+    return exact_dedup(ds, text_col="text", order_col="doc_id", num_buckets=16)
+
+
+@register(
+    "ann_brute_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT CAST(q.query_id AS INTEGER) AS query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qe), 3) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine FROM scored WHERE rn <= 10
+    """,
+)
+def ann_brute_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etlray.functions.ann import brute_force_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtab = qtab.filter(pc.less(qtab["vec_id"], 3)).sort_by("vec_id")
+    queries = np.array(qtab["embedding"].to_pylist(), dtype=np.float32)
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    out = brute_force_topk(ds, queries, k=10)
+
+    def round3(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("cosine")
+        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
+    return out.map_batches(round3, batch_format="pyarrow")
+
+
+# rows-only checks (non-SQL-expressible; correctness gates in tests/)
+@register("minhash_near_dups")
+def minhash_near_dups(sf_dir: str):
+    from etlray.functions.dedup import minhash_lsh_candidates
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    return minhash_lsh_candidates(ds, jaccard_threshold=0.8)
+
+
+@register("simhash_dups")
+def simhash_dups(sf_dir: str):
+    from etlray.functions.dedup import simhash_dup_groups
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    return simhash_dup_groups(ds)
+
+
+@register("embedding_near_dups")
+def embedding_near_dups_q(sf_dir: str):
+    from etlray.functions.dedup import embedding_near_dups
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    return embedding_near_dups(ds, cosine_threshold=0.95)
+
+
+@register("langid_docs")
+def langid_docs(sf_dir: str):
+    from etlray.functions.text import LangIdStage
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"]).read()
+    return ds.map_batches(LangIdStage, fn_constructor_args=("text",),
+                          batch_format="pyarrow", concurrency=2)

@@ -303,9 +303,13 @@ class DistinctTransform(Transform):
             return t.select(cols).group_by(cols).aggregate([])
         pre = ds.map_batches(local, **self._mb_kwargs())
 
-        def per_group(g):
-            return g.head(1)
-        return pre.groupby(cols).map_groups(per_group, batch_format="pandas")
+        # per-bucket vectorized distinct (arrow group_by, no per-group task)
+        def bucket_distinct(t: pa.Table) -> pa.Table:
+            return t.select(cols).group_by(cols).aggregate([])
+
+        from etlray.exchange import hash_exchange
+
+        return hash_exchange(pre, cols, 8, bucket_distinct, bucket_col=None)
 
 
 class UnionTransform(Transform):
@@ -317,3 +321,54 @@ class UnionTransform(Transform):
     def apply(self, ds):
         others = [(_o.read() if hasattr(_o, "read") else _o) for _o in self.others]
         return ds.union(*others)
+
+
+class AsyncMapTransform(Transform):
+    """Reference AsyncMapTransform (common.rs:63-88): per-row async
+    closures joined concurrently — for I/O-bound per-row work (API
+    calls etc.). Here: an asyncio event loop INSIDE each batch task
+    gathers the coroutine per row; batches still flow in parallel
+    across the cluster."""
+
+    def __init__(self, async_fn, max_concurrency: int = 64) -> None:
+        self.async_fn = async_fn
+        self.max_concurrency = max_concurrency
+
+    def apply(self, ds):
+        fn, limit = self.async_fn, self.max_concurrency
+
+        def mapper(t: pa.Table) -> pa.Table:
+            import asyncio
+
+            async def run_all(rows):
+                sem = asyncio.Semaphore(limit)
+
+                async def one(r):
+                    async with sem:
+                        return await fn(r)
+                return await asyncio.gather(*[one(r) for r in rows])
+
+            rows = t.to_pylist()
+            out = asyncio.run(run_all(rows))
+            return pa.Table.from_pylist(list(out))
+        return ds.map_batches(mapper, **self._mb_kwargs())
+
+
+def count_value_types(ds_or_table) -> dict[str, dict]:
+    """Type census (reference DataFormatter.count_value_types,
+    /root/reference/src/load/common.rs:52-74): per column → arrow type,
+    null count, non-null count. Streams; never materializes rows."""
+    import pyarrow as pa
+
+    if isinstance(ds_or_table, pa.Table):
+        batches = [ds_or_table]
+    else:
+        batches = ds_or_table.iter_batches(batch_format="pyarrow")
+    out: dict[str, dict] = {}
+    for t in batches:
+        for name in t.column_names:
+            col = t.column(name)
+            d = out.setdefault(name, {"type": str(col.type), "nulls": 0, "values": 0})
+            d["nulls"] += col.null_count
+            d["values"] += len(col) - col.null_count
+    return out

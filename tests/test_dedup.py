@@ -1,0 +1,67 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, embedding-cosine."""
+
+import numpy as np
+import pytest
+
+from etlray.functions import dedup as D
+from etlray.sources import MemorySource
+
+
+@pytest.fixture()
+def corpus_ds():
+    base = ("the quick brown fox jumps over the lazy dog "
+            "and then runs far away into the deep green forest")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                       # exact dup of 1
+        {"doc_id": 3, "text": base + " tonight"},          # near dup of 1
+        {"doc_id": 4, "text": "completely unrelated text about databases "
+                              "and distributed query engines at scale"},
+        {"doc_id": 5, "text": base},                       # exact dup of 1
+    ]
+    return MemorySource(rows).read()
+
+
+def test_exact_dedup_keeps_min_id(corpus_ds, ray_session):
+    out = D.exact_dedup(corpus_ds, num_buckets=4).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4]  # 2 and 5 collapse into 1
+
+
+def test_minhash_lsh_finds_near_dups(corpus_ds, ray_session):
+    pairs = D.minhash_lsh_candidates(corpus_ds, jaccard_threshold=0.7,
+                                     bands=16, num_perm=64).take_all()
+    got = {(r["doc_id"], r["dup_of"]) for r in pairs}
+    assert (2, 1) in got and (5, 1) in got      # exact dups always surface
+    assert (3, 1) in got                        # near dup caught
+    assert all(r["dup_of"] != 4 and r["doc_id"] != 4 for r in pairs)
+
+
+def test_simhash_exact_groups(corpus_ds, ray_session):
+    pairs = D.simhash_dup_groups(corpus_ds).take_all()
+    got = {(r["doc_id"], r["dup_of"]) for r in pairs}
+    assert (2, 1) in got and (5, 1) in got
+
+
+def test_simhash_near_bits():
+    a = D.simhash64("the quick brown fox jumps over the lazy dog")
+    b = D.simhash64("the quick brown fox jumps over the lazy cat")
+    c = D.simhash64("totally different content here entirely")
+    ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_embedding_near_dups(ray_session):
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": v1.tolist()},
+        {"vec_id": 2, "embedding": (v1 + 0.001).tolist()},     # near dup
+        {"vec_id": 3, "embedding": rng.standard_normal(16).astype(np.float32).tolist()},
+    ]
+    ds = MemorySource(rows).read()
+    pairs = D.embedding_near_dups(ds, cosine_threshold=0.99).take_all()
+    got = {(r["vec_id"], r["dup_of"]) for r in pairs}
+    assert (2, 1) in got
+    assert not any(3 in p for p in got)

