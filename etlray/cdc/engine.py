@@ -89,8 +89,17 @@ class CDCEngine:
         import ray.data
 
         if isinstance(changes, (str, list, tuple)):
+            import ray as _ray
+
             paths = [changes] if isinstance(changes, str) else list(changes)
-            datasets = [ray.data.read_parquet(p) for p in paths]
+            # cap read fan-out at ~2×CPUs per file: a 10k-row-group file
+            # otherwise explodes into hundreds of tiny blocks, and every
+            # block costs a split task emitting num_buckets refs through
+            # the driver — block count, not row count, is the serial term
+            nblocks = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8) \
+                if _ray.is_initialized() else None
+            datasets = [ray.data.read_parquet(p, override_num_blocks=nblocks)
+                        for p in paths]
         else:
             datasets = [changes]
         schemas = []

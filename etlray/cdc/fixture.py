@@ -37,18 +37,34 @@ LANGS = ["py", "rs", "js", "go", "java", "c", "rb", "ts"]
 RENAME_MAP = {"lang": "language"}  # epoch-2 rename, applied at read
 
 
-def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray) -> list[str]:
-    """Deterministic source-like text, length varying ~100..2000 chars."""
-    out = []
-    for r, k, l in zip(rng_ints, keys, lsns):
-        pad = int(r % 16) + 1
-        body = f"def fn_{k}_{l}(x):\n    return x * {r}\n"
-        out.append(body * pad)
-    return out
+_PAD_POOL = np.array([
+    ("    # deterministic filler line %02d\n" % i) * (1 + i)
+    for i in range(16)
+], dtype=object)  # lengths ~35..560 chars; object dtype: a U-dtype
+# pool would materialize max-width (8.7 KB) copies on fancy indexing
+
+
+def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray) -> np.ndarray:
+    """Deterministic source-like text, length varying ~100..2000 chars.
+    Fully vectorized: ONE numeric stringify (unique id folds key, lsn
+    and rng draw) + a 16-entry pad pool — pure-python f-strings made
+    10^7-event fixture generation the slowest step."""
+    import pandas as pd
+
+    uid = (rng_ints.astype(np.uint64) << np.uint64(24)) ^ \
+        (lsns.astype(np.uint64) << np.uint64(4)) ^ (keys.astype(np.uint64) & np.uint64(15))
+    head = np.char.add("def fn_", uid.astype("U20"))
+    head = np.char.add(head, "(x):\n    return x\n")
+    # final concat via pandas OBJECT dtype: np.char would pad every
+    # element to the 2200-char max width at 4 bytes/char (≈9 KB/row)
+    out = pd.Series(head, dtype=object) + pd.Series(_PAD_POOL[rng_ints % 16],
+                                                    dtype=object)
+    return out.to_numpy()
 
 
 def _commits(rng: np.random.Generator, n: int) -> list[str]:
-    return [bytes(b).hex() for b in rng.integers(0, 256, size=(n, 20), dtype=np.uint8)]
+    blob = rng.integers(0, 256, size=n * 20, dtype=np.uint8).tobytes().hex()
+    return [blob[i * 40:(i + 1) * 40] for i in range(n)]
 
 
 def generate_fixture(
@@ -87,20 +103,23 @@ def generate_fixture(
     pq.write_table(base, base_path, row_group_size=10_000)
 
     # --- change log: Zipf-hot keys, vectorized -------------------------
+    import pandas as pd
+
     ev_keys = np.minimum(rng.zipf(zipf_a, size=n_events) - 1, n_keys - 1)
     is_del = rng.random(n_events) < p_delete
     ops = np.where(is_del, "delete", np.where(rng.random(n_events) < 0.5, "insert", "update"))
     lsns = np.arange(1, n_events + 1, dtype=np.int64)
     ev_r = rng.integers(1, 1 << 31, size=n_events)
     contents = _content(ev_r, ev_keys, lsns)
-    commits = _commits(rng, n_events)
-    langs = [LANGS[k % len(LANGS)] for k in ev_keys]
-    sizes_np = np.array([len(c) for c in contents], dtype=np.int64)
+    commits = np.array(_commits(rng, n_events), dtype=object)
+    langs = np.array(LANGS, dtype=object)[ev_keys % len(LANGS)]
+    sizes_np = pd.Series(contents).str.len().to_numpy(dtype=np.int64)
     # delete events carry no payload (FIXTURES.md §3.2: null for delete)
-    contents = [None if d else c for d, c in zip(is_del, contents)]
-    commits = [None if d else c for d, c in zip(is_del, commits)]
-    langs = [None if d else c for d, c in zip(is_del, langs)]
-    sizes = [None if d else int(s) for d, s in zip(is_del, sizes_np)]
+    contents = np.where(is_del, None, contents)
+    commits = np.where(is_del, None, commits)
+    langs = np.where(is_del, None, langs)
+    sizes = pd.array(sizes_np, dtype="Int64")
+    sizes[is_del] = pd.NA
 
     thirds = [slice(0, n_events // 3), slice(n_events // 3, 2 * n_events // 3),
               slice(2 * n_events // 3, n_events)]

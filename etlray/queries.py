@@ -398,3 +398,62 @@ def langid_docs(sf_dir: str):
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"]).read()
     return ds.map_batches(LangIdStage, fn_constructor_args=("text",),
                           batch_format="pyarrow", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped custom operators: tumbling-window aggregate + as-of
+# join (SURVEY.md §2.9 — reference has none; Ray Data lacks them; built
+# from map_batches + the explicit hash exchange)
+# ---------------------------------------------------------------------------
+@register(
+    "windowed_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*)   AS n_events,
+           sum(value) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_agg(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["ts", "event_type", "value"]).read()
+
+    def trunc(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column(
+            "window_start", w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w)
+    ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+    agg = AggregateTransform(["window_start", "event_type"],
+                             [("value", "count"), ("value", "sum")]).apply(ds)
+    return RenameColumnsTransform({"value_count": "n_events"}).apply(agg)
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(sf_dir: str):
+    from etlray.stages import AsofJoinTransform
+
+    cols = ["event_id", "user_id", "ts"]
+    purchases = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"],
+                    filter=(pc.field("event_type") == "purchase")).read() \
+        .drop_columns(["event_type"])
+    clicks = _pq(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+                 filter=(pc.field("event_type") == "click")).read() \
+        .drop_columns(["event_type"])
+
+    # merge_asof consumes the right side's `on` column — carry a copy
+    def keep_ts(t: pa.Table) -> pa.Table:
+        return t.append_column("click_ts", t["ts"].combine_chunks()
+                               if isinstance(t["ts"], pa.ChunkedArray) else t["ts"])
+    clicks = clicks.map_batches(keep_ts, batch_format="pyarrow", zero_copy_batch=True)
+    ds = AsofJoinTransform(clicks, on="ts", by="user_id",
+                           direction="backward", suffix="_r").apply(purchases)
+    return SelectColumnsTransform(["event_id", "user_id", "ts", "click_ts"]).apply(ds)

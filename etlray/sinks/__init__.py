@@ -2,5 +2,6 @@ from etlray.sinks.parquet import ParquetSink
 from etlray.sinks.json import JsonLinesSink, JsonSink
 from etlray.sinks.console import ConsoleSink
 from etlray.sinks.memory import MemorySink
+from etlray.sinks.delta import DeltaSink
 
-__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink"]
+__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink", "DeltaSink"]

@@ -304,3 +304,109 @@ class CrossJoinTransform(Transform):
             arrays += [r.column(i).take(pa.array(ri)) for i in range(r.num_columns)]
             return pa.Table.from_arrays(arrays, names=t.column_names + r.column_names)
         return ds.map_batches(cross, **self._mb_kwargs())
+
+
+class AsofJoinTransform(Transform):
+    """As-of join (nearest earlier match per key) — a custom operator
+    Ray Data lacks (SURVEY.md: custom operators category; DuckDB's
+    ASOF JOIN is the oracle).
+
+    Physical plan: tag + conform both sides to a union schema, ONE
+    hash_exchange on the ``by`` keys, then per bucket a pandas
+    ``merge_asof`` over the time-sorted sides. Partitioning assumption:
+    all rows of a ``by`` key land in one bucket (guaranteed by the
+    exchange); time order is established per bucket by an in-memory
+    sort, so no global sort is needed.
+    """
+
+    def __init__(self, right, on: str, by: str | Sequence[str],
+                 direction: str = "backward", suffix: str = "_r",
+                 num_buckets: int | None = None) -> None:
+        self.right = right
+        self.on = on
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.direction = direction
+        self.suffix = suffix
+        self.num_buckets = num_buckets
+
+    def apply(self, ds):
+        import pandas as pd
+
+        from etlray.exchange import hash_exchange
+
+        right = self.right.read() if hasattr(self.right, "read") else self.right
+        nb = self.num_buckets
+        if nb is None:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            nb = max(ncpu, 8)
+
+        ls, rs = ds.schema(), right.schema()
+        on, by, suffix, direction = self.on, self.by, self.suffix, self.direction
+        shared = set(ls.names) & set(rs.names)
+        rmap = {n: (n + suffix if (n in shared and n != on and n not in by) else n)
+                for n in rs.names}
+        lcols = list(ls.names)
+        rcols = [rmap[n] for n in rs.names]
+        union_names = lcols + [c for c in rcols if c not in lcols] + ["__side"]
+        ltypes = dict(zip(ls.names, ls.types))
+        rtypes = {rmap[n]: t for n, t in zip(rs.names, rs.types)}
+
+        def conform(side):
+            def fn(t: pa.Table) -> pa.Table:
+                if side == 1:
+                    t = t.rename_columns([rmap.get(c, c) for c in t.column_names])
+                arrays, fields = [], []
+                for name in union_names:
+                    if name == "__side":
+                        arrays.append(pa.array([side] * t.num_rows, type=pa.int8()))
+                        fields.append(pa.field(name, pa.int8()))
+                    elif name in t.column_names:
+                        c = t[name]
+                        arrays.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+                        fields.append(pa.field(name, c.type))
+                    else:
+                        typ = ltypes.get(name, rtypes.get(name))
+                        arrays.append(pa.nulls(t.num_rows, type=typ))
+                        fields.append(pa.field(name, typ))
+                return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            return fn
+
+        both = ds.map_batches(conform(0), batch_format="pyarrow", zero_copy_batch=True) \
+            .union(right.map_batches(conform(1), batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+        # fixed output schema: every bucket (incl. empty ones) must emit
+        # identical types or the downstream union silently promotes
+        # (int64 → float64 was observed)
+        out_fields = [pa.field(n, ltypes[n]) for n in lcols]
+        out_fields += [pa.field(c, rtypes[c]) for c in rcols if c not in lcols]
+        out_schema = pa.schema(out_fields)
+
+        def asof_bucket(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            df = t.to_pandas()
+            left = df[df["__side"] == 0][lcols].sort_values(on, kind="stable")
+            rt = df[df["__side"] == 1][rcols].sort_values(on, kind="stable")
+            if len(left) == 0:
+                merged = left
+            else:
+                merged = pd.merge_asof(left, rt, on=on, by=by, direction=direction,
+                                       suffixes=("", suffix))
+            raw = pa.Table.from_pandas(merged, preserve_index=False)
+            cols = []
+            for f in out_schema:
+                if f.name in raw.column_names:
+                    c = raw[f.name]
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    if not c.type.equals(f.type):
+                        c = _pc.cast(c, f.type, safe=False)
+                else:
+                    c = pa.nulls(raw.num_rows, type=f.type)
+                cols.append(c)
+            return pa.Table.from_arrays(cols, schema=out_schema)
+
+        return hash_exchange(both, by, nb, asof_bucket, bucket_col=None)
