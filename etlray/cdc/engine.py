@@ -108,33 +108,10 @@ class CDCEngine:
             schemas.append(pa.schema([pa.field(n, t) for n, t in
                                       zip(s.names, s.types)]))
         target = unify_schemas(schemas, rename_map)
-        conformed = [d.map_batches(conformer(target, rename_map),
-                                   batch_format="pyarrow", zero_copy_batch=True)
-                     for d in datasets]
-        ds = conformed[0]
-        if len(conformed) > 1:
-            ds = ds.union(*conformed[1:])
-        return ds, target
-
-    def _watermark_bucket_stage(self, events_ds, watermarks: dict[int, int]):
-        """One pass that (a) stamps the stable bucket id and (b) drops
-        events at-or-below the committed per-bucket watermark —
-        duplicate-delivery / resume tolerance. The bucket column is
-        computed ONCE here and reused by the combine + split stages."""
-        wm = np.full(self.num_buckets, -1, dtype=np.int64)
-        for b, v in (watermarks or {}).items():
-            wm[int(b)] = v
-        keys, lsn_col, nb = self.keys, self.lsn_col, self.num_buckets
-
-        def stage(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.append_column(BUCKET_COL, pa.array([], type=pa.int32()))
-            buckets = stable_bucket(t, keys, nb)
-            t = t.append_column(BUCKET_COL, pa.array(buckets))
-            lsns = t.column(lsn_col).to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(lsns > wm[buckets]))
-        return events_ds.map_batches(stage, batch_format="pyarrow",
-                                     zero_copy_batch=True)
+        # NO map/union stages here: conformance runs map-side-fused
+        # inside the exchange's split tasks (hash_exchange pre_fn), so
+        # the only Ray Data pipeline per epoch is the parquet read
+        return datasets, target
 
     # ------------------------------------------------------------------
     def bootstrap(self, base_ds, epoch_id="bootstrap"):
@@ -156,9 +133,7 @@ class CDCEngine:
                 t = t.append_column(op_col, pa.array(["insert"] * t.num_rows))
             return t
 
-        events = base_ds.map_batches(stamp, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-        return self._apply_and_commit(events, epoch_id)
+        return self._apply_and_commit([base_ds], epoch_id, prepare_fn=stamp)
 
     def apply_log(self, changes, epoch_id,
                   rename_map: Mapping[str, str] | None = None):
@@ -172,11 +147,12 @@ class CDCEngine:
             return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
         rename = dict(self.rename_map)
         rename.update(rename_map or {})
-        events, _target = self._normalize_events(changes, rename)
-        return self._apply_and_commit(events, epoch_id)
+        datasets, target = self._normalize_events(changes, rename)
+        return self._apply_and_commit(datasets, epoch_id,
+                                      prepare_fn=conformer(target, rename))
 
     # ------------------------------------------------------------------
-    def _apply_and_commit(self, events_ds, epoch_id) -> dict:
+    def _apply_and_commit(self, datasets, epoch_id, prepare_fn=None) -> dict:
         import hashlib as _hl
 
         import pyarrow.compute as pc
@@ -194,15 +170,25 @@ class CDCEngine:
         prev_lineage = self.manifest.lineage()
         prev_watermarks = self.manifest.watermarks()
 
-        events_ds = self._watermark_bucket_stage(events_ds, prev_watermarks)
+        wm = np.full(nb, -1, dtype=np.int64)
+        for b, v in (prev_watermarks or {}).items():
+            wm[int(b)] = v
 
-        def combine(t: pa.Table) -> pa.Table:
+        def pre_fn(t: pa.Table) -> pa.Table:
+            """MAP-SIDE FUSION, run inside each split task: conform →
+            stamp bucket → watermark filter → per-block LWW combine.
+            One object-store round trip per block total."""
+            if prepare_fn is not None:
+                t = prepare_fn(t)
+            if t.num_rows == 0:
+                return t.append_column(BUCKET_COL, pa.array([], type=pa.int32()))
+            buckets = stable_bucket(t, keys, nb)
+            t = t.append_column(BUCKET_COL, pa.array(buckets))
+            lsns = t.column(lsn_col).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(lsns > wm[buckets]))
             if t.num_rows == 0:
                 return t
-            return lww_reduce(t, keys, lsn_col)  # bucket col already present
-
-        pre = events_ds.map_batches(combine, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+            return lww_reduce(t, keys, lsn_col)
 
         def merge_write(t: pa.Table, bucket: int) -> pa.Table:
             """Writer task for one bucket: merge previous bucket file +
@@ -258,9 +244,9 @@ class CDCEngine:
 
         import ray as _ray
 
-        stat_refs = hash_exchange(pre, keys, nb, merge_write,
+        stat_refs = hash_exchange(datasets, keys, nb, merge_write,
                                   bucket_col=BUCKET_COL, pass_bucket_id=True,
-                                  as_refs=True)
+                                  as_refs=True, pre_fn=pre_fn)
         stats = [r for t in _ray.get(stat_refs) for r in t.to_pylist()]
 
         files: dict[int, str] = {}

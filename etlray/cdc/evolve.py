@@ -89,7 +89,10 @@ def conform_table(table: pa.Table, target: pa.Schema,
 
 
 def conformer(target: pa.Schema, rename_map: Mapping[str, str] | None = None):
-    """Return a map_batches-ready fn closing over the target schema."""
+    """Return a map_batches-ready fn closing over the target schema.
+    Blocks already matching the target pass through zero-copy."""
     def fn(t: pa.Table) -> pa.Table:
+        if t.schema.equals(target):
+            return t
         return conform_table(t, target, rename_map)
     return fn

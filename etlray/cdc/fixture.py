@@ -44,7 +44,8 @@ _PAD_POOL = np.array([
 # pool would materialize max-width (8.7 KB) copies on fancy indexing
 
 
-def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray) -> np.ndarray:
+def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray,
+             pad_levels: int = 16) -> np.ndarray:
     """Deterministic source-like text, length varying ~100..2000 chars.
     Fully vectorized: ONE numeric stringify (unique id folds key, lsn
     and rng draw) + a 16-entry pad pool — pure-python f-strings made
@@ -57,8 +58,8 @@ def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray) -> np.nda
     head = np.char.add(head, "(x):\n    return x\n")
     # final concat via pandas OBJECT dtype: np.char would pad every
     # element to the 2200-char max width at 4 bytes/char (≈9 KB/row)
-    out = pd.Series(head, dtype=object) + pd.Series(_PAD_POOL[rng_ints % 16],
-                                                    dtype=object)
+    out = pd.Series(head, dtype=object) + pd.Series(
+        _PAD_POOL[rng_ints % pad_levels], dtype=object)
     return out.to_numpy()
 
 
@@ -76,11 +77,16 @@ def generate_fixture(
     seed: int = 42,
     zipf_a: float = 1.4,
     p_delete: float = 0.2,
+    pad_levels: int = 16,
 ) -> dict:
-    """Write base.parquet + changes_epoch{0,1,2}.parquet into out_dir.
+    """``pad_levels`` bounds content size (16 → ~35..560 chars;
+    1 → ~35 chars): small contents make the workload CPU-bound rather
+    than memory-bandwidth-bound — used by the scaling benchmark, since
+    a single VM's memory bus (unlike a real cluster's per-node buses)
+    does not multiply with worker count.
 
-    Returns a manifest dict {base, epochs: [paths], n_events, ...}.
-    """
+    Writes base.parquet + changes_epoch{0,1,2}.parquet into out_dir;
+    returns a manifest dict {base, epochs: [paths], n_events, ...}."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -97,7 +103,7 @@ def generate_fixture(
         "path": pa.array(paths[base_keys]),
         "commit": pa.array(_commits(rng, n_base)),
         "lang": pa.array([LANGS[k % len(LANGS)] for k in base_keys]),
-        "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int))),
+        "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int), pad_levels)),
     })
     base_path = os.path.join(out_dir, "base.parquet")
     pq.write_table(base, base_path, row_group_size=10_000)
@@ -110,7 +116,7 @@ def generate_fixture(
     ops = np.where(is_del, "delete", np.where(rng.random(n_events) < 0.5, "insert", "update"))
     lsns = np.arange(1, n_events + 1, dtype=np.int64)
     ev_r = rng.integers(1, 1 << 31, size=n_events)
-    contents = _content(ev_r, ev_keys, lsns)
+    contents = _content(ev_r, ev_keys, lsns, pad_levels)
     commits = np.array(_commits(rng, n_events), dtype=object)
     langs = np.array(LANGS, dtype=object)[ev_keys % len(LANGS)]
     sizes_np = pd.Series(contents).str.len().to_numpy(dtype=np.int64)

@@ -37,9 +37,15 @@ from etlray.cdc.apply import BUCKET_COL, stable_bucket
 
 
 def _split_block(table: pa.Table, keys: list[str], num_buckets: int,
-                 precomputed_col: str | None) -> list[pa.Table]:
+                 precomputed_col: str | None,
+                 pre_fn: Callable[[pa.Table], pa.Table] | None = None) -> list[pa.Table]:
     import numpy as np
 
+    if pre_fn is not None:
+        # map-side fusion: conform/filter/combine run INSIDE the split
+        # task — one object-store round trip per block instead of one
+        # per pipeline stage
+        table = pre_fn(table)
     if table.num_rows == 0:
         return [table] * num_buckets
     if precomputed_col and precomputed_col in table.column_names:
@@ -79,13 +85,18 @@ def hash_exchange(
     bucket_col: str | None = BUCKET_COL,
     pass_bucket_id: bool = False,
     as_refs: bool = False,
+    pre_fn: Callable[[pa.Table], pa.Table] | None = None,
 ):
     """Shuffle ``ds`` so each of ``num_buckets`` hash partitions of
     ``keys`` is reduced by ONE ``reduce_fn(table)`` call; returns the
     reduced Dataset (one block per bucket, carrying ``bucket_col``).
-    ``pass_bucket_id=True`` calls ``reduce_fn(table, bucket_id)`` —
-    needed when an EMPTY bucket must still know which bucket it is
-    (e.g. the CDC writer's carry-forward decision)."""
+
+    ``ds`` may also be a LIST of Datasets (their blocks shuffle
+    together without needing a schema-matching union — ``pre_fn`` can
+    conform them per block). ``pre_fn`` runs inside each split task
+    (map-side fusion). ``pass_bucket_id=True`` calls
+    ``reduce_fn(table, bucket_id)`` — needed when an EMPTY bucket must
+    still know which bucket it is (the CDC writer's carry-forward)."""
     import ray
     import ray.data
 
@@ -93,15 +104,18 @@ def hash_exchange(
     split = ray.remote(num_returns=num_buckets)(_split_block)
     gather = ray.remote(_gather_bucket)
 
+    datasets = ds if isinstance(ds, (list, tuple)) else [ds]
     # stream input block refs; submit one split task per block
     per_bucket: list[list] = [[] for _ in range(num_buckets)]
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            out = split.remote(block_ref, keys, num_buckets, bucket_col)
-            if num_buckets == 1:
-                out = [out]
-            for b in range(num_buckets):
-                per_bucket[b].append(out[b])
+    for d in datasets:
+        for bundle in d.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                out = split.remote(block_ref, keys, num_buckets, bucket_col,
+                                   pre_fn)
+                if num_buckets == 1:
+                    out = [out]
+                for b in range(num_buckets):
+                    per_bucket[b].append(out[b])
 
     reduced = [gather.remote(reduce_fn, b, pass_bucket_id, *refs)
                for b, refs in enumerate(per_bucket) if refs]
@@ -110,5 +124,5 @@ def hash_exchange(
         # spinning a second Dataset executor just to read tiny stats
         return reduced
     if not reduced:
-        return ds
+        return datasets[0]
     return ray.data.from_arrow_refs(reduced)

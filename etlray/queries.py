@@ -457,3 +457,41 @@ def asof_join_purchase_click(sf_dir: str):
     ds = AsofJoinTransform(clicks, on="ts", by="user_id",
                            direction="backward", suffix="_r").apply(purchases)
     return SelectColumnsTransform(["event_id", "user_id", "ts", "click_ts"]).apply(ds)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stub decode — no image libs in this container;
+# schema/actor-pool/batch-size plumbing is real; rows-only checks)
+# ---------------------------------------------------------------------------
+@register("multimodal_decode")
+def multimodal_decode(sf_dir: str):
+    import ray.data
+
+    from etlray.functions.multimodal import ImageDecodeStage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(256))
+    # small batches: binary payloads are wide (memory-aware batching)
+    return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                          batch_size=32, concurrency=2) \
+        .select_columns(["media_id", "decoded_width", "decoded_height"])
+
+
+@register("multimodal_features")
+def multimodal_features(sf_dir: str):
+    import ray.data
+
+    from etlray.functions.multimodal import ImageFeatureStage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(256))
+    return ds.map_batches(ImageFeatureStage, fn_constructor_kwargs={"dim": 32},
+                          batch_format="pyarrow", batch_size=32, concurrency=2) \
+        .select_columns(["media_id", "features"])
+
+
+@register("cdc_replay_flagship")
+def cdc_replay_flagship(sf_dir: str):
+    """The north-star pipeline itself as a registered query (rows-only:
+    correctness is gated by tests/test_cdc.py's oracle + sha256)."""
+    from etlray.cdc.engine import flagship_cdc_demo
+
+    return flagship_cdc_demo(sf_dir)

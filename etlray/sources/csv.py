@@ -114,3 +114,10 @@ class CsvSource:
             ds = ds.map_batches(_sniff_extra_booleans, batch_format="pyarrow",
                                 zero_copy_batch=True)
         return ds
+
+
+class AsyncCsvSource(CsvSource):
+    """API-parity alias (reference AsyncCsvExtractor,
+    /root/reference/src/extract/csv.rs:156-212 — a cursor-based
+    re-reading loop). Ray Data's streaming executor already reads CSV
+    in incremental blocks with backpressure, so this is CsvSource."""

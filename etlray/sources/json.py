@@ -100,3 +100,18 @@ class JsonLinesSource:
         return ray.data.read_text(self.path).map_batches(
             parse, batch_format="pyarrow"
         )
+
+
+class JsonStreamSource(JsonSource):
+    """API-parity alias (reference JsonStreamExtractor,
+    /root/reference/src/extract/json.rs:257-296 — a buffered-stream
+    wrapper that delegates to JsonExtractor)."""
+
+    def __init__(self, path: str, array_path: str | None = None,
+                 buffer_size: int | None = None) -> None:
+        super().__init__(path, array_path)
+        self.buffer_size = buffer_size  # accepted for parity; unused
+
+    def with_buffer_size(self, n: int) -> "JsonStreamSource":
+        self.buffer_size = n
+        return self

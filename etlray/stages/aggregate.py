@@ -128,40 +128,70 @@ class AggregateTransform(Transform):
             out = out.map_batches(fix_sum, **self._mb_kwargs())
         return out
 
-    # ----- general path: map_groups (first/last) -----------------------
-    def _apply_map_groups(self, ds):
-        import pandas as pd
+    # ----- general path: bucketed exchange (first/last) ----------------
+    def _apply_map_groups(self, ds, num_buckets: int = 8):
+        """One hash_exchange on the group keys; the per-group python
+        work runs inside each bucket's task (Ray's map_groups would
+        cost ~0.13 s of task overhead PER GROUP)."""
         import numpy as np
+        import pandas as pd
+
+        from etlray.exchange import hash_exchange
 
         group_by, aggregations, order_by = self.group_by, self.aggregations, self.order_by
 
-        def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        # fixed output schema so empty buckets don't skew the union
+        s = ds.schema()
+        in_types = dict(zip(s.names, s.types))
+        fields = [pa.field(k, in_types[k]) for k in group_by]
+        for col, func in aggregations:
+            name = f"{col}_{func}"
+            if func == "count":
+                fields.append(pa.field(name, pa.int64()))
+            elif func in ("first", "last"):
+                fields.append(pa.field(name, in_types[col]))
+            else:
+                fields.append(pa.field(name, pa.float64()))
+        out_schema = pa.schema(fields)
+
+        def per_group(g: "pd.DataFrame") -> dict:
             if order_by is not None:
                 g = g.sort_values(order_by, kind="stable")
-            row: dict[str, Any] = {k: [g[k].iloc[0]] for k in group_by}
+            row: dict[str, Any] = {k: g[k].iloc[0] for k in group_by}
             for col, func in aggregations:
                 name = f"{col}_{func}"
                 if func == "count":
-                    row[name] = [int(len(g))]
-                    continue
-                if func == "first":
-                    row[name] = [g[col].iloc[0] if len(g) else None]
-                    continue
-                if func == "last":
-                    row[name] = [g[col].iloc[-1] if len(g) else None]
-                    continue
-                vals = pd.to_numeric(g[col], errors="coerce").dropna().to_numpy(dtype=np.float64)
-                if func == "sum":
-                    row[name] = [float(vals.sum()) if len(vals) else 0.0]
-                elif func == "average":
-                    row[name] = [float(vals.mean()) if len(vals) else None]
-                elif func == "min":
-                    row[name] = [float(vals.min()) if len(vals) else None]
-                elif func == "max":
-                    row[name] = [float(vals.max()) if len(vals) else None]
-            return pd.DataFrame(row)
+                    row[name] = int(len(g))
+                elif func in ("first", "last"):
+                    v = (g[col].iloc[0] if func == "first" else g[col].iloc[-1]) \
+                        if len(g) else None
+                    if v is not None and pd.isna(v):
+                        v = None  # pandas promotes nullable ints to float+nan
+                    if v is not None and pa.types.is_integer(in_types[col]):
+                        v = int(v)
+                    row[name] = v
+                else:
+                    vals = pd.to_numeric(g[col], errors="coerce").dropna() \
+                        .to_numpy(dtype=np.float64)
+                    if func == "sum":
+                        row[name] = float(vals.sum()) if len(vals) else 0.0
+                    elif func == "average":
+                        row[name] = float(vals.mean()) if len(vals) else None
+                    elif func == "min":
+                        row[name] = float(vals.min()) if len(vals) else None
+                    elif func == "max":
+                        row[name] = float(vals.max()) if len(vals) else None
+            return row
 
-        return ds.groupby(group_by).map_groups(per_group, batch_format="pandas")
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            df = t.to_pandas()
+            rows = [per_group(g) for _k, g in df.groupby(group_by, sort=False)]
+            return pa.Table.from_pylist(rows, schema=out_schema)
+
+        return hash_exchange(ds, group_by, num_buckets, reduce_bucket,
+                             bucket_col=None)
 
 
 class GlobalAggregateTransform(Transform):

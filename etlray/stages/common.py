@@ -372,3 +372,48 @@ def count_value_types(ds_or_table) -> dict[str, dict]:
             d["nulls"] += col.null_count
             d["values"] += len(col) - col.null_count
     return out
+
+
+class ValidateTransform(Transform):
+    """Row validation with per-stage error policy (reference trait
+    Validator src/traits.rs + ErrorHandling config, src/config.rs:311-317).
+
+    ``checks``: dict col → vectorized predicate fn(array) -> bool mask
+    (True = valid). Policy: ``skip`` drops invalid rows, ``log`` keeps
+    them and adds a ``__invalid`` flag column, ``fail`` raises on the
+    first invalid row.
+    """
+
+    def __init__(self, checks: Mapping[str, Callable], policy: str = "skip") -> None:
+        if policy not in ("skip", "fail", "log"):
+            raise TransformError(f"unsupported validation policy: {policy}")
+        self.checks = dict(checks)
+        self.policy = policy
+
+    def apply(self, ds):
+        checks, policy = self.checks, self.policy
+
+        def validate(t: pa.Table) -> pa.Table:
+            mask = None
+            for col, fn in checks.items():
+                if col not in t.column_names:
+                    continue
+                m = fn(t.column(col))
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                m = pc.fill_null(m, False)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                return t
+            if policy == "skip":
+                return t.filter(mask)
+            if policy == "log":
+                inv = pc.invert(mask)
+                return t.append_column("__invalid",
+                                       inv.combine_chunks()
+                                       if isinstance(inv, pa.ChunkedArray) else inv)
+            n_bad = t.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+            if n_bad:
+                raise TransformError(f"validation failed for {n_bad} rows")
+            return t
+        return ds.map_batches(validate, **self._mb_kwargs())
