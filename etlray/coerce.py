@@ -104,7 +104,9 @@ def as_float(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     if pa.types.is_floating(t):
         return pc.cast(arr, pa.float64())
     if pa.types.is_integer(t):
-        return pc.cast(arr, pa.float64())
+        # safe=False: ints beyond 2^53 lose precision like Rust `i as f64`
+        # (a safe cast would RAISE on them)
+        return pc.cast(arr, pa.float64(), safe=False)
     if _is_string(t):
         s = _strip(arr)
         mask = pc.match_substring_regex(s, _FLOAT_RE)

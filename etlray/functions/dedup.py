@@ -72,18 +72,21 @@ def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """k-char shingle hash set of the whitespace-normalized text.
-    crc32, NOT python hash() — hash() is salted per process and would
-    give every Ray worker different signatures."""
-    import zlib
-
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Unique k-char shingle hashes of the whitespace-normalized text
+    as a uint64 array. Vectorized: sliding-window view over the utf-8
+    bytes dotted with a power vector (deterministic across processes —
+    python hash() is salted per process and would give every Ray
+    worker different signatures)."""
     norm = " ".join(text.lower().split())
-    data = norm.encode("utf-8")
-    if len(norm) < k:
-        return {zlib.crc32(data) & 0xFFFFFFFF}
-    return {zlib.crc32(data[i:i + k]) & 0xFFFFFFFF
-            for i in range(len(data) - k + 1)}
+    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        pad = np.zeros(k, dtype=np.uint8)
+        pad[:len(data)] = data
+        data = pad
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = np.uint64(1000003) ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    return np.unique(win @ powers)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -99,10 +102,10 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingles: set[int]) -> np.ndarray:
-        if not shingles:
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        x = np.fromiter(shingles, dtype=np.uint64)
+        x = shingles.astype(np.uint64)
         # (m, n) hash matrix → min over shingles; wraps mod 2^64 are fine
         hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return hashed.min(axis=1)
@@ -162,7 +165,8 @@ def minhash_lsh_candidates(
         out_id, out_dup, out_j = [], [], []
         for did, dtext in docs[1:]:
             s = char_shingles(dtext, shingle_k)
-            j = len(ks & s) / max(len(ks | s), 1)
+            inter = len(np.intersect1d(ks, s, assume_unique=True))
+            j = inter / max(len(ks) + len(s) - inter, 1)
             if j >= jaccard_threshold:
                 out_id.append(did)
                 out_dup.append(keeper_id)
