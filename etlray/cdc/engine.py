@@ -89,29 +89,22 @@ class CDCEngine:
         import ray.data
 
         if isinstance(changes, (str, list, tuple)):
-            import ray as _ray
+            # FILE-DIRECT path: no Ray Data pipeline at all — the driver
+            # reads only footers; split tasks read their own row groups
+            # (hash_exchange_files). Schemas come from the footers.
+            import pyarrow.parquet as pq
 
             paths = [changes] if isinstance(changes, str) else list(changes)
-            # cap read fan-out at ~2×CPUs per file: a 10k-row-group file
-            # otherwise explodes into hundreds of tiny blocks, and every
-            # block costs a split task emitting num_buckets refs through
-            # the driver — block count, not row count, is the serial term
-            nblocks = max(2 * int(_ray.cluster_resources().get("CPU", 8)), 8) \
-                if _ray.is_initialized() else None
-            datasets = [ray.data.read_parquet(p, override_num_blocks=nblocks)
-                        for p in paths]
-        else:
-            datasets = [changes]
-        schemas = []
-        for d in datasets:
-            s = d.schema()
-            schemas.append(pa.schema([pa.field(n, t) for n, t in
-                                      zip(s.names, s.types)]))
+            schemas = [pq.ParquetFile(p).schema_arrow for p in paths]
+            target = unify_schemas(schemas, rename_map)
+            return ("files", paths), target
+        d = changes
+        s = d.schema()
+        schemas = [pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])]
         target = unify_schemas(schemas, rename_map)
-        # NO map/union stages here: conformance runs map-side-fused
-        # inside the exchange's split tasks (hash_exchange pre_fn), so
-        # the only Ray Data pipeline per epoch is the parquet read
-        return datasets, target
+        # conformance runs map-side-fused inside the exchange's split
+        # tasks (pre_fn) — no map/union stages
+        return ("datasets", [d]), target
 
     # ------------------------------------------------------------------
     def bootstrap(self, base_ds, epoch_id="bootstrap"):
@@ -133,7 +126,8 @@ class CDCEngine:
                 t = t.append_column(op_col, pa.array(["insert"] * t.num_rows))
             return t
 
-        return self._apply_and_commit([base_ds], epoch_id, prepare_fn=stamp)
+        return self._apply_and_commit(("datasets", [base_ds]), epoch_id,
+                                      prepare_fn=stamp)
 
     def apply_log(self, changes, epoch_id,
                   rename_map: Mapping[str, str] | None = None):
@@ -147,12 +141,14 @@ class CDCEngine:
             return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
         rename = dict(self.rename_map)
         rename.update(rename_map or {})
-        datasets, target = self._normalize_events(changes, rename)
-        return self._apply_and_commit(datasets, epoch_id,
+        source, target = self._normalize_events(changes, rename)
+        return self._apply_and_commit(source, epoch_id,
                                       prepare_fn=conformer(target, rename))
 
     # ------------------------------------------------------------------
-    def _apply_and_commit(self, datasets, epoch_id, prepare_fn=None) -> dict:
+    def _apply_and_commit(self, source, epoch_id, prepare_fn=None) -> dict:
+        """``source`` is ("files", [paths]) — file-direct split tasks,
+        zero Ray Data stages — or ("datasets", [Dataset])."""
         import hashlib as _hl
 
         import pyarrow.compute as pc
@@ -244,9 +240,24 @@ class CDCEngine:
 
         import ray as _ray
 
-        stat_refs = hash_exchange(datasets, keys, nb, merge_write,
-                                  bucket_col=BUCKET_COL, pass_bucket_id=True,
-                                  as_refs=True, pre_fn=pre_fn)
+        kind, items = source
+        if kind == "files":
+            import pyarrow.parquet as pq
+
+            from etlray.exchange import hash_exchange_files
+
+            total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in items)
+            ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            rows_per_task = max(total_rows // (3 * ncpu) + 1, 20_000)
+            stat_refs = hash_exchange_files(
+                items, keys, nb, merge_write, bucket_col=BUCKET_COL,
+                pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
+                rows_per_task=rows_per_task)
+        else:
+            stat_refs = hash_exchange(items, keys, nb, merge_write,
+                                      bucket_col=BUCKET_COL, pass_bucket_id=True,
+                                      as_refs=True, pre_fn=pre_fn)
         stats = [r for t in _ray.get(stat_refs) for r in t.to_pylist()]
 
         files: dict[int, str] = {}

@@ -126,3 +126,67 @@ def hash_exchange(
     if not reduced:
         return datasets[0]
     return ray.data.from_arrow_refs(reduced)
+
+
+def _split_file(path: str, row_groups: list[int], keys: list[str],
+                num_buckets: int, bucket_col: str | None,
+                pre_fn) -> list[pa.Table]:
+    """Split task that READS its own parquet row groups — no Ray Data
+    pipeline, no driver streaming: the driver only lists footer
+    metadata and submits one task per row-group chunk."""
+    import pyarrow.parquet as pq
+
+    table = pq.ParquetFile(path).read_row_groups(row_groups)
+    return _split_block(table, keys, num_buckets, bucket_col, pre_fn)
+
+
+def hash_exchange_files(
+    paths: Sequence[str],
+    keys: Sequence[str],
+    num_buckets: int,
+    reduce_fn=None,
+    bucket_col: str | None = BUCKET_COL,
+    pass_bucket_id: bool = False,
+    as_refs: bool = False,
+    pre_fn=None,
+    rows_per_task: int = 200_000,
+):
+    """File-direct variant of hash_exchange: for each parquet file the
+    driver reads ONLY the footer, chunks row groups into ~rows_per_task
+    units, and submits self-reading split tasks. Removes the Ray Data
+    executor + driver ref-streaming from the critical path entirely
+    (the measured ~severals-of-seconds serial floor per epoch)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    keys = list(keys)
+    split = ray.remote(num_returns=num_buckets)(_split_file)
+    gather = ray.remote(_gather_bucket)
+
+    per_bucket: list[list] = [[] for _ in range(num_buckets)]
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        chunk: list[int] = []
+        rows = 0
+        chunks: list[list[int]] = []
+        for rg in range(md.num_row_groups):
+            chunk.append(rg)
+            rows += md.row_group(rg).num_rows
+            if rows >= rows_per_task:
+                chunks.append(chunk)
+                chunk, rows = [], 0
+        if chunk:
+            chunks.append(chunk)
+        for rgs in chunks:
+            out = split.remote(path, rgs, keys, num_buckets, bucket_col, pre_fn)
+            if num_buckets == 1:
+                out = [out]
+            for b in range(num_buckets):
+                per_bucket[b].append(out[b])
+
+    reduced = [gather.remote(reduce_fn, b, pass_bucket_id, *refs)
+               for b, refs in enumerate(per_bucket) if refs]
+    if as_refs:
+        return reduced
+    return ray.data.from_arrow_refs(reduced)
