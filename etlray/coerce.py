@@ -154,19 +154,42 @@ def as_date(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     return _all_null(len(arr), pa.date32())
 
 
+def _split_fractional(s):
+    """Vectorized split of a trailing ``.fff`` fractional-seconds part
+    (pc.strptime has no %f): returns (string-without-fraction,
+    duration[us] to add back, or 0 where absent)."""
+    ext = pc.extract_regex(
+        s, r"^(?P<base>[^.]*)\.(?P<frac>\d{1,9})(?P<tz>Z|[+-]\d{2}:?\d{2})?$")
+    has = pc.is_valid(ext)
+    base = pc.struct_field(ext, "base")
+    frac = pc.struct_field(ext, "frac")
+    tzs = pc.coalesce(pc.struct_field(ext, "tz"), pa.scalar(""))
+    rebuilt = pc.binary_join_element_wise(base, tzs, "")
+    stripped = pc.if_else(has, rebuilt, s)
+    # pad right to ≥6 digits then truncate → microseconds
+    padded = pc.utf8_slice_codeunits(
+        pc.binary_join_element_wise(pc.coalesce(frac, pa.scalar("")), "000000", ""),
+        0, 6)
+    micros = pc.if_else(has, pc.cast(padded, pa.int64()), pa.scalar(0, pa.int64()))
+    return stripped, pc.coalesce(micros, pa.scalar(0, pa.int64())).cast(pa.duration("us"))
+
+
 def as_datetime(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Naive timestamp[us] (reference NaiveDateTime)."""
     t = arr.type
     target = pa.timestamp("us")
     if pa.types.is_timestamp(t):
-        # tz-aware → drop to naive UTC wall-clock (reference ts.naive_utc())
-        return pc.cast(arr, target, safe=False) if t.tz is None else pc.local_timestamp(arr)
+        # tz-aware → naive UTC instant (reference ts.naive_utc()); Arrow's
+        # aware→naive cast keeps the stored UTC epoch value, which is
+        # exactly the naive-UTC wall clock (pc.local_timestamp would give
+        # the SOURCE-zone wall clock instead — wrong per types.rs:255)
+        return pc.cast(arr, target, safe=False)
     if pa.types.is_date(t):
         return pc.cast(arr, target)
     if _is_string(t):
-        s = _strip(arr)
+        s, frac = _split_fractional(_strip(arr))
         out = _strptime_chain(s, _DATETIME_FORMATS)
-        return out
+        return pc.add(out, frac)
     return _all_null(len(arr), target)
 
 
@@ -183,7 +206,9 @@ def as_timestamp(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     if pa.types.is_date(t):
         return pc.assume_timezone(pc.cast(arr, pa.timestamp("us")), "UTC")
     if _is_string(t):
-        s = _strip(arr)
+        # fractional seconds (RFC3339 subsecond forms, types.rs:301-325)
+        # are split off vectorized and added back as duration[us]
+        s, frac = _split_fractional(_strip(arr))
         naive = _strptime_chain(
             s,
             ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"],
@@ -192,7 +217,7 @@ def as_timestamp(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
         # offset-aware forms (Z / +HH:MM); %z handles both in Arrow
         aware = _strptime_chain(s, ["%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%d %H:%M:%S%z"])
         aware_utc = pc.cast(aware, target, safe=False)
-        return pc.coalesce(aware_utc, naive_utc)
+        return pc.add(pc.coalesce(aware_utc, naive_utc), frac)
     return _all_null(len(arr), target)
 
 

@@ -109,9 +109,9 @@ def agg_events_by_type(sf_dir: str):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                   AS sum_qty,
-           sum(l_extendedprice)                              AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))           AS sum_disc_price,
+           ROUND(sum(l_quantity), 2)                         AS sum_qty,
+           ROUND(sum(l_extendedprice), 2)                    AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            avg(l_quantity)                                   AS avg_qty,
            count(*)                                          AS count_order
     FROM lineitem
@@ -131,11 +131,27 @@ def pricing_summary(sf_dir: str):
         "disc_price",
         lambda t: pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
     ).apply(ds)
+    # deterministic=True: each group's float sums are computed ONCE via
+    # numpy pairwise summation in a deterministically-ordered bucket —
+    # reproducible across runs/num_cpus (Ray's native parallel Sum
+    # accumulates partials in nondeterministic block order, which at
+    # 1e8-scale sums wobbles past 4-decimal rounding). The residual
+    # δ vs DuckDB is ≈1e-6 absolute, so an in-query ROUND(.., 2) on
+    # BOTH sides pins the hash.
     agg = AggregateTransform(
         ["l_returnflag", "l_linestatus"],
         [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
          ("l_quantity", "average"), ("l_quantity", "count")],
+        deterministic=True,
     ).apply(ds)
+
+    def round_sums(t: pa.Table) -> pa.Table:
+        for name in ("l_quantity_sum", "l_extendedprice_sum", "disc_price_sum"):
+            idx = t.column_names.index(name)
+            t = t.set_column(idx, name, pc.round(t.column(idx), 2))
+        return t
+
+    agg = agg.map_batches(round_sums, batch_format="pyarrow")
     return RenameColumnsTransform({
         "l_quantity_sum": "sum_qty",
         "l_extendedprice_sum": "sum_base_price",

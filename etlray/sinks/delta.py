@@ -48,8 +48,14 @@ class DeltaSink:
                          content_col="__none__")
 
     def write(self, ds) -> dict:
+        import uuid
+
         eng = self._engine()
-        epoch = self.epoch_id if self.epoch_id is not None else f"w-{int(time.time()*1000)}"
+        # uuid, not a millisecond stamp: two write() calls in the same
+        # millisecond must not collide into a silent "already committed"
+        # no-op that drops the second call's rows
+        auto_epoch = self.epoch_id is None
+        epoch = self.epoch_id if not auto_epoch else f"w-{uuid.uuid4().hex}"
         lsn_col, op_col = eng.lsn_col, eng.op_col
         base_lsn = int(time.time() * 1_000_000)
 
@@ -79,6 +85,10 @@ class DeltaSink:
             res = eng.apply_log(stamped, epoch_id=epoch)
         else:  # append: treat rows as inserts under unique synthetic keys
             res = eng.apply_log(stamped, epoch_id=epoch)
+        if auto_epoch and not res.get("committed", False):
+            # a fresh-uuid epoch can only fail to commit on a real commit
+            # error — surface it instead of silently dropping the rows
+            raise LoadError(f"delta write for epoch {epoch} did not commit: {res}")
         return {"rows_written": res.get("rows", 0), "paths": [self.table_dir],
                 "epoch": res.get("epoch")}
 

@@ -64,17 +64,27 @@ class AggregateTransform(Transform):
         group_by: Sequence[str],
         aggregations: Mapping[str, str] | Sequence[tuple[str, str]],
         order_by: str | None = None,
+        deterministic: bool = False,
     ) -> None:
         self.group_by = list(group_by)
         self.aggregations = _normalize(aggregations)
         self.order_by = order_by
+        # deterministic=True routes numeric aggs through the bucketed
+        # exchange: each group is summed ONCE with numpy's pairwise
+        # summation over a deterministically-ordered table, so float
+        # results are reproducible across runs and parallelism levels
+        # (Ray's native Sum accumulates partials in nondeterministic
+        # block order — 1e8-scale float sums wobble past 4-decimal
+        # rounding at high num_cpus). Use for low-cardinality summary
+        # queries; the native path stays the default for high-cardinality.
+        self.deterministic = deterministic
 
     # ------------------------------------------------------------------
     def apply(self, ds):
         if not self.group_by:
             return GlobalAggregateTransform(self.aggregations, self.order_by).apply(ds)
         needs_order = any(f in ("first", "last") for _, f in self.aggregations)
-        if needs_order:
+        if needs_order or self.deterministic:
             return self._apply_map_groups(ds)
         return self._apply_native(ds)
 
@@ -187,7 +197,11 @@ class AggregateTransform(Transform):
             if t.num_rows == 0:
                 return out_schema.empty_table()
             df = t.to_pandas()
-            rows = [per_group(g) for _k, g in df.groupby(group_by, sort=False)]
+            # dropna=False: null group keys form a group of their own,
+            # matching the native Ray path and the reference's HashMap
+            # group-by (common.rs:271 — key is the raw Value incl. Null)
+            rows = [per_group(g)
+                    for _k, g in df.groupby(group_by, sort=False, dropna=False)]
             return pa.Table.from_pylist(rows, schema=out_schema)
 
         return hash_exchange(ds, group_by, num_buckets, reduce_bucket,

@@ -75,6 +75,14 @@ class BroadcastJoinTransform(Transform):
     ) -> None:
         if how not in _PA_JOIN_TYPE:
             raise TransformError(f"unsupported join type: {how}")
+        if how in ("right", "full"):
+            # a per-batch join cannot express right/full outer: unmatched
+            # RIGHT rows would be re-emitted once per input block
+            # (phantom duplicates). Those modes need the shuffle join.
+            raise TransformError(
+                f"broadcast join cannot express how={how!r} (unmatched "
+                "right-side rows would duplicate per block); use "
+                "PartitionedHashJoinTransform instead")
         self.right = right
         self.keys = [on] if isinstance(on, str) else list(on)
         self.right_keys = (

@@ -76,3 +76,35 @@ def test_global_aggregate(cat_ds):
     row = out.take_all()[0]
     assert row["value_sum"] == 35.0
     assert row["value_count"] == 5
+
+
+def test_null_group_key_kept_in_deterministic_path():
+    ds = MemorySource([
+        {"category": "A", "value": 1},
+        {"category": None, "value": 7},
+        {"category": None, "value": 3},
+    ]).read()
+    out = AggregateTransform(["category"], [("value", "sum")],
+                             deterministic=True).apply(ds)
+    rows = {r["category"]: r["value_sum"] for r in out.take_all()}
+    assert rows["A"] == 1.0
+    assert rows[None] == 10.0  # null key is a real group, not dropped
+
+
+def test_deterministic_matches_native():
+    ds = MemorySource([
+        {"category": c, "value": v}
+        for c, v in zip("ABAB" * 25, range(100))
+    ]).read()
+    nat = AggregateTransform(["category"], [("value", "sum"), ("value", "average"),
+                                            ("value", "min"), ("value", "max"),
+                                            ("value", "count")]).apply(ds)
+    det = AggregateTransform(["category"], [("value", "sum"), ("value", "average"),
+                                            ("value", "min"), ("value", "max"),
+                                            ("value", "count")],
+                             deterministic=True).apply(ds)
+    n = {r["category"]: r for r in nat.take_all()}
+    d = {r["category"]: r for r in det.take_all()}
+    for cat in n:
+        for k in n[cat]:
+            assert n[cat][k] == pytest.approx(d[cat][k])

@@ -84,3 +84,31 @@ def test_as_string_formats():
 def test_kernels_never_raise_on_junk(kernel):
     junk = pa.array(["", "null", "🦀", "1/1/1", None, "999999999999999999999999"])
     coerce.KERNELS[kernel](junk)  # must not raise
+
+
+def test_as_timestamp_fractional_seconds():
+    # RFC3339 subsecond forms (reference parse_from_rfc3339 accepts them)
+    out = coerce.as_timestamp(pa.array(
+        ["2024-01-01T00:00:00.123Z", "2024-01-01 00:00:00.5+02:00",
+         "2024-01-01T00:00:00.123456789Z", "2024-01-01T00:00:00Z", "bad"]))
+    vals = out.to_pylist()
+    utc = dt.timezone.utc
+    assert vals[0] == dt.datetime(2024, 1, 1, 0, 0, 0, 123000, tzinfo=utc)
+    assert vals[1] == dt.datetime(2023, 12, 31, 22, 0, 0, 500000, tzinfo=utc)
+    assert vals[2] == dt.datetime(2024, 1, 1, 0, 0, 0, 123456, tzinfo=utc)
+    assert vals[3] == dt.datetime(2024, 1, 1, tzinfo=utc)
+    assert vals[4] is None
+
+
+def test_as_datetime_tz_aware_preserves_instant():
+    # tz-aware input → naive UTC instant (reference ts.naive_utc()):
+    # 2024-01-01 12:00 America/New_York == 17:00 UTC
+    arr = pa.array([dt.datetime(2024, 1, 1, 17, 0, tzinfo=dt.timezone.utc)],
+                   type=pa.timestamp("us", tz="America/New_York"))
+    out = coerce.as_datetime(arr)
+    assert out.to_pylist() == [dt.datetime(2024, 1, 1, 17, 0)]
+
+
+def test_as_datetime_fractional_seconds():
+    out = coerce.as_datetime(pa.array(["2024-07-13 14:30:00.25", "bad"]))
+    assert out.to_pylist() == [dt.datetime(2024, 7, 13, 14, 30, 0, 250000), None]

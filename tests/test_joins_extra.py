@@ -51,3 +51,15 @@ def test_partitioned_join_full_outer(ray_session):
                                         num_buckets=4).apply(left).take_all()
     ks = sorted(r["k"] for r in rows)
     assert ks == [1, 2, 3]
+
+
+def test_broadcast_join_rejects_right_full(ray_session):
+    import pyarrow as pa
+
+    from etlray.errors import TransformError
+    from etlray.stages.joins import BroadcastJoinTransform
+
+    right = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    for how in ("right", "full"):
+        with pytest.raises(TransformError):
+            BroadcastJoinTransform(right, on="k", how=how)
