@@ -8,8 +8,9 @@ replay).
 Table layout on disk::
 
     table_dir/
-      _manifest.json            # atomic commit manifest (epochs → per-bucket files)
-      _lineage.jsonl            # per-(epoch, bucket) lineage records
+      _manifest.json            # ~100-byte atomic pointer (current epoch, count)
+      epochs.d/e-<id>.json      # one commit record per epoch (O(1) commits)
+      _lineage.jsonl            # per-(epoch, bucket) lineage records (append-only)
       snap-<id>/
         bucket_id=<b>/part-0.parquet   # only buckets TOUCHED by epoch <id>
 
@@ -52,6 +53,8 @@ class CDCEngine:
         num_buckets: int = 32,
         content_col: str = "content",
         rename_map: Mapping[str, str] | None = None,
+        rows_per_task: int | None = None,
+        wave_tasks: int | None = None,
     ) -> None:
         self.table_dir = table_dir
         self.keys = list(keys)
@@ -60,6 +63,10 @@ class CDCEngine:
         self.num_buckets = num_buckets
         self.content_col = content_col
         self.rename_map = dict(rename_map or {})
+        # exchange tuning overrides (None = auto-sized from the cluster);
+        # also lets tests force the multi-wave pipeline on tiny inputs
+        self.rows_per_task = rows_per_task
+        self.wave_tasks = wave_tasks
         self.manifest = Manifest(table_dir)
 
     # ------------------------------------------------------------------
@@ -149,11 +156,10 @@ class CDCEngine:
     def _apply_and_commit(self, source, epoch_id, prepare_fn=None) -> dict:
         """``source`` is ("files", [paths]) — file-direct split tasks,
         zero Ray Data stages — or ("datasets", [Dataset])."""
-        import hashlib as _hl
-
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from etlray.cdc.apply import sha256_column
         from etlray.cdc.lww import drop_deletes, lww_reduce
         from etlray.exchange import hash_exchange
 
@@ -172,8 +178,11 @@ class CDCEngine:
 
         def pre_fn(t: pa.Table) -> pa.Table:
             """MAP-SIDE FUSION, run inside each split task: conform →
-            stamp bucket → watermark filter → per-block LWW combine.
-            One object-store round trip per block total."""
+            stamp bucket → watermark filter → per-block LWW combine →
+            sha256 stamp. One object-store round trip per block total.
+            Hashing here (on the already-combined NEW events) keeps the
+            writer's cost ∝ new data instead of re-walking the whole
+            merged bucket every rewrite."""
             if prepare_fn is not None:
                 t = prepare_fn(t)
             if t.num_rows == 0:
@@ -184,12 +193,25 @@ class CDCEngine:
             t = t.filter(pa.array(lsns > wm[buckets]))
             if t.num_rows == 0:
                 return t
+            t = lww_reduce(t, keys, lsn_col)
+            if content_col in t.column_names:
+                sha = sha256_column(t.column(content_col))
+                if "content_sha" in t.column_names:
+                    t = t.set_column(t.column_names.index("content_sha"),
+                                     "content_sha", sha)
+                else:
+                    t = t.append_column("content_sha", sha)
+            return t
+
+        def combine(t: pa.Table) -> pa.Table:
+            """Associative wave-level combiner (exchange partials): the
+            same max-LSN-per-key reduce — each wave's in-flight data
+            shrinks to ≤ unique keys per bucket."""
             return lww_reduce(t, keys, lsn_col)
 
-        def merge_write(t: pa.Table, bucket: int) -> pa.Table:
+        def merge_write(t: pa.Table, bucket: int, applied: int) -> pa.Table:
             """Writer task for one bucket: merge previous bucket file +
-            new events, reduce, stamp shas for new rows, write."""
-            applied = t.num_rows
+            new events (shas already stamped map-side), reduce, write."""
             if applied == 0:  # untouched bucket → carry forward (no IO)
                 return pa.table({
                     "bucket": pa.array([bucket], type=pa.int32()),
@@ -208,20 +230,27 @@ class CDCEngine:
             merged = lww_reduce(merged, keys, lsn_col)
             merged = drop_deletes(merged, op_col)
             if content_col in merged.column_names:
-                texts = merged.column(content_col).to_pylist()
-                if "content_sha" in merged.column_names:
-                    old = merged.column("content_sha").to_pylist()
-                    shas = [o if o is not None else
-                            (None if v is None else _hl.sha256(v.encode()).hexdigest())
-                            for o, v in zip(old, texts)]
-                    merged = merged.set_column(
-                        merged.column_names.index("content_sha"), "content_sha",
-                        pa.array(shas, type=pa.string()))
-                else:
-                    shas = [None if v is None else _hl.sha256(v.encode()).hexdigest()
-                            for v in texts]
+                if "content_sha" not in merged.column_names:
+                    # legacy table written before map-side stamping
                     merged = merged.append_column(
-                        "content_sha", pa.array(shas, type=pa.string()))
+                        "content_sha", sha256_column(merged.column(content_col)))
+                else:
+                    # normally zero rows: only rows from pre-sha snapshots
+                    # still need a hash (new events were stamped map-side)
+                    shav = merged.column("content_sha")
+                    need = pc.and_(pc.is_null(shav),
+                                   pc.is_valid(merged.column(content_col)))
+                    if pc.any(need).as_py():
+                        idx = np.flatnonzero(
+                            need.combine_chunks().to_numpy(zero_copy_only=False))
+                        fixed = sha256_column(
+                            merged.column(content_col).take(pa.array(idx)))
+                        vals = shav.to_pylist()
+                        for i, v in zip(idx.tolist(), fixed.to_pylist()):
+                            vals[i] = v
+                        merged = merged.set_column(
+                            merged.column_names.index("content_sha"),
+                            "content_sha", pa.array(vals, type=pa.string()))
             # normalize the bucket col (events carried it; prev file has it too)
             if BUCKET_COL in merged.column_names:
                 merged = merged.drop_columns([BUCKET_COL])
@@ -249,15 +278,22 @@ class CDCEngine:
             total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in items)
             ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
                 if _ray.is_initialized() else 8
-            rows_per_task = max(total_rows // (3 * ncpu) + 1, 20_000)
+            # cap the per-task chunk so one WAVE (ncpu tasks) of split
+            # output has a bounded byte footprint regardless of epoch
+            # size — the wave pipeline's backpressure depends on it
+            rows_per_task = self.rows_per_task or min(
+                max(total_rows // (3 * ncpu) + 1, 20_000), 500_000)
             stat_refs = hash_exchange_files(
                 items, keys, nb, merge_write, bucket_col=BUCKET_COL,
                 pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
-                rows_per_task=rows_per_task)
+                rows_per_task=rows_per_task, combine_fn=combine,
+                pass_applied=True, wave_tasks=self.wave_tasks)
         else:
             stat_refs = hash_exchange(items, keys, nb, merge_write,
                                       bucket_col=BUCKET_COL, pass_bucket_id=True,
-                                      as_refs=True, pre_fn=pre_fn)
+                                      as_refs=True, pre_fn=pre_fn,
+                                      combine_fn=combine, pass_applied=True,
+                                      wave_tasks=self.wave_tasks)
         stats = [r for t in _ray.get(stat_refs) for r in t.to_pylist()]
 
         files: dict[int, str] = {}

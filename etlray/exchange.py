@@ -6,21 +6,33 @@ hash-shuffle actor pool with ~10 s spin-up — measured in
 /tmp/join_prof.py; both dwarf the actual work on mid-size data and add
 per-epoch latency at any size).
 
-Plan::
+Plan (bounded-memory wave pipeline)::
 
-    input Dataset (already partially combined per block)
-      └─ iter block refs (streaming)
-           └─ split task per block: bucket rows by stable hash → nb sub-tables
-                └─ gather task per bucket: concat sub-tables → reduce_fn → block
+    input units (Dataset blocks, or parquet row-group chunks)
+      └─ WAVES of ≤ wave_tasks split tasks (≤2 waves in flight)
+           └─ split task per unit: bucket rows by stable hash → nb sub-tables
+                └─ per-wave per-bucket PARTIAL COMBINE task:
+                     concat wave's sub-tables (+ combine_fn, e.g. LWW) →
+                     (partial table, applied-row count); split outputs freed
+                └─ finalize task per bucket: concat wave partials →
+                     reduce_fn → block
                      └─ ray.data.from_arrow_refs(blocks)
 
 Properties:
-* one task per input block + one per bucket — no actor pools, no sort;
-* object-store exchange only (sub-tables never touch the driver);
+* in-flight split output is bounded to ~2 waves regardless of input
+  size (round 1 held ``num_blocks × num_buckets`` sub-tables until the
+  last split finished — at 32M events ≈ the whole epoch live in the
+  object store at once, which collapsed throughput at every CPU count);
+* with an associative ``combine_fn`` (the CDC LWW reduce) each wave's
+  partials shrink to ≤ unique-keys-per-bucket, so the live footprint is
+  ~final-table-sized even for a 10^10-event log;
+* single-wave inputs skip the combine layer entirely — identical task
+  graph and latency to the direct split→gather plan;
+* deterministic ordering end to end (waves in submission order, units
+  in input order) so downstream pairwise float reductions are
+  reproducible across runs and parallelism levels;
 * deterministic bucketing (same SipHash as the CDC engine) so the
-  bucket id doubles as the checkpoint partition id;
-* every gather sees its ENTIRE bucket in one call → reduce_fn can be
-  a vectorized whole-partition kernel (LWW reduce, pa join, dedup).
+  bucket id doubles as the checkpoint partition id.
 
 Skew note: the caller is expected to pre-combine per block (e.g. the
 CDC combiner) so a Zipf-hot key contributes ≤1 row per input block;
@@ -29,7 +41,7 @@ the gather for a hot bucket then holds O(blocks) rows, not O(events).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Iterable, Iterator, Sequence
 
 import pyarrow as pa
 
@@ -60,74 +72,6 @@ def _split_block(table: pa.Table, keys: list[str], num_buckets: int,
             for b in range(num_buckets)]
 
 
-def _gather_bucket(reduce_fn, bucket_id: int, pass_bucket_id: bool,
-                   *parts: pa.Table) -> pa.Table:
-    tables = [p for p in parts if p.num_rows > 0]
-    if not tables:
-        # empty buckets still run reduce_fn so every output block has
-        # the REDUCED schema (from_arrow_refs requires uniform schemas)
-        merged = parts[0].slice(0, 0) if parts else pa.table({})
-    else:
-        merged = pa.concat_tables(tables, promote_options="permissive")
-    if BUCKET_COL not in merged.column_names:
-        merged = merged.append_column(
-            BUCKET_COL, pa.array([bucket_id] * merged.num_rows, type=pa.int32()))
-    if reduce_fn is None:
-        return merged
-    return reduce_fn(merged, bucket_id) if pass_bucket_id else reduce_fn(merged)
-
-
-def hash_exchange(
-    ds,
-    keys: Sequence[str],
-    num_buckets: int,
-    reduce_fn: Callable[[pa.Table], pa.Table] | None = None,
-    bucket_col: str | None = BUCKET_COL,
-    pass_bucket_id: bool = False,
-    as_refs: bool = False,
-    pre_fn: Callable[[pa.Table], pa.Table] | None = None,
-):
-    """Shuffle ``ds`` so each of ``num_buckets`` hash partitions of
-    ``keys`` is reduced by ONE ``reduce_fn(table)`` call; returns the
-    reduced Dataset (one block per bucket, carrying ``bucket_col``).
-
-    ``ds`` may also be a LIST of Datasets (their blocks shuffle
-    together without needing a schema-matching union — ``pre_fn`` can
-    conform them per block). ``pre_fn`` runs inside each split task
-    (map-side fusion). ``pass_bucket_id=True`` calls
-    ``reduce_fn(table, bucket_id)`` — needed when an EMPTY bucket must
-    still know which bucket it is (the CDC writer's carry-forward)."""
-    import ray
-    import ray.data
-
-    keys = list(keys)
-    split = ray.remote(num_returns=num_buckets)(_split_block)
-    gather = ray.remote(_gather_bucket)
-
-    datasets = ds if isinstance(ds, (list, tuple)) else [ds]
-    # stream input block refs; submit one split task per block
-    per_bucket: list[list] = [[] for _ in range(num_buckets)]
-    for d in datasets:
-        for bundle in d.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                out = split.remote(block_ref, keys, num_buckets, bucket_col,
-                                   pre_fn)
-                if num_buckets == 1:
-                    out = [out]
-                for b in range(num_buckets):
-                    per_bucket[b].append(out[b])
-
-    reduced = [gather.remote(reduce_fn, b, pass_bucket_id, *refs)
-               for b, refs in enumerate(per_bucket) if refs]
-    if as_refs:
-        # caller ray.get()s the (small) reduced tables directly — skips
-        # spinning a second Dataset executor just to read tiny stats
-        return reduced
-    if not reduced:
-        return datasets[0]
-    return ray.data.from_arrow_refs(reduced)
-
-
 def _split_file(path: str, row_groups: list[int], keys: list[str],
                 num_buckets: int, bucket_col: str | None,
                 pre_fn) -> list[pa.Table]:
@@ -140,6 +84,184 @@ def _split_file(path: str, row_groups: list[int], keys: list[str],
     return _split_block(table, keys, num_buckets, bucket_col, pre_fn)
 
 
+def _concat(parts: Sequence[pa.Table]) -> pa.Table:
+    tables = [p for p in parts if p.num_rows > 0]
+    if not tables:
+        # empty buckets keep a schema'd empty table so every output
+        # block has a uniform schema (from_arrow_refs requires it)
+        return parts[0].slice(0, 0) if parts else pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _combine_wave(combine_fn, *parts: pa.Table):
+    """Per-wave per-bucket partial: consolidate this wave's sub-tables
+    into ONE object (frees the split outputs) and optionally shrink it
+    with an associative combine_fn. Returns (table, rows-entered)."""
+    count = sum(p.num_rows for p in parts)
+    merged = _concat(parts)
+    if combine_fn is not None and merged.num_rows:
+        merged = combine_fn(merged)
+    return merged, count
+
+
+def _finalize_bucket(reduce_fn, bucket_id: int, pass_bucket_id: bool,
+                     pass_applied: bool, combined: bool, *parts) -> pa.Table:
+    """Final gather for one bucket: merge wave partials (or raw split
+    sub-tables on the single-wave fast path) and run reduce_fn."""
+    if combined:
+        applied = sum(c for _t, c in parts)
+        merged = _concat([t for t, _c in parts])
+    else:
+        applied = sum(p.num_rows for p in parts)
+        merged = _concat(parts)
+    if BUCKET_COL not in merged.column_names:
+        merged = merged.append_column(
+            BUCKET_COL, pa.array([bucket_id] * merged.num_rows, type=pa.int32()))
+    if reduce_fn is None:
+        return merged
+    args: list = [merged]
+    if pass_bucket_id:
+        args.append(bucket_id)
+    if pass_applied:
+        args.append(applied)
+    return reduce_fn(*args)
+
+
+def _default_wave_tasks() -> int:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(ncpu, 4)
+
+
+def _wave_exchange(
+    submit_units: Iterator[Callable[[], list]],
+    num_buckets: int,
+    reduce_fn,
+    pass_bucket_id: bool,
+    pass_applied: bool,
+    as_refs: bool,
+    combine_fn,
+    wave_tasks: int | None,
+):
+    """Core wave pipeline shared by the Dataset and file-direct fronts.
+
+    ``submit_units`` yields thunks; each thunk submits one split task
+    and returns its ``num_buckets`` output refs. Units are consumed
+    lazily (a streaming Dataset executes as we iterate)."""
+    import ray
+    import ray.data
+
+    wave_tasks = wave_tasks or _default_wave_tasks()
+    combine = ray.remote(_combine_wave)
+    finalize = ray.remote(_finalize_bucket)
+
+    per_bucket: list[list] = [[] for _ in range(num_buckets)]
+    first_wave_raw: list[list] | None = None   # single-wave fast path
+    pending_waves: list[list] = []             # partial refs awaiting completion
+    combined = False
+
+    def flush_wave(wave_outs: list[list]):
+        """Consolidate one wave's split outputs into per-bucket partials."""
+        nonlocal combined
+        combined = True
+        refs = []
+        for b in range(num_buckets):
+            r = combine.remote(combine_fn, *[out[b] for out in wave_outs])
+            per_bucket[b].append(r)
+            refs.append(r)
+        pending_waves.append(refs)
+
+    wave_outs: list[list] = []
+    for submit in submit_units:
+        if len(wave_outs) >= wave_tasks:
+            # a second wave exists → the combine layer is on
+            flush_wave(wave_outs)
+            wave_outs = []
+            # backpressure: at most 2 waves of split output in flight
+            while len(pending_waves) > 2:
+                ray.wait(pending_waves[0], num_returns=len(pending_waves[0]),
+                         fetch_local=False)
+                pending_waves.pop(0)
+        wave_outs.append(submit())
+
+    if wave_outs:
+        if combined:
+            flush_wave(wave_outs)
+        else:
+            # everything fit in one wave: finalize straight from the
+            # split outputs — no combine layer, round-1 task graph
+            first_wave_raw = wave_outs
+
+    if first_wave_raw is not None:
+        for out in first_wave_raw:
+            for b in range(num_buckets):
+                per_bucket[b].append(out[b])
+
+    reduced = [finalize.remote(reduce_fn, b, pass_bucket_id, pass_applied,
+                               combined, *refs)
+               for b, refs in enumerate(per_bucket) if refs]
+    if as_refs:
+        # caller ray.get()s the (small) reduced tables directly — skips
+        # spinning a second Dataset executor just to read tiny stats
+        return reduced
+    if not reduced:
+        return None
+    return ray.data.from_arrow_refs(reduced)
+
+
+def hash_exchange(
+    ds,
+    keys: Sequence[str],
+    num_buckets: int,
+    reduce_fn: Callable[[pa.Table], pa.Table] | None = None,
+    bucket_col: str | None = BUCKET_COL,
+    pass_bucket_id: bool = False,
+    as_refs: bool = False,
+    pre_fn: Callable[[pa.Table], pa.Table] | None = None,
+    combine_fn: Callable[[pa.Table], pa.Table] | None = None,
+    pass_applied: bool = False,
+    wave_tasks: int | None = None,
+):
+    """Shuffle ``ds`` so each of ``num_buckets`` hash partitions of
+    ``keys`` is reduced by ONE ``reduce_fn(table)`` call; returns the
+    reduced Dataset (one block per bucket, carrying ``bucket_col``).
+
+    ``ds`` may also be a LIST of Datasets (their blocks shuffle
+    together without needing a schema-matching union — ``pre_fn`` can
+    conform them per block). ``pre_fn`` runs inside each split task
+    (map-side fusion). ``pass_bucket_id=True`` calls
+    ``reduce_fn(table, bucket_id)`` — needed when an EMPTY bucket must
+    still know which bucket it is (the CDC writer's carry-forward).
+    ``combine_fn`` (associative, e.g. an LWW partial reduce) shrinks
+    each wave's per-bucket partials so in-flight memory stays bounded
+    on arbitrarily long inputs. ``pass_applied=True`` additionally
+    passes the count of rows that entered the bucket (pre-combine) as
+    the last reduce_fn argument — lineage survives the combine layer."""
+    import ray
+
+    keys = list(keys)
+    split = ray.remote(num_returns=num_buckets)(_split_block)
+
+    datasets = ds if isinstance(ds, (list, tuple)) else [ds]
+
+    def units():
+        for d in datasets:
+            for bundle in d.iter_internal_ref_bundles():
+                for block_ref in bundle.block_refs:
+                    def submit(ref=block_ref):
+                        out = split.remote(ref, keys, num_buckets, bucket_col,
+                                           pre_fn)
+                        return [out] if num_buckets == 1 else out
+                    yield submit
+
+    result = _wave_exchange(units(), num_buckets, reduce_fn, pass_bucket_id,
+                            pass_applied, as_refs, combine_fn, wave_tasks)
+    if result is None:
+        return datasets[0]
+    return result
+
+
 def hash_exchange_files(
     paths: Sequence[str],
     keys: Sequence[str],
@@ -150,6 +272,9 @@ def hash_exchange_files(
     as_refs: bool = False,
     pre_fn=None,
     rows_per_task: int = 200_000,
+    combine_fn=None,
+    pass_applied: bool = False,
+    wave_tasks: int | None = None,
 ):
     """File-direct variant of hash_exchange: for each parquet file the
     driver reads ONLY the footer, chunks row groups into ~rows_per_task
@@ -162,31 +287,30 @@ def hash_exchange_files(
 
     keys = list(keys)
     split = ray.remote(num_returns=num_buckets)(_split_file)
-    gather = ray.remote(_gather_bucket)
 
-    per_bucket: list[list] = [[] for _ in range(num_buckets)]
-    for path in paths:
-        md = pq.ParquetFile(path).metadata
-        chunk: list[int] = []
-        rows = 0
-        chunks: list[list[int]] = []
-        for rg in range(md.num_row_groups):
-            chunk.append(rg)
-            rows += md.row_group(rg).num_rows
-            if rows >= rows_per_task:
+    def units():
+        for path in paths:
+            md = pq.ParquetFile(path).metadata
+            chunk: list[int] = []
+            rows = 0
+            chunks: list[list[int]] = []
+            for rg in range(md.num_row_groups):
+                chunk.append(rg)
+                rows += md.row_group(rg).num_rows
+                if rows >= rows_per_task:
+                    chunks.append(chunk)
+                    chunk, rows = [], 0
+            if chunk:
                 chunks.append(chunk)
-                chunk, rows = [], 0
-        if chunk:
-            chunks.append(chunk)
-        for rgs in chunks:
-            out = split.remote(path, rgs, keys, num_buckets, bucket_col, pre_fn)
-            if num_buckets == 1:
-                out = [out]
-            for b in range(num_buckets):
-                per_bucket[b].append(out[b])
+            for rgs in chunks:
+                def submit(p=path, r=rgs):
+                    out = split.remote(p, r, keys, num_buckets, bucket_col,
+                                       pre_fn)
+                    return [out] if num_buckets == 1 else out
+                yield submit
 
-    reduced = [gather.remote(reduce_fn, b, pass_bucket_id, *refs)
-               for b, refs in enumerate(per_bucket) if refs]
-    if as_refs:
-        return reduced
-    return ray.data.from_arrow_refs(reduced)
+    result = _wave_exchange(units(), num_buckets, reduce_fn, pass_bucket_id,
+                            pass_applied, as_refs, combine_fn, wave_tasks)
+    if result is None:
+        return ray.data.from_arrow(pa.table({}))
+    return result

@@ -95,12 +95,6 @@ class DeltaSink:
 
 def _fresh_manifest(eng: CDCEngine):
     """Overwrite semantics: start a new manifest lineage (old epochs
-    remain on disk for time travel via the previous manifest backup)."""
-    import os
-    import shutil
-
-    m = eng.manifest
-    if os.path.exists(m.path):
-        shutil.copy(m.path, m.path + ".bak")
-        os.remove(m.path)
-    return m
+    remain on disk via the ``.bak`` copies Manifest.reset keeps)."""
+    eng.manifest.reset()
+    return eng.manifest
