@@ -70,10 +70,20 @@ class CDCEngine:
         self.manifest = Manifest(table_dir)
 
     # ------------------------------------------------------------------
-    def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False):
+    def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False,
+                      columns: Sequence[str] | None = None, predicate=None):
         """Current (or time-travelled) table as a Dataset — the read
         side of the reference's DeltaExtractor surface
-        (/root/reference/src/extract/delta.rs:37-148)."""
+        (/root/reference/src/extract/delta.rs:37-148). ``columns`` /
+        ``predicate`` push into the parquet scan.
+
+        Each distinct file is read filtered to the buckets the manifest
+        assigns to it: after a compaction, a shared group file may hold
+        rows for a bucket that a LATER epoch rewrote elsewhere — those
+        stale rows must not surface. For never-compacted tables every
+        file holds exactly its own bucket and the filter passes all rows
+        (row-group stats make it ~free)."""
+        import pyarrow.dataset as pads
         import ray.data
 
         files = self.manifest.snapshot_files(epoch_id)
@@ -81,12 +91,135 @@ class CDCEngine:
             return None
         if not files:
             return ray.data.from_arrow(pa.table({}))
-        ds = ray.data.read_parquet(sorted(files.values()))
+        by_path: dict[str, list[int]] = {}
+        for b, p in sorted(files.items()):
+            by_path.setdefault(p, []).append(b)
+        parts = []
+        for path in sorted(by_path):
+            expr = pads.field(BUCKET_COL).isin(by_path[path])
+            if predicate is not None:
+                expr = expr & predicate
+            kw: dict = {"filter": expr}
+            if columns:
+                kw["columns"] = list(columns)
+            parts.append(ray.data.read_parquet(path, **kw))
+        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
         if not with_internal_cols:
-            drop = [c for c in (APPLIED_COL, BUCKET_COL) if c in ds.schema().names]
+            drop = [c for c in (APPLIED_COL, BUCKET_COL)
+                    if c in ds.schema().names]
             if drop:
                 ds = ds.drop_columns(drop)
         return ds
+
+    # ------------------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """GC superseded snapshot files: delete every ``snap-*`` parquet
+        not referenced by the most recent ``keep_last`` epochs, and drop
+        those epochs' records. Carry-forward is respected — a bucket
+        file written 100 epochs ago but still referenced by the current
+        manifest is kept.
+
+        Time travel older than ``keep_last`` is gone after a vacuum (the
+        point of GC). Exactly-once for a RE-DELIVERED vacuumed epoch id
+        degrades gracefully: the id can recommit, but every one of its
+        events is ≤ the per-bucket watermarks, so the replay is a
+        zero-touched-buckets no-op and the table state is unchanged.
+
+        Without this, a 10^10-event log's table dir grows without bound
+        (every epoch leaves its snap dir on disk forever)."""
+        import glob as _glob
+
+        recs = sorted(self.manifest.load()["epochs"], key=lambda e: e.get("seq", 0))
+        if not recs:
+            return {"deleted_files": 0, "freed_bytes": 0, "kept_epochs": []}
+        keep_last = max(keep_last, 1)
+        keep = recs[-keep_last:]
+        referenced = set()
+        for e in keep:
+            referenced.update(
+                os.path.normpath(os.path.join(self.table_dir, v))
+                for v in e["files"].values())
+        deleted = freed = 0
+        for snap in _glob.glob(os.path.join(self.table_dir, "snap-*")):
+            for root, _dirs, fnames in os.walk(snap, topdown=False):
+                for fn in fnames:
+                    p = os.path.normpath(os.path.join(root, fn))
+                    if fn.endswith(".parquet") and p not in referenced:
+                        freed += os.path.getsize(p)
+                        os.remove(p)
+                        deleted += 1
+                try:  # prune now-empty dirs bottom-up
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        for e in recs[:-keep_last]:
+            rp = self.manifest._record_path(e["id"])
+            if os.path.exists(rp):
+                os.remove(rp)
+        return {"deleted_files": deleted, "freed_bytes": freed,
+                "kept_epochs": [e["id"] for e in keep]}
+
+    def compact(self, epoch_id=None, group_size: int = 4) -> dict:
+        """Small-file compaction: commit an epoch whose only change is
+        that every run of ``group_size`` consecutive buckets shares ONE
+        merged parquet file (watermarks and row contents untouched).
+        Useful when ``num_buckets`` was sized for write parallelism but
+        the per-bucket files ended up tiny — readers then open
+        ``num_buckets / group_size`` files instead. ``merge_write``
+        filters its previous file by ``bucket_id``, so later epochs
+        rewrite single buckets out of a shared file correctly."""
+        import uuid
+
+        import ray
+
+        files = self.manifest.snapshot_files()
+        if not files:
+            return {"epoch": None, "committed": False, "reason": "empty table"}
+        epoch_id = epoch_id if epoch_id is not None else f"compact-{uuid.uuid4().hex[:8]}"
+        if self.manifest.committed(epoch_id):
+            return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
+        snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
+        os.makedirs(snap_dir, exist_ok=True)
+
+        @ray.remote
+        def merge_group(out_path: str, group: list[int], *paths: str) -> int:
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            tables = [_pq.read_table(p) for p in paths]
+            merged = pa.concat_tables(tables, promote_options="permissive")
+            if BUCKET_COL in merged.column_names:
+                # a source file may also hold buckets OUTSIDE this group
+                # (earlier compaction with a different grouping) — keep
+                # only ours so no row lands in two output files
+                merged = merged.filter(_pc.is_in(
+                    merged[BUCKET_COL],
+                    value_set=pa.array(group, type=merged[BUCKET_COL].type)))
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            _pq.write_table(merged, out_path)
+            return merged.num_rows
+
+        buckets = sorted(files)
+        new_files: dict[int, str] = {}
+        refs = []
+        for gi in range(0, len(buckets), group_size):
+            group = buckets[gi:gi + group_size]
+            rel = os.path.join(f"snap-{epoch_id}", f"group-{gi // group_size}",
+                               "part-0.parquet")
+            # one file may back several buckets already — dedupe inputs
+            srcs = sorted({files[b] for b in group})
+            refs.append(merge_group.remote(
+                os.path.join(self.table_dir, rel), list(group), *srcs))
+            for b in group:
+                new_files[b] = rel
+        rows = sum(ray.get(refs))
+        ok = self.manifest.commit_epoch(
+            epoch_id, new_files, self.manifest.watermarks(),
+            self.manifest.lineage(),
+            metrics={"rows": rows, "compaction": True,
+                     "files": len(set(new_files.values()))})
+        return {"epoch": epoch_id, "committed": ok, "rows": rows,
+                "files": len(set(new_files.values()))}
 
     # ------------------------------------------------------------------
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
@@ -221,7 +354,12 @@ class CDCEngine:
                 })
             tables = [t]
             if bucket in prev_files:
-                tables.append(pq.read_table(prev_files[bucket]))
+                prev = pq.read_table(prev_files[bucket])
+                if BUCKET_COL in prev.column_names:
+                    # after compaction a file may hold several buckets'
+                    # rows — take only this bucket's
+                    prev = prev.filter(pc.equal(prev[BUCKET_COL], bucket))
+                tables.append(prev)
             schemas = [x.schema for x in tables]
             target = unify_schemas(schemas, rename)
             tables = [x if x.schema.equals(target)

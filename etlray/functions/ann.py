@@ -21,6 +21,31 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vectors_to_numpy(col) -> np.ndarray:
+    """Arrow list<float>/fixed_size_list<float> column → (n, d) float32
+    matrix. Zero-copy (flatten + reshape) whenever the layout allows —
+    ``to_pylist()`` materializes n·d Python floats and was the measured
+    per-batch tax on every vector operator."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), d).astype(np.float32, copy=False)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if len(np.unique(lens)) == 1:
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(lens[0])) \
+                    .astype(np.float32, copy=False)
+    return np.array(col.to_pylist(), dtype=np.float32)
+
+
 class _BatchTopK:
     """Actor-pool stage: fetches the broadcast query matrix once per
     actor; per batch computes cosine to every query and emits the
@@ -36,7 +61,7 @@ class _BatchTopK:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = np.array(t[self.vec_col].to_pylist(), dtype=np.float32)
+        vecs = vectors_to_numpy(t[self.vec_col])
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int32()),
                              self.id_col: pa.array([], type=pa.int64()),
@@ -71,11 +96,28 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         concurrency=concurrency,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nlargest(k, "cosine", keep="first").sort_values(
-            ["cosine", id_col], ascending=[False, True]).head(k)
+    # final merge through the bucketed exchange — NOT groupby().map_groups,
+    # whose ~0.13 s/group Ray overhead is 0.13·q seconds of pure latency
+    # at q queries; each bucket merges thousands of query groups with one
+    # vectorized pandas sort+head
+    from etlray.cdc.apply import BUCKET_COL
+    from etlray.exchange import hash_exchange
 
-    return candidates.groupby("query_id").map_groups(merge, batch_format="pandas")
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        df = t.to_pandas().sort_values(["query_id", "cosine", id_col],
+                                       ascending=[True, False, True],
+                                       kind="stable")
+        out = df.groupby("query_id", sort=False).head(k)
+        return pa.table({"query_id": pa.array(out["query_id"], type=pa.int32()),
+                         id_col: pa.array(out[id_col], type=pa.int64()),
+                         "cosine": pa.array(out["cosine"], type=pa.float64())})
+
+    return hash_exchange(candidates, ["query_id"], 8, merge_bucket,
+                         bucket_col=None)
 
 
 def train_codebook(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -116,7 +158,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
     def keep_probed(t: pa.Table) -> pa.Table:
         c = ray.get(centers_ref)
-        vecs = _unit(np.array(t[vec_col].to_pylist(), dtype=np.float32))
+        vecs = _unit(vectors_to_numpy(t[vec_col]))
         if len(vecs) == 0:
             return t
         assign = np.argmax(vecs @ c.T, axis=1)

@@ -119,75 +119,130 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    exact_verify: bool = True,
+    est_margin: float = 0.15,
 ):
-    """MinHash+LSH near-dup detection.
+    """MinHash+LSH near-dup detection — signatures, not text, through
+    the shuffle.
 
     Pipeline: per-batch signatures → explode to one row per (band,
-    band_hash, doc) → groupby band bucket → within-bucket n-gram
-    Jaccard verify against the bucket's first doc → emit verified
-    pairs (doc_id, dup_of, jaccard). ~O(n·m) work, one shuffle of
-    (bands × n) tiny rows.
+    band_hash, doc) carrying ONLY (ids, band key, 8·num_perm-byte
+    signature) → groupby band bucket → full pairwise signature-match
+    Jaccard ESTIMATE within each bucket (every co-bucketed pair is
+    checked, not just pairs with the bucket's first doc) → per-doc best
+    candidate → optional EXACT n-gram Jaccard re-check that fetches
+    text for the surviving ~0.1% only.
+
+    At 100 TB the old design shuffled the corpus ×bands (text
+    duplicated in every band row — a 1.6 PB exchange at 16 bands);
+    this one moves ``bands × n`` rows of ≤ ~600 B each, and text is
+    touched a second time only for candidate docs via a broadcast
+    lookup (``exact_verify=True``; assumes candidates ≪ corpus — for
+    corpora where near-everything is a near-dup, set
+    ``exact_verify=False`` and use the unbiased signature estimate,
+    σ≈sqrt(J(1-J)/num_perm)).
+
+    ``est_margin``: with exact_verify, candidates are pre-filtered at
+    ``jaccard_threshold - est_margin`` so estimator noise doesn't drop
+    true pairs before the exact check.
     """
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm)
+    sig_bytes = 8 * num_perm
 
     def sigs(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
-        out_band, out_hash, out_id, out_text = [], [], [], []
+        out_band, out_hash, out_id, out_sig = [], [], [], []
         for i, txt in zip(ids, texts):
             if txt is None:
                 continue
             sig = hasher.signature(char_shingles(txt, shingle_k))
+            raw = sig.tobytes()
             for b in range(bands):
-                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+                band = raw[b * rows_per_band * 8:(b + 1) * rows_per_band * 8]
+                h = hashlib.blake2b(band, digest_size=8, salt=b.to_bytes(8, "little")) \
+                    .hexdigest()
                 out_band.append(b)
                 out_hash.append(h)
                 out_id.append(i)
-                out_text.append(txt)
+                out_sig.append(raw)
         return pa.table({
             "band": pa.array(out_band, type=pa.int32()),
             "band_hash": pa.array(out_hash, type=pa.string()),
             id_col: pa.array(out_id),
-            text_col: pa.array(out_text),
+            "__sig": pa.array(out_sig, type=pa.binary(sig_bytes)),
         })
 
     exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+    est_threshold = (jaccard_threshold - est_margin) if exact_verify \
+        else jaccard_threshold
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame | None:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({id_col: [], "dup_of": [], "jaccard": []})
-        docs = list(zip(g[id_col], g[text_col]))
-        keeper_id, keeper_text = docs[0]
-        ks = char_shingles(keeper_text, shingle_k)
-        out_id, out_dup, out_j = [], [], []
-        for did, dtext in docs[1:]:
-            s = char_shingles(dtext, shingle_k)
-            inter = len(np.intersect1d(ks, s, assume_unique=True))
-            j = inter / max(len(ks) + len(s) - inter, 1)
-            if j >= jaccard_threshold:
-                out_id.append(did)
-                out_dup.append(keeper_id)
-                out_j.append(j)
-        return pd.DataFrame({id_col: out_id, "dup_of": out_dup, "jaccard": out_j})
+        n = len(g)
+        if n < 2:
+            return None
+        # (n, num_perm) signature matrix; estimated Jaccard of a pair is
+        # the fraction of matching minhash components (unbiased)
+        mat = np.frombuffer(b"".join(g["__sig"]), dtype=np.uint64) \
+            .reshape(n, num_perm)
+        ids = g[id_col].to_numpy()
+        # collapse identical signatures first: each doc pairs with the
+        # first (min-id) doc of its signature class at estimate 1.0 —
+        # an exact-dup-heavy bucket (thousands of identical docs) would
+        # otherwise cost O(n²·m) here
+        uniq, inv = np.unique(mat, axis=0, return_inverse=True)
+        firsts = np.full(len(uniq), n, dtype=np.int64)
+        np.minimum.at(firsts, inv, np.arange(n))
+        pos = np.arange(n)
+        dup = pos != firsts[inv]
+        frames = []
+        if dup.any():
+            frames.append(pd.DataFrame({
+                id_col: ids[dup], "dup_of": ids[firsts[inv[dup]]],
+                "jaccard": np.ones(int(dup.sum()))}))
+        # pairwise between the unique representatives, chunked so the
+        # broadcast equality tensor stays ≤ ~chunk·u·m bytes
+        rep = mat[firsts]
+        rep_ids = ids[firsts]
+        u = len(rep)
+        for lo in range(0, u, 64):
+            hi = min(lo + 64, u)
+            eq = (rep[lo:hi, None, :] == rep[None, :, :]).mean(axis=2)
+            rr, cc = np.where(eq >= est_threshold)
+            keep = cc > (rr + lo)  # each unordered pair once
+            rr, cc = rr[keep], cc[keep]
+            if len(rr):
+                a, b = rep_ids[rr + lo], rep_ids[cc]
+                # rep order is np.unique's signature order, not id order:
+                # normalize so the LARGER id is the dup pointing at the
+                # smaller keeper (same convention as the exact-dup path)
+                frames.append(pd.DataFrame({
+                    id_col: np.maximum(a, b), "dup_of": np.minimum(a, b),
+                    "jaccard": eq[rr, cc].astype(float)}))
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
 
     # many tiny (band, band_hash) groups → one hash_exchange bucket holds
     # thousands of them; the per-group python work happens in-process
     # (no per-group Ray task — Ray's map_groups would cost 0.13 s each)
     def verify_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                          "dup_of": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
         if t.num_rows == 0:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "dup_of": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
+            return empty
         df = t.to_pandas()
-        out = df.groupby(["band", "band_hash"], sort=False).apply(verify_group)
-        out = out.reset_index(drop=True)
-        if len(out) == 0:
-            return pa.table({id_col: pa.array([], type=pa.int64()),
-                             "dup_of": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
+        frames = [f for _k, f in
+                  ((k, verify_group(g)) for k, g in
+                   df.groupby(["band", "band_hash"], sort=False))
+                  if f is not None]
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
         return pa.table({id_col: pa.array(out[id_col], type=pa.int64()),
                          "dup_of": pa.array(out["dup_of"], type=pa.int64()),
                          "jaccard": pa.array(out["jaccard"], type=pa.float64())})
@@ -202,7 +257,71 @@ def minhash_lsh_candidates(
         t = lww_reduce(t, [id_col], "jaccard") if t.num_rows else t
         return t.drop_columns([c for c in (BUCKET_COL,) if c in t.column_names])
 
-    return hash_exchange(pairs, [id_col], 8, best_per_doc, bucket_col=None)
+    cand = hash_exchange(pairs, [id_col], 8, best_per_doc, bucket_col=None)
+    if not exact_verify:
+        return cand
+    return _exact_verify_pairs(cand, ds, text_col, id_col, shingle_k,
+                               jaccard_threshold)
+
+
+def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
+                        shingle_k: int, jaccard_threshold: float):
+    """Re-check candidate pairs with EXACT shingle Jaccard, fetching
+    text only for candidate docs (assumed ≪ corpus): candidate ids are
+    broadcast once via ray.put, the corpus is filtered down to those
+    docs (distributed), and the final pairwise check runs in one task
+    over the small survivor set."""
+    import ray
+    import ray.data
+
+    tables = ray.get(cand.to_arrow_refs())
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "dup_of": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    pair_tbl = pa.concat_tables([t for t in tables if t.num_rows] or [empty],
+                                promote_options="permissive")
+    if pair_tbl.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    need = sorted(set(pair_tbl[id_col].to_pylist())
+                  | set(pair_tbl["dup_of"].to_pylist()))
+    need_ref = ray.put(pa.array(need))
+
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)  # broadcast once, shared per node
+        mask = pc.is_in(t[id_col], value_set=wanted)
+        return t.filter(mask).select([id_col, text_col])
+
+    texts = docs_ds.map_batches(keep_candidates, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    text_refs = texts.to_arrow_refs()
+
+    @ray.remote
+    def verify(pairs: pa.Table, *text_parts: pa.Table) -> pa.Table:
+        lookup: dict = {}
+        for part in text_parts:
+            for i, txt in zip(part[id_col].to_pylist(), part[text_col].to_pylist()):
+                lookup[i] = txt
+        shingle_cache: dict = {}
+
+        def sh(i):
+            if i not in shingle_cache:
+                shingle_cache[i] = char_shingles(lookup.get(i) or "", shingle_k)
+            return shingle_cache[i]
+
+        out_id, out_dup, out_j = [], [], []
+        for a, b in zip(pairs[id_col].to_pylist(), pairs["dup_of"].to_pylist()):
+            sa, sb = sh(a), sh(b)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / max(len(sa) + len(sb) - inter, 1)
+            if j >= jaccard_threshold:
+                out_id.append(a)
+                out_dup.append(b)
+                out_j.append(j)
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "dup_of": pa.array(out_dup, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return ray.data.from_arrow_refs([verify.remote(pair_tbl, *text_refs)])
 
 
 # ---------------------------------------------------------------------------
@@ -210,24 +329,42 @@ def minhash_lsh_candidates(
 # ---------------------------------------------------------------------------
 
 
+def simhash64_batch(texts: list) -> list:
+    """64-bit SimHash over word tokens (weight 1 each), vectorized over
+    a whole batch: ONE SipHash pass over every token of every doc
+    (pd.util.hash_array, C loop), one (tokens × 64) ±1 bit matrix, and
+    per-doc column sums via np.add.reduceat at the doc boundaries — no
+    per-token Python. Returns int64-or-None per doc (None for null docs;
+    empty docs hash to 0, matching the old per-token accumulator)."""
+    tok_lists = [None if t is None else t.lower().split() for t in texts]
+    counts = np.array([0 if tl is None else len(tl) for tl in tok_lists],
+                      dtype=np.int64)
+    all_toks = [tok for tl in tok_lists if tl for tok in tl]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if all_toks:
+        h = pd.util.hash_array(np.array(all_toks, dtype=object),
+                               hash_key="etlray_simhash01")  # 16-byte key
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
+            .astype(np.int32)
+        contrib = bits * 2 - 1                      # ±1 per (token, bit)
+        nonempty = counts > 0
+        offsets = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+        sums = np.add.reduceat(contrib, offsets, axis=0)
+        sig = ((sums > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = sig
+    signed = out.view(np.int64)
+    return [None if tl is None else int(v) for tl, v in zip(tok_lists, signed)]
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (weight 1 each)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                           "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out - (1 << 63) if out >= (1 << 63) else out  # store as int64
+    """Single-doc convenience wrapper over the batch kernel."""
+    return simhash64_batch([text])[0]
 
 
 def add_simhash(ds, text_col: str = "text"):
     def f(t: pa.Table) -> pa.Table:
-        vals = [None if v is None else simhash64(v) for v in t[text_col].to_pylist()]
+        vals = simhash64_batch(t[text_col].to_pylist())
         return t.append_column("simhash", pa.array(vals, type=pa.int64()))
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -276,7 +413,9 @@ def embedding_near_dups(
     Near-identical vectors agree on every plane with high probability."""
 
     def bucketize(t: pa.Table) -> pa.Table:
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        from etlray.functions.ann import vectors_to_numpy
+
+        vecs = vectors_to_numpy(t[vec_col])
         dim = vecs.shape[1]
         planes = np.random.default_rng(seed).standard_normal((dim, num_planes)) \
             .astype(np.float32)

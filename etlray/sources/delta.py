@@ -42,19 +42,13 @@ class DeltaSource:
         return self
 
     def read(self):
-        import ray.data
-
         eng = CDCEngine(self.table_dir)
-        files = eng.manifest.snapshot_files(self.version)
-        if files is None:
+        ds = eng.read_snapshot(epoch_id=self.version, with_internal_cols=True,
+                               columns=self.columns, predicate=self.predicate)
+        if ds is None:
             raise ExtractError(
                 f"no committed snapshot (version={self.version!r}) in {self.table_dir}")
-        kw: dict = {}
-        if self.columns:
-            kw["columns"] = self.columns
-        if self.predicate is not None:
-            kw["filter"] = self.predicate
-        return ray.data.read_parquet(sorted(files.values()), **kw)
+        return ds
 
     def versions(self) -> list:
         return [e["id"] for e in CDCEngine(self.table_dir).manifest.load()["epochs"]]
