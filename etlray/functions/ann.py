@@ -120,6 +120,70 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                          bucket_col=None)
 
 
+class _SimJoiner:
+    """Actor-pool stage: fetch the broadcast (ids, unit-matrix) once per
+    actor; per batch one float64 matmul against the full matrix."""
+
+    def __init__(self, ref, vec_col: str, id_col: str, threshold: float) -> None:
+        import ray
+
+        self.ids, self.mat = ray.get(ref)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id_a": pa.array([], type=pa.int64()),
+                          "vec_id_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        bids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
+        bv = _unit(vectors_to_numpy(t[self.vec_col]).astype(np.float64))
+        sims = np.round(bv @ self.mat.T, 3)   # round → stable threshold edge
+        mask = (sims >= self.threshold) & (bids[:, None] < self.ids[None, :])
+        rr, cc = np.where(mask)
+        if len(rr) == 0:
+            return empty
+        return pa.table({"vec_id_a": pa.array(bids[rr], type=pa.int64()),
+                         "vec_id_b": pa.array(self.ids[cc], type=pa.int64()),
+                         "cosine": pa.array(sims[rr, cc], type=pa.float64())})
+
+
+def cosine_sim_join(ds, threshold: float = 0.5, vec_col: str = "embedding",
+                    id_col: str = "vec_id", concurrency=(1, 8)):
+    """EXACT cosine similarity self-join: every (a, b) pair with
+    cosine ≥ threshold, a < b — the precise baseline to the
+    hyperplane-LSH ``embedding_near_dups``.
+
+    The full (id, unit-vector) matrix is broadcast ONCE via ray.put and
+    each batch does one matmul against it — O(n²·d) total work spread
+    across batches, zero shuffle. Valid while one side fits a worker's
+    memory (n·d·8 bytes — 10M × 256-dim ≈ 20 GB is the practical
+    ceiling); beyond that, LSH-bucket first."""
+    import ray
+    import ray.data
+
+    side = ds.select_columns([id_col, vec_col])
+    tables = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table(
+            {"vec_id_a": pa.array([], type=pa.int64()),
+             "vec_id_b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}))
+    full = pa.concat_tables(tables, promote_options="permissive")
+    ids = np.asarray(full[id_col].to_pylist(), dtype=np.int64)
+    mat = _unit(vectors_to_numpy(full[vec_col]).astype(np.float64))
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _SimJoiner,
+        fn_constructor_args=(ref, vec_col, id_col, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def train_codebook(sample: np.ndarray, n_clusters: int, iters: int = 10,
                    seed: int = 5) -> np.ndarray:
     """Tiny driver-side k-means (numpy Lloyd's) on a sample — the IVF

@@ -324,6 +324,125 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
     return ray.data.from_arrow_refs([verify.remote(pair_tbl, *text_refs)])
 
 
+def codepoint_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Unique k-CODEPOINT shingle hashes of the whitespace-normalized
+    text (``char_shingles`` windows over utf-8 BYTES; this variant
+    windows over characters, matching SQL ``substring`` semantics so a
+    DuckDB oracle can recompute the same shingle sets). Texts shorter
+    than ``k`` produce exactly one (padded) shingle."""
+    norm = " ".join(text.lower().split())
+    data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
+    if len(data) < k:
+        pad = np.zeros(k, dtype=np.uint32)
+        pad[:len(data)] = data
+        data = pad
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    return np.unique(win @ powers)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    num_buckets: int = 16,
+):
+    """EXACT n-gram Jaccard similarity self-join via a distributed
+    inverted index — the precise baseline to ``minhash_lsh_candidates``'
+    probabilistic one.
+
+    Plan: explode each doc to (shingle_hash, doc_id, doc_shingle_count)
+    rows → shuffle on shingle_hash → per-bucket co-occurrence counting
+    (every pair of docs sharing a shingle gets +1, vectorized per
+    shingle group) → shuffle on the pair → J = c / (|A| + |B| - c),
+    filter ≥ threshold. Returns (doc_id_a, doc_id_b, jaccard), a < b.
+
+    Cost is Σ_shingle C(df, 2) — exact similarity joins are inherently
+    quadratic in per-shingle document frequency. Use on bounded inputs
+    (a partition, a candidate subset); at 100 TB use the MinHash-LSH
+    path, which this operator oracles at small scale."""
+    from etlray.exchange import hash_exchange
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        sh_out, id_out, n_out = [], [], []
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            sh = codepoint_shingles(txt, shingle_k)
+            sh_out.append(sh.view(np.int64))
+            id_out.append(np.full(len(sh), i, dtype=np.int64))
+            n_out.append(np.full(len(sh), len(sh), dtype=np.int64))
+        if not sh_out:
+            return pa.table({"shingle": pa.array([], type=pa.int64()),
+                             "doc": pa.array([], type=pa.int64()),
+                             "nsh": pa.array([], type=pa.int64())})
+        return pa.table({"shingle": pa.array(np.concatenate(sh_out)),
+                         "doc": pa.array(np.concatenate(id_out)),
+                         "nsh": pa.array(np.concatenate(n_out))})
+
+    incid = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("c", pa.int64()), ("na", pa.int64()),
+                             ("nb", pa.int64())])
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        sh = t["shingle"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        nsh = t["nsh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sh, kind="stable")
+        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        cuts = np.flatnonzero(np.diff(sh)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(sh)]))
+        a_l, b_l, na_l, nb_l = [], [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            d = doc[s:e]
+            n = nsh[s:e]
+            o = np.argsort(d, kind="stable")
+            d, n = d[o], n[o]
+            ii, jj = np.triu_indices(m, k=1)
+            a_l.append(d[ii]); b_l.append(d[jj])
+            na_l.append(n[ii]); nb_l.append(n[jj])
+        if not a_l:
+            return pair_schema.empty_table()
+        df = pd.DataFrame({"a": np.concatenate(a_l), "b": np.concatenate(b_l),
+                           "na": np.concatenate(na_l), "nb": np.concatenate(nb_l)})
+        # partial co-occurrence counts per pair within this bucket
+        out = df.groupby(["a", "b"], as_index=False).agg(
+            c=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+        return pa.Table.from_pandas(out[["a", "b", "c", "na", "nb"]],
+                                    schema=pair_schema, preserve_index=False)
+
+    partial = hash_exchange(incid, ["shingle"], num_buckets, count_bucket,
+                            bucket_col=None)
+
+    out_schema = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+
+    def finalize_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().groupby(["a", "b"], as_index=False).agg(
+            c=("c", "sum"), na=("na", "first"), nb=("nb", "first"))
+        j = df["c"] / (df["na"] + df["nb"] - df["c"])
+        keep = j >= threshold
+        return pa.table({"doc_id_a": pa.array(df["a"][keep], type=pa.int64()),
+                         "doc_id_b": pa.array(df["b"][keep], type=pa.int64()),
+                         "jaccard": pa.array(j[keep], type=pa.float64())})
+
+    return hash_exchange(partial, ["a", "b"], 8, finalize_pairs, bucket_col=None)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

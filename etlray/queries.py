@@ -407,13 +407,100 @@ def embedding_near_dups_q(sf_dir: str):
     return embedding_near_dups(ds, cosine_threshold=0.95)
 
 
-@register("langid_docs")
+# language-ID heuristic: Arrow's regex engine is RE2 and so is DuckDB's,
+# so the EXACT stopword-ratio argmax is SQL-replicable — ratio counts are
+# identical integers divided in float64 on both sides
+_LANGID_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text, lang,
+         greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE AS words,
+         greatest(length(text), 1)::DOUBLE AS chars,
+         len(regexp_extract_all(text, '[一-鿿]'))::DOUBLE AS cjk,
+         len(regexp_extract_all(text, '(?i)\b(?:the|and|is|of|to|that|with|for)\b'))::DOUBLE AS c_en,
+         len(regexp_extract_all(text, '(?i)\b(?:der|die|und|das|ist|nicht|ein|mit)\b'))::DOUBLE AS c_de,
+         len(regexp_extract_all(text, '(?i)\b(?:le|la|et|les|des|est|une|dans)\b'))::DOUBLE AS c_fr,
+         len(regexp_extract_all(text, '(?i)\b(?:el|la|los|que|es|una|por|para)\b'))::DOUBLE AS c_es,
+         len(regexp_extract_all(text, '(?i)\b(?:o|a|os|que|um|uma|não|para)\b'))::DOUBLE AS c_pt
+  FROM documents
+), s AS (
+  SELECT doc_id, text, lang, cjk / chars AS cjk_ratio,
+         c_en / words AS s_en, c_de / words AS s_de, c_fr / words AS s_fr,
+         c_es / words AS s_es, c_pt / words AS s_pt
+  FROM f
+)
+SELECT doc_id, text, lang,
+  CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es, s_pt) > 0.01 THEN
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_pt THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_pt THEN 'fr'
+              WHEN s_es >= s_pt THEN 'es'
+              ELSE 'pt' END
+       ELSE 'unknown' END AS lang_pred
+FROM s
+"""
+
+
+@register("langid_docs", _LANGID_SQL)
 def langid_docs(sf_dir: str):
     from etlray.functions.text import LangIdStage
 
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"]).read()
     return ds.map_batches(LangIdStage, fn_constructor_args=("text",),
                           batch_format="pyarrow", concurrency=2)
+
+
+# exact n-gram Jaccard similarity self-join (inverted index; the precise
+# baseline that oracles the MinHash-LSH path). doc_id < 500 caps the
+# inherently-quadratic-in-df cost identically at every sf.
+_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 500
+), sh AS (
+  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS s
+  FROM d, LATERAL unnest(range(1, greatest(length(norm) - 3, 2))) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ia AS doc_id_a, ib AS doc_id_b,
+       c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@register("ngram_jaccard_pairs", _JACCARD_SQL)
+def ngram_jaccard_pairs_q(sf_dir: str):
+    from etlray.functions.dedup import ngram_jaccard_pairs
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=(pc.field("doc_id") < 500)).read()
+    return ngram_jaccard_pairs(ds, threshold=0.8)
+
+
+# exact cosine similarity self-join (broadcast matmul; the precise
+# baseline that oracles the hyperplane-LSH embedding_near_dups path)
+@register(
+    "embedding_sim_join",
+    """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.5
+    """,
+)
+def embedding_sim_join(sf_dir: str):
+    from etlray.functions.ann import cosine_sim_join
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    return cosine_sim_join(ds, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

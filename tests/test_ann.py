@@ -45,3 +45,22 @@ def test_ivf_high_recall(vec_rows, ray_session):
         truth = _exact_topk(vecs, vecs[qi], 5)
         recalls.append(len(got & truth) / 5)
     assert np.mean(recalls) >= 0.6  # approximate, but far above random
+
+
+def test_cosine_sim_join_exact(ray_session):
+    import numpy as np
+
+    from etlray.functions.ann import cosine_sim_join
+    from etlray.sources import MemorySource
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(8).astype(np.float32)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist()},
+        {"vec_id": 2, "embedding": (v * 2.0).tolist()},        # cosine 1
+        {"vec_id": 3, "embedding": (-v).tolist()},             # cosine -1
+        {"vec_id": 4, "embedding": rng.standard_normal(8).astype(np.float32).tolist()},
+    ]
+    out = cosine_sim_join(MemorySource(rows).read(), threshold=0.9).take_all()
+    pairs = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"] for r in out}
+    assert pairs == {(1, 2): 1.0}

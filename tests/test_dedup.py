@@ -65,3 +65,23 @@ def test_embedding_near_dups(ray_session):
     got = {(r["vec_id"], r["dup_of"]) for r in pairs}
     assert (2, 1) in got
     assert not any(3 in p for p in got)
+
+
+def test_ngram_jaccard_pairs_exact(corpus_ds, ray_session):
+    out = D.ngram_jaccard_pairs(corpus_ds, threshold=0.7).take_all()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in out}
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+    assert 0.7 <= got[(1, 3)] < 1.0          # near dup, exact value
+    assert not any(4 in p for p in got)      # unrelated doc never pairs
+    # exact symmetric ground truth: J(1,3) via the same shingle sets
+    s1 = D.codepoint_shingles(corpus_ds.take_all()[0]["text"])
+    s3 = D.codepoint_shingles(corpus_ds.take_all()[2]["text"])
+    inter = len(np.intersect1d(s1, s3, assume_unique=True))
+    assert got[(1, 3)] == pytest.approx(inter / (len(s1) + len(s3) - inter))
+
+
+def test_codepoint_shingles_short_and_unicode():
+    assert len(D.codepoint_shingles("ab")) == 1        # padded single shingle
+    a = D.codepoint_shingles("你好世界你好世界")
+    b = D.codepoint_shingles("你好世界你好世界")
+    assert np.array_equal(a, b)
