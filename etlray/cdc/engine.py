@@ -222,6 +222,67 @@ class CDCEngine:
                 "files": len(set(new_files.values()))}
 
     # ------------------------------------------------------------------
+    def follow(
+        self,
+        log_dir: str,
+        pattern: str = "*.parquet",
+        poll_interval: float = 0.5,
+        idle_timeout: float | None = None,
+        max_epochs: int | None = None,
+        rename_map: Mapping[str, str] | None = None,
+    ) -> dict:
+        """Tail-follow a GROWING directory of change-log parquet files —
+        the closest sandbox analogue of a binlog/WAL tail (the reference's
+        drain loop, /root/reference/src/pipeline/mod.rs:215-269, reads a
+        fixed source once; this keeps consuming as a producer appends).
+
+        Each discovered file becomes ONE epoch whose id is the file's
+        basename, so exactly-once falls out of the commit manifest: a
+        crashed/restarted follower re-lists the directory and skips every
+        committed file, and duplicated delivery of a file is a no-op.
+        Files are applied in sorted-name order (producers should name
+        files monotonically, e.g. zero-padded offsets). A file that is
+        still being written is skipped until its parquet footer reads
+        cleanly — producers must write-temp-then-rename for atomicity.
+
+        Returns after ``idle_timeout`` seconds with no new files (or
+        after ``max_epochs`` applies); runs forever if neither is set.
+        """
+        import glob as _glob
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        applied: list[dict] = []
+        idle = 0.0
+        while True:
+            ready = []
+            for f in sorted(_glob.glob(os.path.join(log_dir, pattern))):
+                eid = os.path.basename(f)
+                if self.manifest.committed(eid):
+                    continue
+                try:
+                    pq.ParquetFile(f)  # footer readable → fully written
+                except Exception:
+                    continue  # in-flight file; retry next poll
+                ready.append((eid, f))
+            progressed = False
+            for eid, f in ready:
+                res = self.apply_log([f], epoch_id=eid, rename_map=rename_map)
+                if res.get("committed"):
+                    applied.append(res)
+                    progressed = True
+                if max_epochs is not None and len(applied) >= max_epochs:
+                    return {"epochs": applied, "reason": "max_epochs"}
+            if progressed:
+                idle = 0.0
+                continue
+            if idle_timeout is not None and idle >= idle_timeout:
+                return {"epochs": applied, "reason": "idle_timeout"}
+            _time.sleep(poll_interval)
+            idle += poll_interval
+
+    # ------------------------------------------------------------------
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
         """Read every epoch-file/Dataset, conform to the unified schema
         (schema evolution), union into one event Dataset. Blocks whose
