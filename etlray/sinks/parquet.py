@@ -8,6 +8,11 @@ single file with a schema inferred from the data (union of keys, first
 non-null type); here schemas are real Arrow schemas and output is a
 partitioned directory so a rerun can skip/replace atomically —
 resumable output at 100 TB.
+
+Documented deviation: the reference also lists ``Lzo``
+(parquet.rs:36-44); pyarrow ships no LZO codec (LZO is GPL-encumbered
+and parquet-cpp never implemented it), so this sink supports the other
+five plus lz4 and rejects "lzo" with an explicit error.
 """
 
 from __future__ import annotations

@@ -38,6 +38,12 @@ class DeltaSource:
         return self
 
     def with_predicate(self, expr) -> "DeltaSource":
+        """Accepts a pyarrow.dataset expression OR the reference's
+        SQL-string form ``with_predicate("age > 18")``
+        (/root/reference/src/extract/delta.rs:58 — which the reference
+        stores but never applies; here it genuinely pushes down)."""
+        if isinstance(expr, str):
+            expr = _parse_predicate(expr)
         self.predicate = expr
         return self
 
@@ -52,3 +58,55 @@ class DeltaSource:
 
     def versions(self) -> list:
         return [e["id"] for e in CDCEngine(self.table_dir).manifest.load()["epochs"]]
+
+
+_OPS = ["<=", ">=", "!=", "<>", "==", "=", "<", ">"]  # longest first
+
+
+def _parse_predicate(s: str):
+    """Tiny SQL-comparison parser for the reference's string predicates:
+    ``col OP literal`` terms joined by AND. Literals: int, float,
+    'quoted'/"quoted" strings, true/false, null (IS NULL / IS NOT NULL
+    also accepted)."""
+    import re
+
+    import pyarrow.dataset as pads
+
+    from etlray.errors import ExtractError
+
+    def term(t: str):
+        t = t.strip()
+        m = re.match(r"(?i)^(\w+)\s+IS\s+NOT\s+NULL$", t)
+        if m:
+            return pads.field(m.group(1)).is_valid()
+        m = re.match(r"(?i)^(\w+)\s+IS\s+NULL$", t)
+        if m:
+            return ~pads.field(m.group(1)).is_valid()
+        for op in _OPS:
+            if op in t:
+                col, lit = t.split(op, 1)
+                col, lit = col.strip(), lit.strip()
+                if not re.match(r"^\w+$", col):
+                    break
+                if re.match(r"^'.*'$|^\".*\"$", lit):
+                    val = lit[1:-1]
+                elif re.match(r"(?i)^(true|false)$", lit):
+                    val = lit.lower() == "true"
+                elif re.match(r"^-?\d+$", lit):
+                    val = int(lit)
+                else:
+                    try:
+                        val = float(lit)
+                    except ValueError:
+                        break
+                f = pads.field(col)
+                return {"=": f == val, "==": f == val, "!=": f != val,
+                        "<>": f != val, ">": f > val, ">=": f >= val,
+                        "<": f < val, "<=": f <= val}[op]
+        raise ExtractError(f"cannot parse predicate term: {t!r}")
+
+    parts = re.split(r"(?i)\s+AND\s+", s.strip())
+    expr = term(parts[0])
+    for p in parts[1:]:
+        expr = expr & term(p)
+    return expr

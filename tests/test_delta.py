@@ -52,3 +52,26 @@ def test_merge_requires_keys(tmp_path):
 
     with pytest.raises(LoadError):
         DeltaSink(str(tmp_path / "t"), mode="merge")
+
+
+def test_delta_string_predicate(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.cdc.engine import CDCEngine
+    from etlray.sources.delta import DeltaSource
+
+    eng = CDCEngine(str(tmp_path / "t"), keys=["repo", "path"], num_buckets=2,
+                    content_col="__none__")
+    eng.bootstrap(ray.data.from_arrow(pa.table({
+        "repo": ["r"] * 4, "path": ["a", "b", "c", "d"],
+        "age": [10, 20, 30, None], "name": ["x", "y", "z", "w"],
+    })))
+    src = DeltaSource(str(tmp_path / "t")).with_predicate("age > 18")
+    rows = src.read().take_all()
+    assert sorted(r["path"] for r in rows) == ["b", "c"]
+    src2 = DeltaSource(str(tmp_path / "t")).with_predicate(
+        "age >= 10 AND name != 'z'")
+    assert sorted(r["path"] for r in src2.read().take_all()) == ["a", "b"]
+    src3 = DeltaSource(str(tmp_path / "t")).with_predicate("age IS NULL")
+    assert [r["path"] for r in src3.read().take_all()] == ["d"]
