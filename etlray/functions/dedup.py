@@ -180,7 +180,6 @@ def minhash_lsh_candidates(
         else jaccard_threshold
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame | None:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         n = len(g)
         if n < 2:
             return None
@@ -236,6 +235,18 @@ def minhash_lsh_candidates(
         if t.num_rows == 0:
             return empty
         df = t.to_pandas()
+        # vectorized pre-pass: dedupe (group, doc) rows and drop the
+        # singleton groups BEFORE any per-group Python — almost every
+        # (band, band_hash) group is a lone doc, and a per-group call
+        # (~0.4 ms of pandas+numpy overhead each) across n·bands groups
+        # was the whole wall-time at 5k docs
+        df = df.drop_duplicates(subset=["band", "band_hash", id_col])
+        df = df.sort_values(["band", "band_hash", id_col], kind="stable")
+        sizes = df.groupby(["band", "band_hash"], sort=False)[id_col] \
+            .transform("size")
+        df = df[sizes >= 2]
+        if len(df) == 0:
+            return empty
         frames = [f for _k, f in
                   ((k, verify_group(g)) for k, g in
                    df.groupby(["band", "band_hash"], sort=False))
@@ -390,6 +401,21 @@ def ngram_jaccard_pairs(
                              ("c", pa.int64()), ("na", pa.int64()),
                              ("nb", pa.int64())])
 
+    def _pair_runs(a, b, na, nb, c=None):
+        """Aggregate (a, b) pair rows via lexsort + run-length reduce —
+        pandas' two-key groupby measured 144 s on the same 7.8M rows
+        this does in ~2 s."""
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        c = np.ones(len(a), dtype=np.int64) if c is None else c[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        np.not_equal(a[1:], a[:-1], out=new[1:])
+        np.logical_or(new[1:], b[1:] != b[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.add.reduceat(c, starts)
+        return a[starts], b[starts], counts, na[starts], nb[starts]
+
     def count_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pair_schema.empty_table()
@@ -401,27 +427,32 @@ def ngram_jaccard_pairs(
         cuts = np.flatnonzero(np.diff(sh)) + 1
         starts = np.concatenate(([0], cuts))
         ends = np.concatenate((cuts, [len(sh)]))
+        tri: dict[int, tuple] = {}
         a_l, b_l, na_l, nb_l = [], [], [], []
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2:
                 continue
+            if m not in tri:
+                tri[m] = np.triu_indices(m, k=1)
+            ii, jj = tri[m]
             d = doc[s:e]
             n = nsh[s:e]
-            o = np.argsort(d, kind="stable")
-            d, n = d[o], n[o]
-            ii, jj = np.triu_indices(m, k=1)
             a_l.append(d[ii]); b_l.append(d[jj])
             na_l.append(n[ii]); nb_l.append(n[jj])
         if not a_l:
             return pair_schema.empty_table()
-        df = pd.DataFrame({"a": np.concatenate(a_l), "b": np.concatenate(b_l),
-                           "na": np.concatenate(na_l), "nb": np.concatenate(nb_l)})
-        # partial co-occurrence counts per pair within this bucket
-        out = df.groupby(["a", "b"], as_index=False).agg(
-            c=("na", "size"), na=("na", "first"), nb=("nb", "first"))
-        return pa.Table.from_pandas(out[["a", "b", "c", "na", "nb"]],
-                                    schema=pair_schema, preserve_index=False)
+        A = np.concatenate(a_l); B = np.concatenate(b_l)
+        NA = np.concatenate(na_l); NB = np.concatenate(nb_l)
+        # normalize pair orientation once, vectorized (docs within a
+        # shingle group are unsorted)
+        swap = A > B
+        lo = np.where(swap, B, A); hi = np.where(swap, A, B)
+        nlo = np.where(swap, NB, NA); nhi = np.where(swap, NA, NB)
+        a, b, c, na, nb = _pair_runs(lo, hi, nlo, nhi)
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c),
+                         "na": pa.array(na), "nb": pa.array(nb)},
+                        schema=pair_schema)
 
     partial = hash_exchange(incid, ["shingle"], num_buckets, count_bucket,
                             bucket_col=None)
@@ -432,12 +463,16 @@ def ngram_jaccard_pairs(
     def finalize_pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        df = t.to_pandas().groupby(["a", "b"], as_index=False).agg(
-            c=("c", "sum"), na=("na", "first"), nb=("nb", "first"))
-        j = df["c"] / (df["na"] + df["nb"] - df["c"])
+        a, b, c, na, nb = _pair_runs(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["na"].to_numpy(zero_copy_only=False),
+            t["nb"].to_numpy(zero_copy_only=False),
+            c=t["c"].to_numpy(zero_copy_only=False))
+        j = c / (na + nb - c)
         keep = j >= threshold
-        return pa.table({"doc_id_a": pa.array(df["a"][keep], type=pa.int64()),
-                         "doc_id_b": pa.array(df["b"][keep], type=pa.int64()),
+        return pa.table({"doc_id_a": pa.array(a[keep], type=pa.int64()),
+                         "doc_id_b": pa.array(b[keep], type=pa.int64()),
                          "jaccard": pa.array(j[keep], type=pa.float64())})
 
     return hash_exchange(partial, ["a", "b"], 8, finalize_pairs, bucket_col=None)
