@@ -108,52 +108,64 @@ def generate_fixture(
     base_path = os.path.join(out_dir, "base.parquet")
     pq.write_table(base, base_path, row_group_size=10_000)
 
-    # --- change log: Zipf-hot keys, vectorized -------------------------
+    # --- change log: Zipf-hot keys, vectorized, CHUNKED ---------------
+    # generated and written in ≤4M-event slices: a single-shot 64M-event
+    # build materialized ~15 GB of transient unicode arrays and 64M
+    # Python strings at once (>1 h); per-chunk memory is bounded and the
+    # wall time is linear in events. Each chunk draws from its own
+    # seeded stream → same args, same bytes, any chunk size aside.
     import pandas as pd
 
-    ev_keys = np.minimum(rng.zipf(zipf_a, size=n_events) - 1, n_keys - 1)
-    is_del = rng.random(n_events) < p_delete
-    ops = np.where(is_del, "delete", np.where(rng.random(n_events) < 0.5, "insert", "update"))
-    lsns = np.arange(1, n_events + 1, dtype=np.int64)
-    ev_r = rng.integers(1, 1 << 31, size=n_events)
-    contents = _content(ev_r, ev_keys, lsns, pad_levels)
-    commits = np.array(_commits(rng, n_events), dtype=object)
-    langs = np.array(LANGS, dtype=object)[ev_keys % len(LANGS)]
-    sizes_np = pd.Series(contents).str.len().to_numpy(dtype=np.int64)
-    # delete events carry no payload (FIXTURES.md §3.2: null for delete)
-    contents = np.where(is_del, None, contents)
-    commits = np.where(is_del, None, commits)
-    langs = np.where(is_del, None, langs)
-    sizes = pd.array(sizes_np, dtype="Int64")
-    sizes[is_del] = pd.NA
-
-    thirds = [slice(0, n_events // 3), slice(n_events // 3, 2 * n_events // 3),
-              slice(2 * n_events // 3, n_events)]
+    chunk_events = 4_000_000
+    bounds = [(0, n_events // 3), (n_events // 3, 2 * n_events // 3),
+              (2 * n_events // 3, n_events)]
     epoch_paths = []
-
-    def seg(arr, s):
-        return arr[s] if isinstance(arr, np.ndarray) else arr[s.start:s.stop]
-
-    for epoch, s in enumerate(thirds):
-        cols = {
-            "lsn": pa.array(lsns[s]),
-            "op": pa.array(seg(ops, s).tolist() if isinstance(ops, np.ndarray) else seg(ops, s)),
-            "repo": pa.array(repos[repo_of_key[ev_keys[s]]]),
-            "path": pa.array(paths[ev_keys[s]]),
-            "commit": pa.array(seg(commits, s)),
-            "content": pa.array(seg(contents, s)),
-        }
-        if epoch < 2:
-            cols["lang"] = pa.array(seg(langs, s))
-        else:
-            cols["language"] = pa.array(seg(langs, s))  # renamed column
-        if epoch == 1:
-            cols["size"] = pa.array(seg(sizes, s), type=pa.int32())
-        elif epoch == 2:
-            cols["size"] = pa.array(seg(sizes, s), type=pa.int64())  # widened
+    for epoch, (lo_e, hi_e) in enumerate(bounds):
         p = os.path.join(out_dir, f"changes_epoch{epoch}.parquet")
-        # small row groups → Ray splits the file into parallel read tasks
-        pq.write_table(pa.table(cols), p, row_group_size=10_000)
+        writer = None
+        for lo in range(lo_e, hi_e, chunk_events):
+            hi = min(lo + chunk_events, hi_e)
+            m = hi - lo
+            rng_c = np.random.default_rng([seed, 7, lo])
+            ev_keys = np.minimum(rng_c.zipf(zipf_a, size=m) - 1, n_keys - 1)
+            is_del = rng_c.random(m) < p_delete
+            ops = np.where(is_del, "delete",
+                           np.where(rng_c.random(m) < 0.5, "insert", "update"))
+            lsns = np.arange(lo + 1, hi + 1, dtype=np.int64)
+            ev_r = rng_c.integers(1, 1 << 31, size=m)
+            contents = _content(ev_r, ev_keys, lsns, pad_levels)
+            commits = np.array(_commits(rng_c, m), dtype=object)
+            langs = np.array(LANGS, dtype=object)[ev_keys % len(LANGS)]
+            sizes_np = pd.Series(contents).str.len().to_numpy(dtype=np.int64)
+            # delete events carry no payload (FIXTURES.md §3.2: null for delete)
+            contents = np.where(is_del, None, contents)
+            commits = np.where(is_del, None, commits)
+            langs = np.where(is_del, None, langs)
+            sizes = pd.array(sizes_np, dtype="Int64")
+            sizes[is_del] = pd.NA
+            cols = {
+                "lsn": pa.array(lsns),
+                "op": pa.array(ops.tolist()),
+                "repo": pa.array(repos[repo_of_key[ev_keys]]),
+                "path": pa.array(paths[ev_keys]),
+                "commit": pa.array(commits),
+                "content": pa.array(contents),
+            }
+            if epoch < 2:
+                cols["lang"] = pa.array(langs)
+            else:
+                cols["language"] = pa.array(langs)  # renamed column
+            if epoch == 1:
+                cols["size"] = pa.array(sizes, type=pa.int32())
+            elif epoch == 2:
+                cols["size"] = pa.array(sizes, type=pa.int64())  # widened
+            tbl = pa.table(cols)
+            if writer is None:
+                writer = pq.ParquetWriter(p, tbl.schema)
+            # small row groups → Ray splits the file into parallel read tasks
+            writer.write_table(tbl, row_group_size=10_000)
+        if writer is not None:
+            writer.close()
         epoch_paths.append(p)
 
     return {

@@ -110,6 +110,43 @@ class MinHasher:
         hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return hashed.min(axis=1)
 
+    def signature_batch(self, shingle_arrays: list) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix in a handful of numpy ops
+        per ~200k-shingle chunk — per-doc ``signature()`` calls spend
+        more time in numpy dispatch than in math at realistic doc sizes.
+        Docs with zero shingles get the all-zeros signature."""
+        n_docs = len(shingle_arrays)
+        out = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        lens = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+        nonempty = np.flatnonzero(lens)
+        if len(nonempty) == 0:
+            return out
+        chunk_docs: list[int] = []
+        chunk_arrays: list[np.ndarray] = []
+        budget = 200_000  # shingles per chunk → ≤ ~100 MB hash matrix
+        pending = 0
+
+        def flush():
+            nonlocal chunk_docs, chunk_arrays, pending
+            if not chunk_docs:
+                return
+            x = np.concatenate(chunk_arrays).astype(np.uint64)
+            hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+            offs = np.concatenate(
+                ([0], np.cumsum([len(a) for a in chunk_arrays])[:-1]))
+            sigs = np.minimum.reduceat(hashed, offs, axis=1)  # (m, docs)
+            out[np.array(chunk_docs)] = sigs.T
+            chunk_docs, chunk_arrays, pending = [], [], 0
+
+        for d in nonempty:
+            chunk_docs.append(int(d))
+            chunk_arrays.append(shingle_arrays[d])
+            pending += lens[d]
+            if pending >= budget:
+                flush()
+        flush()
+        return out
+
 
 def minhash_lsh_candidates(
     ds,
@@ -151,14 +188,21 @@ def minhash_lsh_candidates(
     sig_bytes = 8 * num_perm
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
+        ids = [i for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist())
+               if txt is not None]
+        texts = [txt for txt in t[text_col].to_pylist() if txt is not None]
+        if not ids:
+            return pa.table({
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "__sig": pa.array([], type=pa.binary(sig_bytes)),
+            })
+        shingles = [char_shingles(txt, shingle_k) for txt in texts]
+        sig_mat = hasher.signature_batch(shingles)       # (n_docs, num_perm)
+        raws = [row.tobytes() for row in sig_mat]
         out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, txt in zip(ids, texts):
-            if txt is None:
-                continue
-            sig = hasher.signature(char_shingles(txt, shingle_k))
-            raw = sig.tobytes()
+        for i, raw in zip(ids, raws):
             for b in range(bands):
                 band = raw[b * rows_per_band * 8:(b + 1) * rows_per_band * 8]
                 h = hashlib.blake2b(band, digest_size=8, salt=b.to_bytes(8, "little")) \
