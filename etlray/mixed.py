@@ -1,0 +1,142 @@
+"""Mixed-type total ordering — the reference's ``DataValue`` Ord
+(/root/reference/src/types.rs:88-156): Null < Boolean < numeric
+(Integer and Float compare numerically ACROSS the two types) < String
+< Array < Object < Date < DateTime < Timestamp.
+
+Arrow keeps columns typed, so a "mixed" column reaches this engine in
+one of two forms: a STRING column holding sniffable scalar spellings
+(the reference's CSV cell-sniffing story) or driver-side Python values
+(MemorySource rows). Both encode to a deterministic 3-part sort key
+``(rank:int8, num:float64, str:string)`` that Ray's native multi-column
+sort orders exactly like the reference's comparator.
+
+Documented deviation: the reference compares Arrays element-wise and
+Objects by ordered key set then values; here both encode as canonical
+JSON (sorted keys) in the ``str`` part — equal structures compare
+equal either way, but the relative order of two UNEQUAL containers can
+differ (lexicographic JSON vs element-wise). No reference pipeline
+sorts containers.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+import re
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from etlray.stages.common import Transform
+
+R_NULL, R_BOOL, R_NUM, R_STR, R_ARR, R_OBJ, R_DATE, R_DT, R_TS = range(9)
+
+_INT_RE = re.compile(r"^[+-]?\d+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$")
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}$")
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(Z|[+-]\d{2}:?\d{2})$")
+
+
+def sniff_value(s):
+    """Parse a string cell to the narrowest reference type (the CSV
+    cell-sniffing rules): bool vocab → int → float → date →
+    datetime → timestamp → string."""
+    if s is None:
+        return None
+    t = s.strip()
+    low = t.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if _INT_RE.match(t):
+        try:
+            return int(t)
+        except ValueError:
+            return t
+    if _FLOAT_RE.match(t):
+        return float(t)
+    if _DATE_RE.match(t):
+        return _dt.date.fromisoformat(t)
+    if _TS_RE.match(t):
+        return _dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+    if _DT_RE.match(t):
+        return _dt.datetime.fromisoformat(t.replace(" ", "T"))
+    return s
+
+
+def mixed_sort_key(values: Sequence):
+    """Encode arbitrary Python scalars to parallel (rank, num, str)
+    arrays whose lexicographic order equals the reference comparator."""
+    n = len(values)
+    rank = np.zeros(n, dtype=np.int8)
+    num = np.zeros(n, dtype=np.float64)
+    strs = [""] * n
+    for i, v in enumerate(values):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            rank[i] = R_NULL
+        elif isinstance(v, bool):
+            rank[i], num[i] = R_BOOL, float(v)
+        elif isinstance(v, (int, float, np.integer, np.floating)):
+            rank[i], num[i] = R_NUM, float(v)
+        elif isinstance(v, str):
+            rank[i], strs[i] = R_STR, v
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            rank[i] = R_ARR
+            strs[i] = json.dumps(list(v), sort_keys=True, default=str)
+        elif isinstance(v, dict):
+            rank[i] = R_OBJ
+            strs[i] = json.dumps(v, sort_keys=True, default=str)
+        elif isinstance(v, _dt.datetime):  # check before date (subclass)
+            if v.tzinfo is not None:
+                rank[i] = R_TS
+                num[i] = v.timestamp()
+            else:
+                rank[i] = R_DT
+                num[i] = v.replace(tzinfo=_dt.timezone.utc).timestamp()
+        elif isinstance(v, _dt.date):
+            rank[i] = R_DATE
+            num[i] = _dt.datetime(v.year, v.month, v.day,
+                                  tzinfo=_dt.timezone.utc).timestamp()
+        else:
+            rank[i], strs[i] = R_STR, str(v)
+    return rank, num, strs
+
+
+class MixedSortTransform(Transform):
+    """Sort by a column under the reference's mixed-type total order.
+
+    ``sniff=True`` first parses string cells with ``sniff_value`` (the
+    CSV-sniffing story: "10" sorts as the number 10, "true" as a bool).
+    Typed non-string columns order identically to a plain sort and pass
+    through Ray's native path untouched."""
+
+    _K = ("__mx_rank", "__mx_num", "__mx_str")
+
+    def __init__(self, col: str, descending: bool = False,
+                 sniff: bool = True) -> None:
+        self.col = col
+        self.descending = descending
+        self.sniff = sniff
+
+    def apply(self, ds):
+        col, do_sniff = self.col, self.sniff
+        names = ds.schema().names
+        types = dict(zip(names, ds.schema().types))
+        if not (pa.types.is_string(types[col]) or pa.types.is_large_string(types[col])):
+            return ds.sort(col, descending=self.descending)
+        kr, kn, ks = self._K
+
+        def encode(t: pa.Table) -> pa.Table:
+            vals = t[col].to_pylist()
+            if do_sniff:
+                vals = [sniff_value(v) for v in vals]
+            rank, num, strs = mixed_sort_key(vals)
+            t = t.append_column(kr, pa.array(rank, type=pa.int8()))
+            t = t.append_column(kn, pa.array(num, type=pa.float64()))
+            return t.append_column(ks, pa.array(strs, type=pa.string()))
+
+        out = ds.map_batches(encode, **self._mb_kwargs())
+        out = out.sort([kr, kn, ks], descending=self.descending)
+        return out.drop_columns(list(self._K))
