@@ -1,13 +1,15 @@
 """Multimodal column stages — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode libraries (PIL / torchaudio / ffmpeg) are NOT in this
-container, so the decode kernels are STUBBED: each stage checks for
-the real library in ``__init__`` (once per actor) and otherwise uses a
-clearly-marked deterministic fake (features derived from a blake2b of
-the payload) or raises ``NotImplementedError`` when
-``strict=True``. The Ray-side plumbing — schema, actor-pool
-signature, batch sizing, output layout — is real and tested.
+Formats needing NO external library decode for real: uncompressed
+24-bit BMP (pure numpy header parse + pixel reshape) and PCM WAV
+(stdlib ``wave``) — so decode → feature-extract → resize run genuinely
+end-to-end on self-contained fixtures. Formats that need PIL /
+torchaudio / ffmpeg (absent in this container) fall back to a
+clearly-marked deterministic stub (features derived from a blake2b of
+the payload) or raise ``NotImplementedError`` when ``strict=True``.
+The Ray-side plumbing — schema, actor-pool signature, batch sizing,
+output layout — is identical on both paths.
 
 Batch-size guidance: binary payloads are large; pass a SMALL
 ``batch_size`` (e.g. 32-256) so batch × concurrency fits worker heap
@@ -17,9 +19,103 @@ Batch-size guidance: binary payloads are large; pass a SMALL
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# real, dependency-free codecs: 24-bit BMP + PCM WAV
+# ---------------------------------------------------------------------------
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP bytes."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]                 # bottom-up, BGR
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP bytes → (h, w, 3) uint8 RGB; None when
+    the payload isn't such a BMP."""
+    if not payload or payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(payload) < offset + row_bytes * h:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=row_bytes * h, offset=offset).reshape(h, row_bytes)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples → PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV bytes → (float32 mono samples in [-1, 1], sample rate);
+    None when the payload isn't PCM WAV."""
+    import io
+    import wave
+
+    if not payload or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of an (h, w, c) array."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h // out_h), h - 1)
+    xi = np.minimum((np.arange(out_w) * w // out_w), w - 1)
+    return img[yi[:, None], xi[None, :]]
 
 IMAGE_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
@@ -56,30 +152,37 @@ class ImageDecodeStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t[self.payload_col].to_pylist()
-        if self._pil is not None:
-            import io
+        w: list = []
+        h: list = []
+        for p in payloads:
+            # REAL path 1: uncompressed 24-bit BMP — numpy, no deps
+            img = decode_bmp(p or b"")
+            if img is not None:
+                h.append(img.shape[0])
+                w.append(img.shape[1])
+                continue
+            # REAL path 2: PIL when available (not in this container)
+            if self._pil is not None:
+                import io
 
-            dims = []
-            for p in payloads:
                 try:
                     with self._pil.open(io.BytesIO(p)) as im:
-                        dims.append(im.size)
+                        w.append(im.size[0])
+                        h.append(im.size[1])
+                    continue
                 except Exception:
-                    dims.append((None, None))
-            w = [d[0] for d in dims]
-            h = [d[1] for d in dims]
-        else:
+                    w.append(None)
+                    h.append(None)
+                    continue
             if self.strict:
                 raise NotImplementedError(
-                    "image decode requires PIL, which is not installed; "
+                    "payload is not BMP and PIL is not installed; "
                     "run with strict=False for the deterministic stub")
             # STUB: deterministic fake dims from payload hash
-            w, h = [], []
-            for p in payloads:
-                hsh = int.from_bytes(
-                    hashlib.blake2b(p or b"", digest_size=4).digest(), "little")
-                w.append(64 + hsh % 512)
-                h.append(64 + (hsh >> 9) % 512)
+            hsh = int.from_bytes(
+                hashlib.blake2b(p or b"", digest_size=4).digest(), "little")
+            w.append(64 + hsh % 512)
+            h.append(64 + (hsh >> 9) % 512)
         t = t.append_column("decoded_width", pa.array(w, type=pa.int32()))
         t = t.append_column("decoded_height", pa.array(h, type=pa.int32()))
         return t
@@ -99,12 +202,25 @@ class ImageFeatureStage:
         self._model = None  # a real pipeline loads weights here
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        if self.strict and self._model is None:
-            raise NotImplementedError("no feature model available in this container")
-        feats = [
-            _fake_features(p or b"", self.dim).tolist()
-            for p in t[self.payload_col].to_pylist()
-        ]
+        feats = []
+        for p in t[self.payload_col].to_pylist():
+            img = decode_bmp(p or b"")
+            if img is not None:
+                # REAL features: grayscale thumbnail of exactly `dim`
+                # pixels, normalized to [0, 1]
+                side = max(int(np.sqrt(self.dim)), 1)
+                gray = img.mean(axis=2)
+                thumb = resize_nearest(gray[:, :, None], side, side)[:, :, 0]
+                v = np.zeros(self.dim, dtype=np.float32)
+                flat = (thumb.ravel() / 255.0).astype(np.float32)
+                v[:len(flat)] = flat[:self.dim]
+                feats.append(v.tolist())
+                continue
+            if self.strict and self._model is None:
+                raise NotImplementedError(
+                    "payload is not BMP and no feature model is available "
+                    "in this container")
+            feats.append(_fake_features(p or b"", self.dim).tolist())
         return t.append_column(
             "features", pa.array(feats, type=pa.list_(pa.float32())))
 
@@ -135,6 +251,125 @@ class FrameSampleStage:
             "frame_index": pa.array(idxs, type=pa.int32()),
             "frame_payload": pa.array(frames, type=pa.binary()),
         })
+
+
+class ImageResizeStage:
+    """Decoded-image resize: BMP payloads are REALLY decoded, resized
+    (vectorized nearest-neighbor) and re-encoded as BMP; non-BMP
+    payloads pass through unchanged (``strict=True`` raises instead).
+    Output columns: ``resized_payload``, ``resized_width/height``."""
+
+    def __init__(self, payload_col: str = "payload", out_w: int = 32,
+                 out_h: int = 32, strict: bool = False) -> None:
+        self.payload_col = payload_col
+        self.out_w = out_w
+        self.out_h = out_h
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        outs, ws, hs = [], [], []
+        for p in t[self.payload_col].to_pylist():
+            img = decode_bmp(p or b"")
+            if img is None:
+                if self.strict:
+                    raise NotImplementedError(
+                        "payload is not an uncompressed 24-bit BMP")
+                outs.append(p)
+                ws.append(None)
+                hs.append(None)
+                continue
+            resized = resize_nearest(img, self.out_h, self.out_w)
+            outs.append(encode_bmp(np.ascontiguousarray(resized)))
+            ws.append(self.out_w)
+            hs.append(self.out_h)
+        t = t.append_column("resized_payload", pa.array(outs, type=pa.binary()))
+        t = t.append_column("resized_width", pa.array(ws, type=pa.int32()))
+        return t.append_column("resized_height", pa.array(hs, type=pa.int32()))
+
+
+class AudioFeatureStage:
+    """PCM-WAV payloads → REAL per-clip features (numpy only):
+    duration_sec, rms, zero-crossing rate, spectral centroid (rFFT).
+    Non-WAV payloads: hash-seeded stub (or strict raise)."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False) -> None:
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dur, rms, zcr, cent = [], [], [], []
+        for p in t[self.payload_col].to_pylist():
+            decoded = decode_wav(p or b"")
+            if decoded is None:
+                if self.strict:
+                    raise NotImplementedError("payload is not PCM WAV")
+                hsh = int.from_bytes(
+                    hashlib.blake2b(p or b"", digest_size=8).digest(), "little")
+                r = np.random.default_rng(hsh)
+                dur.append(float(r.random()))
+                rms.append(float(r.random()))
+                zcr.append(float(r.random()))
+                cent.append(float(r.random() * 4000))
+                continue
+            x, rate = decoded
+            n = max(len(x), 1)
+            dur.append(n / rate)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x.astype(np.float64)))))) if len(x) > 1 else 0.0)
+            if len(x) > 1:
+                spec = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                tot = spec.sum()
+                cent.append(float((freqs * spec).sum() / tot) if tot > 0 else 0.0)
+            else:
+                cent.append(0.0)
+        for name, vals in [("duration_sec", dur), ("rms", rms),
+                           ("zcr", zcr), ("spectral_centroid", cent)]:
+            t = t.append_column(name, pa.array(vals, type=pa.float64()))
+        return t
+
+
+def synth_bmp_table(n: int = 32, seed: int = 3,
+                    max_side: int = 48) -> pa.Table:
+    """Deterministic REAL-BMP media table: every payload is a valid
+    uncompressed 24-bit BMP the decode/resize/feature stages process
+    for real — matches IMAGE_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs = [], [], []
+    for _ in range(n):
+        h = int(rng.integers(8, max_side))
+        w = int(rng.integers(8, max_side))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payloads.append(encode_bmp(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/bmp"] * n),
+        "width": pa.array(ws, type=pa.int32()),
+        "height": pa.array(hs, type=pa.int32()),
+    })
+
+
+def synth_wav_table(n: int = 16, seed: int = 4, rate: int = 8_000) -> pa.Table:
+    """Deterministic REAL-WAV table: sine clips of varying frequency and
+    length, decodable by AudioFeatureStage's stdlib path."""
+    rng = np.random.default_rng(seed)
+    payloads, durs = [], []
+    for _ in range(n):
+        dur = float(rng.uniform(0.05, 0.3))
+        freq = float(rng.uniform(100, 2000))
+        ts = np.arange(int(dur * rate)) / rate
+        samples = (np.sin(2 * np.pi * freq * ts) * 12_000).astype(np.int16)
+        payloads.append(encode_wav(samples, rate))
+        durs.append(dur)
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["audio/wav"] * n),
+        "duration_hint": pa.array(durs, type=pa.float64()),
+    })
 
 
 def synth_media_table(n: int = 64, seed: int = 3) -> pa.Table:

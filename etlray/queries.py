@@ -563,18 +563,21 @@ def asof_join_purchase_click(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (stub decode — no image libs in this container;
-# schema/actor-pool/batch-size plumbing is real; rows-only checks)
+# multimodal: REAL dependency-free decode (uncompressed 24-bit BMP via
+# numpy, PCM WAV via stdlib) on self-synthesized valid payloads;
+# strict=True so a silent fallback to the stub would fail the query
 # ---------------------------------------------------------------------------
 @register("multimodal_decode")
 def multimodal_decode(sf_dir: str):
     import ray.data
 
-    from etlray.functions.multimodal import ImageDecodeStage, synth_media_table
+    from etlray.functions.multimodal import ImageDecodeStage, synth_bmp_table
 
-    ds = ray.data.from_arrow(synth_media_table(256))
+    ds = ray.data.from_arrow(synth_bmp_table(256))
     # small batches: binary payloads are wide (memory-aware batching)
-    return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+    return ds.map_batches(ImageDecodeStage,
+                          fn_constructor_kwargs={"strict": True},
+                          batch_format="pyarrow",
                           batch_size=32, concurrency=2) \
         .select_columns(["media_id", "decoded_width", "decoded_height"])
 
@@ -583,12 +586,27 @@ def multimodal_decode(sf_dir: str):
 def multimodal_features(sf_dir: str):
     import ray.data
 
-    from etlray.functions.multimodal import ImageFeatureStage, synth_media_table
+    from etlray.functions.multimodal import ImageFeatureStage, synth_bmp_table
 
-    ds = ray.data.from_arrow(synth_media_table(256))
-    return ds.map_batches(ImageFeatureStage, fn_constructor_kwargs={"dim": 32},
+    ds = ray.data.from_arrow(synth_bmp_table(256))
+    return ds.map_batches(ImageFeatureStage,
+                          fn_constructor_kwargs={"dim": 32, "strict": True},
                           batch_format="pyarrow", batch_size=32, concurrency=2) \
         .select_columns(["media_id", "features"])
+
+
+@register("multimodal_audio_features")
+def multimodal_audio_features(sf_dir: str):
+    import ray.data
+
+    from etlray.functions.multimodal import AudioFeatureStage, synth_wav_table
+
+    ds = ray.data.from_arrow(synth_wav_table(128))
+    return ds.map_batches(AudioFeatureStage,
+                          fn_constructor_kwargs={"strict": True},
+                          batch_format="pyarrow", batch_size=32, concurrency=2) \
+        .select_columns(["media_id", "duration_sec", "rms", "zcr",
+                         "spectral_centroid"])
 
 
 @register("cdc_replay_flagship")
