@@ -136,10 +136,15 @@ def run_queries() -> dict[str, float]:
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         ds = fn(SF_DIR)
-        # consume fully (streaming) without driver materialization
+        # consume fully (streaming) without driver materialization;
+        # small-result queries may return an already-materialized
+        # pyarrow Table / pandas DataFrame (driver contract)
         n = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            n += b.num_rows
+        if hasattr(ds, "iter_batches"):
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+                n += b.num_rows
+        else:
+            n = getattr(ds, "num_rows", None) or len(ds)
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

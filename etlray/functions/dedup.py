@@ -33,38 +33,36 @@ from etlray.cdc.lww import lww_reduce
 # ---------------------------------------------------------------------------
 
 
-def _sha_col(arr) -> pa.Array:
-    return pa.array([None if v is None else
-                     hashlib.sha256(v.encode("utf-8")).hexdigest()
-                     for v in arr.to_pylist()], type=pa.string())
-
-
 def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
                 num_buckets: int = 32):
     """Keep, per distinct ``text_col`` value, the row with MIN
     ``order_col`` (deterministic keeper). Returns the surviving rows
-    with their original columns."""
+    with their original columns.
+
+    Grouping is by the CONTENT column itself (Arrow sort inside each
+    bucket — vectorized, zero collision risk); the shuffle bucket comes
+    from the vectorized SipHash in ``stable_bucket``, where a collision
+    merely co-buckets two texts. No per-row Python hashing anywhere."""
     neg = "__neg_order"
-    sha = "__text_sha"
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.append_column(sha, _sha_col(t[text_col]))
         t = t.append_column(neg, pc.negate_checked(
             pc.cast(t[order_col], pa.int64())))
-        # partial reduce: min order_col per sha within the batch
-        t = lww_reduce(t, [sha], neg)
-        return with_bucket(t, [sha], num_buckets)
+        # partial reduce: min order_col per text within the batch
+        t = lww_reduce(t, [text_col], neg)
+        return with_bucket(t, [text_col], num_buckets)
 
     pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
     def finalize(t: pa.Table) -> pa.Table:
-        t = lww_reduce(t, [sha], neg)
-        return t.drop_columns([c for c in (sha, neg, BUCKET_COL)
+        t = lww_reduce(t, [text_col], neg)
+        return t.drop_columns([c for c in (neg, BUCKET_COL)
                                if c in t.column_names])
 
     from etlray.exchange import hash_exchange
 
-    return hash_exchange(pre, [sha], num_buckets, finalize, bucket_col=BUCKET_COL)
+    return hash_exchange(pre, [text_col], num_buckets, finalize,
+                         bucket_col=BUCKET_COL)
 
 
 # ---------------------------------------------------------------------------
@@ -158,17 +156,28 @@ def minhash_lsh_candidates(
     jaccard_threshold: float = 0.8,
     exact_verify: bool = True,
     est_margin: float = 0.15,
+    shingle_fn=None,
+    per_doc_best: bool = False,
 ):
     """MinHash+LSH near-dup detection — signatures, not text, through
-    the shuffle.
+    the shuffle. Emits (id, dup_of, jaccard) with id > dup_of, one row
+    per detected pair — the same all-pairs contract as the exact
+    ``ngram_jaccard_pairs`` baseline, which oracles this operator at
+    small scale. ``per_doc_best=True`` instead keeps one best keeper
+    row per doc (O(docs) output even when a dup class is huge — the
+    100 TB mode).
 
     Pipeline: per-batch signatures → explode to one row per (band,
     band_hash, doc) carrying ONLY (ids, band key, 8·num_perm-byte
     signature) → groupby band bucket → full pairwise signature-match
-    Jaccard ESTIMATE within each bucket (every co-bucketed pair is
-    checked, not just pairs with the bucket's first doc) → per-doc best
-    candidate → optional EXACT n-gram Jaccard re-check that fetches
-    text for the surviving ~0.1% only.
+    Jaccard ESTIMATE within each bucket (identical-signature classes
+    collapsed, then expanded, so every co-bucketed pair is covered) →
+    per-pair dedupe across bands → optional EXACT n-gram Jaccard
+    re-check that fetches text for the surviving ~0.1% only
+    (``shingle_fn`` defaults to ``codepoint_shingles`` — SQL
+    ``substring`` semantics, so the DuckDB oracle recomputes identical
+    jaccard values; pass ``char_shingles`` for the byte-windowed
+    variant).
 
     At 100 TB the old design shuffled the corpus ×bands (text
     duplicated in every band row — a 1.6 PB exchange at 16 bands);
@@ -186,6 +195,8 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm)
     sig_bytes = 8 * num_perm
+    if shingle_fn is None:
+        shingle_fn = codepoint_shingles
 
     def sigs(t: pa.Table) -> pa.Table:
         ids = [i for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist())
@@ -232,42 +243,53 @@ def minhash_lsh_candidates(
         mat = np.frombuffer(b"".join(g["__sig"]), dtype=np.uint64) \
             .reshape(n, num_perm)
         ids = g[id_col].to_numpy()
-        # collapse identical signatures first: each doc pairs with the
-        # first (min-id) doc of its signature class at estimate 1.0 —
-        # an exact-dup-heavy bucket (thousands of identical docs) would
-        # otherwise cost O(n²·m) here
+        # collapse identical signatures into classes — an exact-dup-heavy
+        # bucket (thousands of identical docs) would otherwise cost
+        # O(n²·m) in the estimate. Qualifying class pairs are expanded
+        # back to member pairs, so the output contract is "EVERY
+        # co-bucketed pair with signature-estimate ≥ est_threshold"
+        # (the same all-pairs contract as the exact ngram_jaccard_pairs
+        # baseline — which makes the DuckDB oracle comparable).
         uniq, inv = np.unique(mat, axis=0, return_inverse=True)
-        firsts = np.full(len(uniq), n, dtype=np.int64)
-        np.minimum.at(firsts, inv, np.arange(n))
-        pos = np.arange(n)
-        dup = pos != firsts[inv]
-        frames = []
-        if dup.any():
-            frames.append(pd.DataFrame({
-                id_col: ids[dup], "dup_of": ids[firsts[inv[dup]]],
-                "jaccard": np.ones(int(dup.sum()))}))
-        # pairwise between the unique representatives, chunked so the
-        # broadcast equality tensor stays ≤ ~chunk·u·m bytes
-        rep = mat[firsts]
-        rep_ids = ids[firsts]
-        u = len(rep)
+        order = np.argsort(inv, kind="stable")
+        members = ids[order]                   # ids grouped by class
+        counts = np.bincount(inv)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        u = len(uniq)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
+        # within-class: every pair of identical-signature docs, est 1.0
+        for x in np.flatnonzero(counts >= 2):
+            m = members[starts[x]:starts[x] + counts[x]]
+            ii, jj = np.triu_indices(len(m), k=1)
+            a, b = m[ii], m[jj]
+            out_a.append(np.maximum(a, b))
+            out_b.append(np.minimum(a, b))
+            out_j.append(np.ones(len(a)))
+        # cross-class: chunked pairwise estimate between representatives
+        # (tensor stays ≤ ~chunk·u·m bytes); a qualifying class pair
+        # expands to all |X|·|Y| member cross pairs — every member of a
+        # class shares the estimate, so no estimate is recomputed
         for lo in range(0, u, 64):
             hi = min(lo + 64, u)
-            eq = (rep[lo:hi, None, :] == rep[None, :, :]).mean(axis=2)
+            eq = (uniq[lo:hi, None, :] == uniq[None, :, :]).mean(axis=2)
             rr, cc = np.where(eq >= est_threshold)
-            keep = cc > (rr + lo)  # each unordered pair once
-            rr, cc = rr[keep], cc[keep]
-            if len(rr):
-                a, b = rep_ids[rr + lo], rep_ids[cc]
-                # rep order is np.unique's signature order, not id order:
-                # normalize so the LARGER id is the dup pointing at the
-                # smaller keeper (same convention as the exact-dup path)
-                frames.append(pd.DataFrame({
-                    id_col: np.maximum(a, b), "dup_of": np.minimum(a, b),
-                    "jaccard": eq[rr, cc].astype(float)}))
-        if not frames:
+            keep = cc > (rr + lo)  # each unordered class pair once
+            for r, c in zip(rr[keep], cc[keep]):
+                x, y = r + lo, c
+                mx = members[starts[x]:starts[x] + counts[x]]
+                my = members[starts[y]:starts[y] + counts[y]]
+                a = np.repeat(mx, len(my))
+                b = np.tile(my, len(mx))
+                out_a.append(np.maximum(a, b))
+                out_b.append(np.minimum(a, b))
+                out_j.append(np.full(len(a), eq[r, c], dtype=float))
+        if not out_a:
             return None
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({id_col: np.concatenate(out_a),
+                             "dup_of": np.concatenate(out_b),
+                             "jaccard": np.concatenate(out_j)})
 
     # many tiny (band, band_hash) groups → one hash_exchange bucket holds
     # thousands of them; the per-group python work happens in-process
@@ -307,20 +329,33 @@ def minhash_lsh_candidates(
     pairs = hash_exchange(exploded, ["band_hash"], 16, verify_bucket,
                           bucket_col=None)
 
-    # a pair can surface from several bands — keep max-jaccard row per doc
+    # a pair can surface from several band buckets (with the identical
+    # estimate — it is a function of the two signatures) — keep one row
+    # per unordered pair
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        t = lww_reduce(t, [id_col, "dup_of"], "jaccard") if t.num_rows else t
+        return t.drop_columns([c for c in (BUCKET_COL,) if c in t.column_names])
+
+    cand = hash_exchange(pairs, [id_col, "dup_of"], 8, uniq_pairs,
+                         bucket_col=None)
+    if exact_verify:
+        cand = _exact_verify_pairs(cand, ds, text_col, id_col, shingle_k,
+                                   jaccard_threshold, shingle_fn=shingle_fn)
+    if not per_doc_best:
+        return cand
+
+    # scale mode: one best (max-jaccard) keeper row per doc — O(docs)
+    # output even when a dup class is huge
     def best_per_doc(t: pa.Table) -> pa.Table:
         t = lww_reduce(t, [id_col], "jaccard") if t.num_rows else t
         return t.drop_columns([c for c in (BUCKET_COL,) if c in t.column_names])
 
-    cand = hash_exchange(pairs, [id_col], 8, best_per_doc, bucket_col=None)
-    if not exact_verify:
-        return cand
-    return _exact_verify_pairs(cand, ds, text_col, id_col, shingle_k,
-                               jaccard_threshold)
+    return hash_exchange(cand, [id_col], 8, best_per_doc, bucket_col=None)
 
 
 def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
-                        shingle_k: int, jaccard_threshold: float):
+                        shingle_k: int, jaccard_threshold: float,
+                        shingle_fn=None):
     """Re-check candidate pairs with EXACT shingle Jaccard, fetching
     text only for candidate docs (assumed ≪ corpus): candidate ids are
     broadcast once via ray.put, the corpus is filtered down to those
@@ -329,6 +364,8 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
     import ray
     import ray.data
 
+    if shingle_fn is None:
+        shingle_fn = codepoint_shingles
     tables = ray.get(cand.to_arrow_refs())
     empty = pa.table({id_col: pa.array([], type=pa.int64()),
                       "dup_of": pa.array([], type=pa.int64()),
@@ -360,7 +397,7 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
 
         def sh(i):
             if i not in shingle_cache:
-                shingle_cache[i] = char_shingles(lookup.get(i) or "", shingle_k)
+                shingle_cache[i] = shingle_fn(lookup.get(i) or "", shingle_k)
             return shingle_cache[i]
 
         out_id, out_dup, out_j = [], [], []
@@ -527,21 +564,44 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_TOKEN_MD5_CACHE: dict[str, int] = {}
+
+
+def _md5_token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """md5-lower-64 per UNIQUE token (little-endian uint64 of md5
+    digest bytes [8:16] — bit-identical to DuckDB's
+    ``md5_number_lower(t)::UBIGINT``, which is what lets a SQL oracle
+    recompute the exact same SimHash). Vocabulary ≪ corpus, so the
+    per-unique-token Python md5 amortizes to ~0 via a process-level
+    cache that persists across batches in each worker."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_MD5_CACHE
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                               "little")
+            if len(cache) < 4_000_000:      # bound worker memory
+                cache[t] = v
+        out[i] = v
+    return out
+
+
 def simhash64_batch(texts: list) -> list:
     """64-bit SimHash over word tokens (weight 1 each), vectorized over
-    a whole batch: ONE SipHash pass over every token of every doc
-    (pd.util.hash_array, C loop), one (tokens × 64) ±1 bit matrix, and
+    a whole batch: factorize every token of every doc (C loop), one md5
+    per NEW unique token (cached), one (tokens × 64) ±1 bit matrix, and
     per-doc column sums via np.add.reduceat at the doc boundaries — no
-    per-token Python. Returns int64-or-None per doc (None for null docs;
-    empty docs hash to 0, matching the old per-token accumulator)."""
+    per-token Python in the hot path. Returns int64-or-None per doc
+    (None for null docs; empty docs hash to 0)."""
     tok_lists = [None if t is None else t.lower().split() for t in texts]
     counts = np.array([0 if tl is None else len(tl) for tl in tok_lists],
                       dtype=np.int64)
     all_toks = [tok for tl in tok_lists if tl for tok in tl]
     out = np.zeros(len(texts), dtype=np.uint64)
     if all_toks:
-        h = pd.util.hash_array(np.array(all_toks, dtype=object),
-                               hash_key="etlray_simhash01")  # 16-byte key
+        codes, uniques = pd.factorize(np.array(all_toks, dtype=object))
+        h = _md5_token_hashes(np.asarray(uniques, dtype=object))[codes]
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)) \
             .astype(np.int32)
         contrib = bits * 2 - 1                      # ±1 per (token, bit)

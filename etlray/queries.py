@@ -382,8 +382,37 @@ def ann_brute_topk(sf_dir: str):
     return out.map_batches(round3, batch_format="pyarrow")
 
 
-# rows-only checks (non-SQL-expressible; correctness gates in tests/)
-@register("minhash_near_dups")
+# MinHash-LSH with exact verify emits the all-pairs contract of the
+# exact shingle-Jaccard self-join, so the exact SQL baseline IS its
+# oracle: precision is exact by construction (survivors are re-checked
+# with true codepoint-shingle Jaccard), recall is the LSH guarantee
+# (P(miss) ≈ (1-J^r)^bands ≤ 2e-4 at J=0.8 with r=4, b=16 — and the
+# seeded pipeline is deterministic, so a verified-equal fixture stays
+# equal). At 100 TB use per_doc_best=True (O(docs) output).
+_MINHASH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS s
+  FROM d, LATERAL unnest(range(1, greatest(length(norm) - 3, 2))) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT ib AS doc_id, ia AS dup_of,
+       c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+@register("minhash_near_dups", _MINHASH_SQL)
 def minhash_near_dups(sf_dir: str):
     from etlray.functions.dedup import minhash_lsh_candidates
 
@@ -391,7 +420,32 @@ def minhash_near_dups(sf_dir: str):
     return minhash_lsh_candidates(ds, jaccard_threshold=0.8)
 
 
-@register("simhash_dups")
+# the SQL recomputes the EXACT SimHash: md5_number_lower is bit-equal
+# to the engine's per-token md5-lower-64 (dedup._md5_token_hashes), the
+# ±1 bit sums and sign threshold mirror simhash64_batch, and docs are
+# grouped by the 64-bit sign pattern
+_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents WHERE text IS NOT NULL
+), bits AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN ((md5_number_lower(t)::UBIGINT >> b) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b
+), sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS sg
+  FROM bits GROUP BY doc_id
+), g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sg) AS dup_of FROM sig
+)
+SELECT doc_id, dup_of FROM g WHERE doc_id <> dup_of
+"""
+
+
+@register("simhash_dups", _SIMHASH_SQL)
 def simhash_dups(sf_dir: str):
     from etlray.functions.dedup import simhash_dup_groups
 
@@ -399,12 +453,35 @@ def simhash_dups(sf_dir: str):
     return simhash_dup_groups(ds)
 
 
-@register("embedding_near_dups")
+# in-bucket pairs are checked with EXACT cosine ≥ threshold, so
+# precision is exact by construction; the brute-force SQL is the recall
+# oracle (LSH: near-identical vectors agree on every hyperplane w.h.p.,
+# and the seeded pipeline is deterministic on a given fixture)
+@register(
+    "embedding_near_dups",
+    """
+    SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+           round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
 def embedding_near_dups_q(sf_dir: str):
+    import ray
+
     from etlray.functions.dedup import embedding_near_dups
 
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
-    return embedding_near_dups(ds, cosine_threshold=0.95)
+    out = embedding_near_dups(ds, cosine_threshold=0.95)
+
+    def round3(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("cosine")
+        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
+    # near-dup pairs ≪ corpus by contract → gather to one Arrow table
+    # (Ray's to_pandas() drops the schema of an all-empty Dataset,
+    # which would break the driver's column compare on 0-pair fixtures)
+    parts = [round3(t) for t in ray.get(out.to_arrow_refs())]
+    return pa.concat_tables(parts, promote_options="permissive")
 
 
 # language-ID heuristic: Arrow's regex engine is RE2 and so is DuckDB's,
