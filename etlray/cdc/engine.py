@@ -36,6 +36,7 @@ import os
 from typing import Mapping, Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from etlray.cdc.apply import APPLIED_COL, BUCKET_COL, stable_bucket
@@ -77,12 +78,14 @@ class CDCEngine:
         (/root/reference/src/extract/delta.rs:37-148). ``columns`` /
         ``predicate`` push into the parquet scan.
 
-        Each distinct file is read filtered to the buckets the manifest
-        assigns to it: after a compaction, a shared group file may hold
-        rows for a bucket that a LATER epoch rewrote elsewhere — those
-        stale rows must not surface. For never-compacted tables every
-        file holds exactly its own bucket and the filter passes all rows
-        (row-group stats make it ~free)."""
+        A file that holds exactly its one assigned bucket (the layout
+        the per-bucket writers produce, ``bucket_id=<b>/part-0.parquet``)
+        needs no filter — ALL such files go through ONE ``read_parquet``
+        call (a union of per-file Datasets costs ~0.5 s of executor
+        setup PER FILE, pathological at hundreds of buckets). Only
+        shared compaction group files need a per-file bucket filter:
+        a bucket a LATER epoch rewrote out of the group must not
+        surface stale rows."""
         import pyarrow.dataset as pads
         import ray.data
 
@@ -94,22 +97,37 @@ class CDCEngine:
         by_path: dict[str, list[int]] = {}
         for b, p in sorted(files.items()):
             by_path.setdefault(p, []).append(b)
+        kw: dict = {}
+        if columns:
+            kw["columns"] = list(columns)
+        plain: list[str] = []
         parts = []
         for path in sorted(by_path):
-            expr = pads.field(BUCKET_COL).isin(by_path[path])
-            if predicate is not None:
-                expr = expr & predicate
-            kw: dict = {"filter": expr}
-            if columns:
-                kw["columns"] = list(columns)
-            parts.append(ray.data.read_parquet(path, **kw))
+            bs = by_path[path]
+            holds_one = (os.path.basename(os.path.dirname(path))
+                         == f"bucket_id={bs[0]}")
+            if holds_one and len(bs) == 1:
+                plain.append(path)
+            else:
+                expr = pads.field(BUCKET_COL).isin(bs)
+                if predicate is not None:
+                    expr = expr & predicate
+                parts.append(ray.data.read_parquet(path, filter=expr, **kw))
+        if plain:
+            parts.insert(0, ray.data.read_parquet(
+                plain, filter=predicate, **kw) if predicate is not None
+                else ray.data.read_parquet(plain, **kw))
         ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-        if not with_internal_cols:
+        if with_internal_cols:
+            return ds
+
+        def strip(t: pa.Table) -> pa.Table:
             drop = [c for c in (APPLIED_COL, BUCKET_COL)
-                    if c in ds.schema().names]
-            if drop:
-                ds = ds.drop_columns(drop)
-        return ds
+                    if c in t.column_names]
+            return t.drop_columns(drop) if drop else t
+
+        return ds.map_batches(strip, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     # ------------------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -182,19 +200,24 @@ class CDCEngine:
         os.makedirs(snap_dir, exist_ok=True)
 
         @ray.remote
-        def merge_group(out_path: str, group: list[int], *paths: str) -> int:
+        def merge_group(out_path: str, owned: list[list[int]], *paths: str) -> int:
             import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
-            tables = [_pq.read_table(p) for p in paths]
+            # filter EACH source to the buckets it is assigned within
+            # this group: an old group file may still physically hold
+            # rows of a bucket that a later epoch rewrote into another
+            # source — filtering the concatenation by group membership
+            # alone would let those stale rows duplicate the fresh ones
+            tables = []
+            for p, bs in zip(paths, owned):
+                t = _pq.read_table(p)
+                if BUCKET_COL in t.column_names:
+                    t = t.filter(_pc.is_in(
+                        t[BUCKET_COL],
+                        value_set=pa.array(bs, type=t[BUCKET_COL].type)))
+                tables.append(t)
             merged = pa.concat_tables(tables, promote_options="permissive")
-            if BUCKET_COL in merged.column_names:
-                # a source file may also hold buckets OUTSIDE this group
-                # (earlier compaction with a different grouping) — keep
-                # only ours so no row lands in two output files
-                merged = merged.filter(_pc.is_in(
-                    merged[BUCKET_COL],
-                    value_set=pa.array(group, type=merged[BUCKET_COL].type)))
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             _pq.write_table(merged, out_path)
             return merged.num_rows
@@ -206,10 +229,15 @@ class CDCEngine:
             group = buckets[gi:gi + group_size]
             rel = os.path.join(f"snap-{epoch_id}", f"group-{gi // group_size}",
                                "part-0.parquet")
-            # one file may back several buckets already — dedupe inputs
-            srcs = sorted({files[b] for b in group})
+            # one file may back several buckets already — dedupe inputs,
+            # remembering which of the group's buckets each source owns
+            src_buckets: dict[str, list[int]] = {}
+            for b in group:
+                src_buckets.setdefault(files[b], []).append(b)
+            srcs = sorted(src_buckets)
             refs.append(merge_group.remote(
-                os.path.join(self.table_dir, rel), list(group), *srcs))
+                os.path.join(self.table_dir, rel),
+                [src_buckets[s] for s in srcs], *srcs))
             for b in group:
                 new_files[b] = rel
         rows = sum(ray.get(refs))

@@ -111,3 +111,24 @@ def test_compact_then_vacuum_roundtrip(engine):
     after = engine.read_snapshot().to_pandas().sort_values(
         ["repo", "path"]).reset_index(drop=True)
     assert before.equals(after)
+
+
+def test_recompact_after_bucket_rewrite_drops_stale_rows(engine):
+    """compact → rewrite some buckets → compact AGAIN: the second
+    compaction reads a mix of shared group files (holding now-stale
+    rows for the rewritten buckets) and fresh per-bucket files; each
+    source must contribute only the buckets it is ASSIGNED, else the
+    stale rows duplicate the fresh ones."""
+    import ray.data
+
+    engine.compact(epoch_id="c1", group_size=8)   # all buckets share 1 file
+    engine.apply_log(ray.data.from_arrow(_mk_events(25, 10_000)),
+                     epoch_id="rewrite")          # rewrites several buckets
+    expect = engine.read_snapshot().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    res = engine.compact(epoch_id="c2", group_size=4)
+    assert res["committed"]
+    after = engine.read_snapshot().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert not after.duplicated(subset=["repo", "path"]).any()
+    assert expect.equals(after)
