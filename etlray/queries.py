@@ -639,6 +639,56 @@ def asof_join_purchase_click(sf_dir: str):
     return SelectColumnsTransform(["event_id", "user_id", "ts", "click_ts"]).apply(ds)
 
 
+@register(
+    "interval_join_click_before_purchase",
+    """
+    SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+           c.event_id AS event_id_r, c.ts AS ts_r
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def interval_join_click_before_purchase(sf_dir: str):
+    import numpy as np
+
+    from etlray.stages import IntervalJoinTransform
+
+    purchases = _pq(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"],
+                    filter=(pc.field("event_type") == "purchase")).read() \
+        .drop_columns(["event_type"])
+    clicks = _pq(sf_dir, "events",
+                 columns=["event_id", "user_id", "ts", "event_type"],
+                 filter=(pc.field("event_type") == "click")).read() \
+        .drop_columns(["event_type"])
+    return IntervalJoinTransform(
+        clicks, on="ts", by="user_id",
+        lower=np.timedelta64(-3600, "s"), upper=np.timedelta64(0, "s"),
+        suffix="_r").apply(purchases)
+
+
+@register(
+    "topk_events_per_type",
+    """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def topk_events_per_type(sf_dir: str):
+    from etlray.stages import TopKPerGroupTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type", "value"]).read()
+    return TopKPerGroupTransform(
+        "event_type", [("value", True), ("event_id", False)], k=3).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # multimodal: REAL dependency-free decode (uncompressed 24-bit BMP via
 # numpy, PCM WAV via stdlib) on self-synthesized valid payloads;

@@ -312,6 +312,67 @@ class DistinctTransform(Transform):
         return hash_exchange(pre, cols, 8, bucket_distinct, bucket_col=None)
 
 
+class TopKPerGroupTransform(Transform):
+    """Top-k rows per group under a total order — the windowed
+    ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...) <= k`` pattern
+    (a custom operator Ray Data lacks; the SQL window function is the
+    oracle). ``order_by`` is a list of (column, descending) pairs and
+    must be a TOTAL order (add a unique tie-break column) for
+    deterministic output.
+
+    Scale shape: per-batch PARTIAL top-k first (each block keeps at
+    most k rows per group it sees), so the shuffle carries ≤ k·groups
+    rows per block regardless of input size; one hash exchange on the
+    group keys, then the same vectorized rank-mask per bucket."""
+
+    def __init__(self, group_by: str | Sequence[str],
+                 order_by: Sequence[tuple],
+                 k: int) -> None:
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.order_by = [(c, bool(d)) for c, d in order_by]
+        self.k = int(k)
+
+    def _topk(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        if t.num_rows == 0:
+            return t
+        gb, k = self.group_by, self.k
+        sort_keys = [(c, "ascending") for c in gb] + \
+            [(c, "descending" if d else "ascending") for c, d in self.order_by]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        # vectorized per-group rank: positions since the last group
+        # change (a row starts a new group when ANY key column differs)
+        change = np.zeros(t.num_rows, dtype=bool)
+        for c in gb:
+            v = t[c].to_numpy(zero_copy_only=False)
+            if t.num_rows > 1:
+                neq = v[1:] != v[:-1]
+                # nulls: a run of nulls is one group (NaN != NaN is True)
+                both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
+                change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+        change[0] = True
+        starts = np.flatnonzero(change)
+        rank = np.arange(t.num_rows) - np.repeat(
+            starts, np.diff(np.append(starts, t.num_rows)))
+        return t.filter(pa.array(rank < k))
+
+    def apply(self, ds):
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        pre = ds.map_batches(self._topk, **self._mb_kwargs())
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            return self._topk(t)
+
+        return hash_exchange(pre, self.group_by, 8, reduce_bucket,
+                             bucket_col=None)
+
+
 class UnionTransform(Transform):
     """Append other datasets (bag semantics, like SQL UNION ALL)."""
 

@@ -418,3 +418,135 @@ class AsofJoinTransform(Transform):
             return pa.Table.from_arrays(cols, schema=out_schema)
 
         return hash_exchange(both, by, nb, asof_bucket, bucket_col=None)
+
+
+class IntervalJoinTransform(Transform):
+    """Range (interval) join — a custom operator Ray Data lacks
+    (SURVEY.md custom-operators category; DuckDB's range predicate is
+    the oracle): emit every (L, R) pair sharing the ``by`` key with
+    ``R[on] ∈ [L[on] + lower, L[on] + upper]`` (inclusive bounds).
+
+    Physical plan: tag + conform both sides to a union schema, ONE
+    hash_exchange on the ``by`` keys, then per bucket a vectorized
+    per-key sweep — right side sorted by time once, each key group's
+    matches found with two ``np.searchsorted`` calls over the LEFT
+    rows of that group, pairs materialized with the segmented-arange
+    trick (O(output), no candidate cross-product). Partitioning
+    assumption: all rows of a ``by`` key land in one bucket
+    (guaranteed by the exchange); a pathologically hot key bounds a
+    bucket's output at |L_key|·|R_key| — the inherent output size of
+    the join — so salt hot keys upstream if that product is huge.
+    """
+
+    def __init__(self, right, on: str, by: str | Sequence[str],
+                 lower, upper, suffix: str = "_r",
+                 num_buckets: int | None = None) -> None:
+        self.right = right
+        self.on = on
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.lower = lower
+        self.upper = upper
+        self.suffix = suffix
+        self.num_buckets = num_buckets
+
+    def apply(self, ds):
+        import numpy as np
+        import pandas as pd
+
+        from etlray.exchange import hash_exchange
+
+        right = self.right.read() if hasattr(self.right, "read") else self.right
+        nb = self.num_buckets
+        if nb is None:
+            import ray
+
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            nb = max(ncpu, 8)
+
+        ls, rs = ds.schema(), right.schema()
+        on, by, suffix = self.on, self.by, self.suffix
+        lower, upper = self.lower, self.upper
+        shared = set(ls.names) & set(rs.names)
+        rmap = {n: (n + suffix if (n in shared and n not in by) else n)
+                for n in rs.names}
+        lcols = list(ls.names)
+        rcols = [rmap[n] for n in rs.names]
+        ron = rmap[on]
+        union_names = lcols + [c for c in rcols if c not in lcols] + ["__side"]
+        ltypes = dict(zip(ls.names, ls.types))
+        rtypes = {rmap[n]: t for n, t in zip(rs.names, rs.types)}
+
+        def conform(side):
+            def fn(t: pa.Table) -> pa.Table:
+                if side == 1:
+                    t = t.rename_columns([rmap.get(c, c) for c in t.column_names])
+                arrays, fields = [], []
+                for name in union_names:
+                    if name == "__side":
+                        arrays.append(pa.array([side] * t.num_rows, type=pa.int8()))
+                        fields.append(pa.field(name, pa.int8()))
+                    elif name in t.column_names:
+                        c = t[name]
+                        arrays.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+                        fields.append(pa.field(name, c.type))
+                    else:
+                        typ = ltypes.get(name, rtypes.get(name))
+                        arrays.append(pa.nulls(t.num_rows, type=typ))
+                        fields.append(pa.field(name, typ))
+                return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+            return fn
+
+        both = ds.map_batches(conform(0), batch_format="pyarrow", zero_copy_batch=True) \
+            .union(right.map_batches(conform(1), batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+        out_fields = [pa.field(n, ltypes[n]) for n in lcols]
+        out_fields += [pa.field(c, rtypes[c]) for c in rcols if c not in lcols]
+        out_schema = pa.schema(out_fields)
+
+        def interval_bucket(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            df = t.to_pandas()
+            left = df[df["__side"] == 0]
+            rt = df[df["__side"] == 1].sort_values(by + [ron], kind="stable")
+            frames = []
+            if len(left) and len(rt):
+                r_groups = {k: g for k, g in rt.groupby(by, sort=False, dropna=True)}
+                for k, lg in left.groupby(by, sort=False, dropna=True):
+                    rg = r_groups.get(k)
+                    if rg is None:
+                        continue
+                    l_on = lg[on].to_numpy()
+                    r_on = rg[ron].to_numpy()
+                    lo = np.searchsorted(r_on, l_on + lower, side="left")
+                    hi = np.searchsorted(r_on, l_on + upper, side="right")
+                    counts = hi - lo
+                    total = int(counts.sum())
+                    if total == 0:
+                        continue
+                    reps = np.repeat(np.arange(len(lg)), counts)
+                    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                    within = np.arange(total) - np.repeat(offs, counts)
+                    ridx = lo[reps] + within
+                    lt = lg.iloc[reps][lcols].reset_index(drop=True)
+                    rcols_only = [c for c in rcols if c not in lcols]
+                    rtab = rg.iloc[ridx][rcols_only].reset_index(drop=True)
+                    frames.append(pd.concat([lt, rtab], axis=1))
+            merged = (pd.concat(frames, ignore_index=True) if frames
+                      else pd.DataFrame(columns=[f.name for f in out_schema]))
+            raw = pa.Table.from_pandas(merged, preserve_index=False)
+            cols = []
+            for f in out_schema:
+                if f.name in raw.column_names:
+                    c = raw[f.name]
+                    if isinstance(c, pa.ChunkedArray):
+                        c = c.combine_chunks()
+                    if not c.type.equals(f.type):
+                        c = _pc.cast(c, f.type, safe=False)
+                else:
+                    c = pa.nulls(raw.num_rows, type=f.type)
+                cols.append(c)
+            return pa.Table.from_arrays(cols, schema=out_schema)
+
+        return hash_exchange(both, by, nb, interval_bucket, bucket_col=None)

@@ -1,0 +1,84 @@
+"""IntervalJoinTransform (range join) and TopKPerGroupTransform
+(windowed rank) — custom operators Ray Data lacks; DuckDB range
+predicates / window functions are the conformance oracle
+(scripts/check_oracles.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from etlray.sources import MemorySource
+from etlray.stages import IntervalJoinTransform, TopKPerGroupTransform
+
+
+@pytest.fixture()
+def sides():
+    left = MemorySource([
+        {"lid": 1, "k": "a", "t": 100},
+        {"lid": 2, "k": "a", "t": 200},
+        {"lid": 3, "k": "b", "t": 100},
+        {"lid": 4, "k": "c", "t": 50},
+    ]).read()
+    right = MemorySource([
+        {"rid": 10, "k": "a", "t": 95},    # in [90, 100] of lid 1
+        {"rid": 11, "k": "a", "t": 100},   # inclusive upper of lid 1
+        {"rid": 12, "k": "a", "t": 189},   # just below lid 2's window
+        {"rid": 13, "k": "b", "t": 100},   # same key b, exact
+        {"rid": 14, "k": "z", "t": 100},   # key never matches
+    ]).read()
+    return left, right
+
+
+def test_interval_join_inclusive_bounds(sides, ray_session):
+    left, right = sides
+    out = IntervalJoinTransform(right, on="t", by="k",
+                                lower=-10, upper=0).apply(left).take_all()
+    got = {(r["lid"], r["rid"]) for r in out}
+    assert got == {(1, 10), (1, 11), (3, 13)}
+    # joined rows carry both sides' columns, right side suffixed
+    row = next(r for r in out if r["rid"] == 10)
+    assert row["t"] == 100 and row["t_r"] == 95 and row["k"] == "a"
+
+
+def test_interval_join_empty_window(sides, ray_session):
+    left, right = sides
+    out = IntervalJoinTransform(right, on="t", by="k",
+                                lower=1, upper=2).apply(left).take_all()
+    assert out == []
+
+
+def test_topk_per_group_with_ties(ray_session):
+    rows = [{"g": "x", "v": 5.0, "id": 1}, {"g": "x", "v": 5.0, "id": 2},
+            {"g": "x", "v": 4.0, "id": 3}, {"g": "x", "v": 9.0, "id": 4},
+            {"g": "y", "v": 1.0, "id": 5}]
+    ds = MemorySource(rows).read()
+    out = TopKPerGroupTransform("g", [("v", True), ("id", False)], k=2) \
+        .apply(ds).take_all()
+    got = {(r["g"], r["id"]) for r in out}
+    # x: 9.0 (id 4) then the 5.0 tie broken by min id (id 1); y: all of it
+    assert got == {("x", 4), ("x", 1), ("y", 5)}
+
+
+def test_topk_partial_prefilter_safe_across_blocks(ray_session):
+    # the per-block partial keeps k rows per group per block; the final
+    # reduce must still pick the global top-k across blocks
+    import ray.data
+
+    t1 = pa.table({"g": ["a"] * 4, "v": [1.0, 2.0, 3.0, 4.0],
+                   "id": [1, 2, 3, 4]})
+    t2 = pa.table({"g": ["a"] * 4, "v": [10.0, 20.0, 30.0, 40.0],
+                   "id": [5, 6, 7, 8]})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    out = TopKPerGroupTransform("g", [("v", True), ("id", False)], k=3) \
+        .apply(ds).take_all()
+    assert sorted(r["id"] for r in out) == [6, 7, 8]
+
+
+def test_topk_null_group_key_kept(ray_session):
+    rows = [{"g": None, "v": 2.0, "id": 1}, {"g": None, "v": 3.0, "id": 2},
+            {"g": "a", "v": 1.0, "id": 3}]
+    ds = MemorySource(rows).read()
+    out = TopKPerGroupTransform("g", [("v", True), ("id", False)], k=1) \
+        .apply(ds).take_all()
+    got = {(r["g"], r["id"]) for r in out}
+    assert got == {(None, 2), ("a", 3)}
