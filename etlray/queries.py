@@ -672,6 +672,55 @@ def interval_join_click_before_purchase(sf_dir: str):
 
 
 @register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'error')
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(sf_dir: str):
+    from etlray.stages import PivotTransform
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"]).read()
+    return PivotTransform("user_id", "event_type",
+                          values=["click", "view", "purchase", "error"]).apply(ds)
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER win IS NULL
+                  OR ts - lag(ts) OVER win > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+    FROM w
+    """,
+)
+def sessionize_events(sf_dir: str):
+    import numpy as np
+
+    from etlray.stages import SessionizeTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"]).read()
+    return SessionizeTransform(
+        "ts", "user_id", gap=np.timedelta64(30, "m"),
+        order_tiebreak="event_id").apply(ds)
+
+
+@register(
     "topk_events_per_type",
     """
     SELECT event_id, user_id, ts, event_type, value FROM (

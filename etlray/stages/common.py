@@ -373,6 +373,146 @@ class TopKPerGroupTransform(Transform):
                              bucket_col=None)
 
 
+class SessionizeTransform(Transform):
+    """Gap-based session windows per key — the streaming sessionization
+    primitive (a custom operator Ray Data lacks; the SQL
+    lag()/cumulative-sum window pattern is the oracle). Appends
+    ``session_idx`` (1-based per key): a new session starts when the
+    time since the key's previous event exceeds ``gap``.
+
+    Scale shape: ONE hash exchange on the key columns (all rows of a
+    key in one bucket), then a fully vectorized per-bucket pass — sort
+    by (key, ts, tie-break), diff, cumulative sum segmented at key
+    boundaries. ``order_tiebreak`` must make the order total for
+    deterministic session numbering when timestamps collide."""
+
+    def __init__(self, ts_col: str, by: str | Sequence[str], gap,
+                 order_tiebreak: str | None = None,
+                 out_col: str = "session_idx") -> None:
+        self.ts_col = ts_col
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.gap = gap
+        self.order_tiebreak = order_tiebreak
+        self.out_col = out_col
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        ts_col, by, gap, out_col = self.ts_col, self.by, self.gap, self.out_col
+        tie = self.order_tiebreak
+
+        def sessionize_bucket(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            if t.num_rows == 0:
+                return t.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+            sort_keys = [(c, "ascending") for c in by] + \
+                [(ts_col, "ascending")] + \
+                ([(tie, "ascending")] if tie else [])
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+            # key-change mask (any key column differs from previous row)
+            change = np.zeros(t.num_rows, dtype=bool)
+            for c in by:
+                v = t[c].to_numpy(zero_copy_only=False)
+                if t.num_rows > 1:
+                    neq = v[1:] != v[:-1]
+                    both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
+                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+            change[0] = True
+            ts = t[ts_col].to_numpy(zero_copy_only=False)
+            new_session = change.copy()
+            if t.num_rows > 1:
+                new_session[1:] |= (ts[1:] - ts[:-1]) > gap
+            # per-key cumulative session count: global cumsum of
+            # session starts, re-based at each key boundary
+            starts = np.cumsum(new_session)
+            key_base = np.maximum.accumulate(np.where(change, starts - 1, 0))
+            idx = starts - key_base
+            return t.append_column(out_col, pa.array(idx, type=pa.int64()))
+
+        return hash_exchange(ds, by, 8, sessionize_bucket, bucket_col=None)
+
+
+class PivotTransform(Transform):
+    """Pivot (long → wide aggregation): one output row per ``group_by``
+    key, one column per listed ``values`` entry of ``pivot_col``,
+    holding count(*) or sum(value_col) of the matching rows (SQL
+    ``agg(...) FILTER (WHERE pivot = v)`` is the oracle). ``values``
+    must be listed explicitly — discovering them would be a second
+    full pass, and an unbounded pivot width is an anti-pattern at
+    scale anyway.
+
+    Scale shape: per-batch partial aggregate in LONG form (arrow
+    group_by, ≤ groups·values rows per block), one hash exchange on
+    the group keys, then sum-of-partials + the wide reshape per
+    bucket. The shuffle never carries raw rows."""
+
+    def __init__(self, group_by: str | Sequence[str], pivot_col: str,
+                 values: Sequence, value_col: str | None = None,
+                 agg: str = "count") -> None:
+        if agg not in ("count", "sum"):
+            raise TransformError(f"PivotTransform agg must be count|sum, got {agg}")
+        if agg == "sum" and value_col is None:
+            raise TransformError("PivotTransform(agg='sum') needs value_col")
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.pivot_col = pivot_col
+        self.values = list(values)
+        self.value_col = value_col
+        self.agg = agg
+
+    def apply(self, ds):
+        import pandas as pd
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, pv, vals, agg = self.group_by, self.pivot_col, self.values, self.agg
+        vc = self.value_col
+        part_col = "__part"
+        out_type = pa.int64() if agg == "count" else pa.float64()
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[pv], value_set=pa.array(vals)))
+            if agg == "count":
+                g = t.group_by(gb + [pv]).aggregate([([], "count_all")])
+                g = g.rename_columns(gb + [pv] + [part_col])
+            else:
+                g = t.group_by(gb + [pv]).aggregate([(vc, "sum")])
+                g = g.rename_columns(gb + [pv] + [part_col])
+            return g
+
+        pre = ds.map_batches(partial, **self._mb_kwargs())
+
+        col_names = [str(v) for v in vals]
+
+        def widen(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            df = t.to_pandas()
+            if len(df) == 0:
+                empty = {c: pa.array([], type=t.schema.field(c).type) for c in gb}
+                empty.update({c: pa.array([], type=out_type) for c in col_names})
+                return pa.table(empty)
+            wide = df.pivot_table(index=gb, columns=pv, values=part_col,
+                                  aggfunc="sum", fill_value=0)
+            wide = wide.reindex(columns=vals, fill_value=0)
+            wide.columns = col_names
+            wide = wide.reset_index()
+            out = pa.Table.from_pandas(wide, preserve_index=False)
+            cols = {c: out[c] for c in gb}
+            for c in col_names:
+                cols[c] = pc.cast(out[c], out_type, safe=False)
+            return pa.table(cols)
+
+        return hash_exchange(pre, gb, 8, widen, bucket_col=None)
+
+
 class UnionTransform(Transform):
     """Append other datasets (bag semantics, like SQL UNION ALL)."""
 

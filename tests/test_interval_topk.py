@@ -82,3 +82,40 @@ def test_topk_null_group_key_kept(ray_session):
         .apply(ds).take_all()
     got = {(r["g"], r["id"]) for r in out}
     assert got == {(None, 2), ("a", 3)}
+
+
+def test_sessionize_gap_splits(ray_session):
+    from etlray.stages import SessionizeTransform
+
+    rows = [
+        {"id": 1, "u": "a", "t": 0},
+        {"id": 2, "u": "a", "t": 10},     # same session (gap 10 <= 15)
+        {"id": 3, "u": "a", "t": 40},     # new session (30 > 15)
+        {"id": 4, "u": "b", "t": 41},     # new key -> session 1
+        {"id": 5, "u": "a", "t": 41},     # continues a's session 2
+    ]
+    ds = MemorySource(rows).read()
+    out = SessionizeTransform("t", "u", gap=15, order_tiebreak="id") \
+        .apply(ds).take_all()
+    got = {r["id"]: r["session_idx"] for r in out}
+    assert got == {1: 1, 2: 1, 3: 2, 5: 2, 4: 1}
+
+
+def test_pivot_counts_and_sums(ray_session):
+    from etlray.stages import PivotTransform
+
+    rows = [
+        {"u": "a", "k": "x", "v": 1.0}, {"u": "a", "k": "x", "v": 2.0},
+        {"u": "a", "k": "y", "v": 5.0}, {"u": "b", "k": "y", "v": 7.0},
+        {"u": "b", "k": "z", "v": 9.0},   # z not in values -> excluded
+    ]
+    ds = MemorySource(rows).read()
+    out = PivotTransform("u", "k", values=["x", "y"]).apply(ds).take_all()
+    got = {r["u"]: (r["x"], r["y"]) for r in out}
+    assert got == {"a": (2, 1), "b": (0, 1)}
+
+    ds = MemorySource(rows).read()
+    out = PivotTransform("u", "k", values=["x", "y"], value_col="v",
+                         agg="sum").apply(ds).take_all()
+    got = {r["u"]: (r["x"], r["y"]) for r in out}
+    assert got == {"a": (3.0, 5.0), "b": (0.0, 7.0)}
