@@ -1,0 +1,96 @@
+"""Sampling and sharding operators for training-data pipelines.
+
+* ``deterministic_sample`` — hash-based Bernoulli sampling: a row is
+  kept iff ``md5(salt || id) mod 10_000 < rate·10_000``. Deterministic,
+  repartition-stable, and side-channel-free (no RNG state), so any
+  worker, any retry, any cluster size selects the identical subset —
+  the property training-data pipelines need for reproducible mixes.
+  md5 matches DuckDB's ``md5_number_lower`` bit-for-bit, so a SQL
+  oracle recomputes the exact selection. For hot paths that don't need
+  SQL parity, ``method="sip"`` uses the vectorized SipHash
+  (``pd.util.hash_array``) instead.
+
+* ``pack_token_shards`` — assign each document a shard index so every
+  shard holds ~``budget`` tokens in reading order (the token-stream
+  packing step before tokenizer sharding). Needs a GLOBAL running sum:
+  implemented as the classic two-phase distributed prefix scan — one
+  tiny task per block computes its local token sum, the driver does an
+  exclusive scan over those scalars (O(blocks), not O(rows)), and a
+  second wave stamps each block with its offset. No shuffle, no
+  materialization; driver traffic is one int per block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_mod_10k(ids, salt: str) -> np.ndarray:
+    out = np.empty(len(ids), dtype=np.int64)
+    pre = salt.encode("utf-8")
+    for i, v in enumerate(ids):
+        d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
+        out[i] = int.from_bytes(d[8:16], "little") % 10_000
+    return out
+
+
+def deterministic_sample(ds, id_col: str, rate: float, salt: str = "",
+                         method: str = "md5"):
+    """Keep ~``rate`` of rows, selected by a pure function of
+    ``id_col`` (+ salt). ``method='md5'`` is SQL-reproducible
+    (DuckDB: ``md5_number_lower(salt || id) % 10000 < rate*10000``);
+    ``method='sip'`` is the faster vectorized SipHash variant."""
+    threshold = int(round(rate * 10_000))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        if method == "md5":
+            h = _md5_mod_10k(ids, salt)
+        else:
+            h = (pd.util.hash_array(
+                np.array([f"{salt}{v}" for v in ids], dtype=object),
+                hash_key="etlray_sample_01") % np.uint64(10_000)).astype(np.int64)
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_token_shards(ds, token_col: str, budget: int,
+                      out_col: str = "shard_idx"):
+    """Append ``out_col`` = which ~``budget``-token shard this row's
+    tokens start in, under the dataset's existing block order:
+    ``shard_idx = floor(exclusive_running_sum(token_col) / budget)``
+    (SQL window-cumsum oracle). Two-phase distributed prefix scan —
+    see module docstring. The input's block order must be
+    deterministic (a sorted parquet read is; a post-shuffle Dataset
+    is not — sort first)."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(pc.sum(pc.cast(t[token_col], pa.int64())).as_py() or 0)
+
+    @ray.remote
+    def stamp(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        toks = pc.cast(t[token_col], pa.int64()).to_numpy(zero_copy_only=False)
+        excl = offset + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        return t.append_column(out_col, pa.array(excl // budget,
+                                                 type=pa.int64()))
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    sums = ray.get([block_sum.remote(r) for r in refs])  # one int per block
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+    out = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

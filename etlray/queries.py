@@ -671,6 +671,83 @@ def interval_join_click_before_purchase(sf_dir: str):
         suffix="_r").apply(purchases)
 
 
+# the composed LLM-corpus preprocessing chain: language-ID → quality
+# gate → exact dedup, each stage an operator oracled on its own above;
+# the composition is oracled end-to-end here
+_CORPUS_CLEAN_SQL = (
+    "WITH L AS (" + _LANGID_SQL + "), sel AS ("
+    r"""
+      SELECT doc_id, text FROM L
+      WHERE lang_pred = 'en'
+        AND len(regexp_extract_all(text, '\S+')) >= 20
+    )
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS keeper
+      FROM sel
+    ) WHERE doc_id = keeper
+    """)
+
+
+@register("corpus_clean", _CORPUS_CLEAN_SQL)
+def corpus_clean(sf_dir: str):
+    from etlray.functions.dedup import exact_dedup
+    from etlray.functions.text import LangIdStage, token_count
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"]).read()
+    ds = ds.map_batches(LangIdStage, fn_constructor_args=("text",),
+                        batch_format="pyarrow", concurrency=2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["lang_pred"], "en"),
+                    pc.greater_equal(pc.cast(token_count(t["text"]),
+                                             pa.int64()), 20))
+        return t.filter(m).select(["doc_id", "text"])
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup(ds, text_col="text", order_col="doc_id")
+
+
+@register(
+    "sample_docs_deterministic",
+    """
+    SELECT doc_id, lang, text FROM documents
+    WHERE md5_number_lower('mix1' || doc_id::VARCHAR)::UBIGINT % 10000 < 2500
+    """,
+)
+def sample_docs_deterministic(sf_dir: str):
+    from etlray.functions.sampling import deterministic_sample
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang", "text"]).read()
+    return deterministic_sample(ds, "doc_id", rate=0.25, salt="mix1")
+
+
+@register(
+    "pack_token_shards_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 1000)::BIGINT AS shard_idx
+    FROM t
+    """,
+)
+def pack_token_shards_docs(sf_dir: str):
+    from etlray.functions.sampling import pack_token_shards
+    from etlray.functions.text import token_count
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+
+    def add_ntok(t: pa.Table) -> pa.Table:
+        c = pc.cast(token_count(t["text"]), pa.int64())
+        t = t.append_column("n_tokens",
+                            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        return t.drop_columns(["text"])
+    ds = ds.map_batches(add_ntok, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_token_shards(ds, "n_tokens", budget=1000)
+
+
 @register(
     "pivot_event_counts",
     """

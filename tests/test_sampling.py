@@ -1,0 +1,44 @@
+"""Deterministic sampling and token-shard packing (SQL-oracled in
+scripts/check_oracles.py: sample_docs_deterministic,
+pack_token_shards_docs, corpus_clean)."""
+
+import numpy as np
+import pyarrow as pa
+
+from etlray.functions.sampling import deterministic_sample, pack_token_shards
+from etlray.sources import MemorySource
+
+
+def test_deterministic_sample_stable_and_salted(ray_session):
+    rows = [{"id": i} for i in range(2000)]
+    a = deterministic_sample(MemorySource(rows).read(), "id", 0.3,
+                             salt="s1").take_all()
+    b = deterministic_sample(MemorySource(rows).read(), "id", 0.3,
+                             salt="s1").take_all()
+    # identical SELECTION (row order across blocks is not part of the
+    # contract — Ray's preserve_order is off by default)
+    assert sorted(r["id"] for r in a) == sorted(r["id"] for r in b)
+    assert 0.2 < len(a) / 2000 < 0.4                      # ~rate
+    c = deterministic_sample(MemorySource(rows).read(), "id", 0.3,
+                             salt="s2").take_all()
+    assert {r["id"] for r in a} != {r["id"] for r in c}   # salt changes mix
+
+
+def test_deterministic_sample_sip_matches_rate(ray_session):
+    rows = [{"id": i} for i in range(2000)]
+    out = deterministic_sample(MemorySource(rows).read(), "id", 0.5,
+                               method="sip").take_all()
+    assert 0.4 < len(out) / 2000 < 0.6
+
+
+def test_pack_token_shards_running_sum(ray_session):
+    import ray.data
+
+    # two blocks to exercise the cross-block offset
+    t1 = pa.table({"doc": [0, 1, 2], "ntok": [400, 400, 400]})
+    t2 = pa.table({"doc": [3, 4], "ntok": [400, 400]})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    out = pack_token_shards(ds, "ntok", budget=1000).take_all()
+    got = {r["doc"]: r["shard_idx"] for r in out}
+    # exclusive cumsum: 0,400,800,1200,1600 -> //1000 = 0,0,0,1,1
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
