@@ -60,6 +60,38 @@ def deterministic_sample(ds, id_col: str, rate: float, salt: str = "",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def zip_with_index(ds, out_col: str = "row_idx"):
+    """Append a 0-based global row index under the dataset's existing
+    block order (``row_number() - 1`` over that order is the oracle).
+    Same two-phase prefix scan as ``pack_token_shards``, but over
+    block ROW COUNTS — the counts are already in block metadata, so
+    phase one is free (no task reads any data)."""
+    import ray
+    import ray.data
+
+    @ray.remote
+    def stamp(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(
+            out_col, pa.array(offset + np.arange(t.num_rows), type=pa.int64()))
+
+    refs, counts = [], []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            counts.append(meta.num_rows)
+    if any(c is None for c in counts):
+        import pyarrow.compute as _pc  # noqa: F401  (fallback path)
+
+        @ray.remote
+        def block_rows(t: pa.Table) -> int:
+            return t.num_rows
+
+        counts = ray.get([block_rows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    return ray.data.from_arrow_refs(
+        [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])
+
+
 def pack_token_shards(ds, token_col: str, budget: int,
                       out_col: str = "shard_idx"):
     """Append ``out_col`` = which ~``budget``-token shard this row's

@@ -671,6 +671,55 @@ def interval_join_click_before_purchase(sf_dir: str):
         suffix="_r").apply(purchases)
 
 
+@register(
+    "quantiles_value_by_type",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.50) AS q50,
+           quantile_disc(value, 0.90) AS q90
+    FROM events GROUP BY event_type
+    """,
+)
+def quantiles_value_by_type(sf_dir: str):
+    from etlray.stages import QuantilePerGroupTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    return QuantilePerGroupTransform("event_type", "value",
+                                     qs=[0.25, 0.5, 0.9]).apply(ds)
+
+
+@register(
+    "explode_embeddings",
+    """
+    SELECT vec_id, unnest(embedding) AS value,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def explode_embeddings(sf_dir: str):
+    from etlray.stages import ExplodeTransform
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+             filter=(pc.field("vec_id") < 5)).read()
+    return ExplodeTransform("embedding", out_col="value",
+                            with_ordinality=True, ord_col="pos").apply(ds)
+
+
+@register(
+    "zip_docs_with_index",
+    """
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+    FROM documents
+    """,
+)
+def zip_docs_with_index(sf_dir: str):
+    from etlray.functions.sampling import zip_with_index
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"]).read()
+    return zip_with_index(ds, "row_idx")
+
+
 # the composed LLM-corpus preprocessing chain: language-ID → quality
 # gate → exact dedup, each stage an operator oracled on its own above;
 # the composition is oracled end-to-end here

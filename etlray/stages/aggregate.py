@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from etlray.coerce import as_float
 from etlray.errors import TransformError
@@ -251,3 +252,89 @@ class GlobalAggregateTransform(Transform):
             if res.get(name) is None:
                 res[name] = 0.0
         return ray.data.from_items([res])
+
+
+class QuantilePerGroupTransform(Transform):
+    """Exact discrete quantiles per group — DuckDB ``quantile_disc``
+    (element at index ``ceil(q·n) - 1`` of the sorted non-null values,
+    verified empirically) is the oracle. Output: one row per group
+    with a column per requested quantile (``names`` or ``q{percent}``).
+
+    Scale shape: exact quantiles cannot be finalized map-side, but the
+    shuffle input CAN be collapsed to (group, value, count) partials
+    per block (arrow group_by) — the exchange then carries one row per
+    distinct (group, value) per block instead of one per input row.
+    Per bucket: sort the (value, count) runs, cumulative counts, and
+    one searchsorted per quantile. All vectorized."""
+
+    def __init__(self, group_by: str | Sequence[str], value_col: str,
+                 qs: Sequence[float], names: Sequence[str] | None = None) -> None:
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.value_col = value_col
+        self.qs = [float(q) for q in qs]
+        self.names = (list(names) if names is not None
+                      else [f"q{int(round(q * 100))}" for q in self.qs])
+
+    def apply(self, ds):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, vc, qs, names = self.group_by, self.value_col, self.qs, self.names
+        cnt = "__cnt"
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[vc]))
+            g = t.group_by(gb + [vc]).aggregate([([], "count_all")])
+            return g.rename_columns(gb + [vc] + [cnt])
+
+        pre = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            vtype = t.schema.field(vc).type
+            if t.num_rows == 0:
+                cols = {c: pa.array([], type=t.schema.field(c).type) for c in gb}
+                cols.update({n: pa.array([], type=vtype) for n in names})
+                return pa.table(cols)
+            # merge partial runs, then per-group sorted sweep
+            t = t.group_by(gb + [vc]).aggregate([(cnt, "sum")]) \
+                .rename_columns(gb + [vc] + [cnt])
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in gb] +
+                [(vc, "ascending")]))
+            df = t.to_pandas()
+            vals = df[vc].to_numpy()
+            counts = df[cnt].to_numpy()
+            change = np.zeros(len(df), dtype=bool)
+            for c in gb:
+                v = df[c].to_numpy()
+                if len(df) > 1:
+                    neq = v[1:] != v[:-1]
+                    both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
+                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+            change[0] = True
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(df))
+            out = {c: df[c].to_numpy()[starts] for c in gb}
+            qcols = {n: np.empty(len(starts), dtype=vals.dtype)
+                     for n in names}
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                cum = np.cumsum(counts[s:e])
+                n = int(cum[-1])
+                for q, name in zip(qs, names):
+                    idx = max(math.ceil(q * n) - 1, 0)
+                    pos = int(np.searchsorted(cum, idx + 1))
+                    qcols[name][gi] = vals[s + pos]
+            cols = {c: pa.array(out[c]) for c in gb}
+            for name in names:
+                cols[name] = pa.array(qcols[name], type=vtype)
+            return pa.table(cols)
+
+        return hash_exchange(pre, gb, 8, reduce_bucket, bucket_col=None)

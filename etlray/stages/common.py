@@ -373,6 +373,50 @@ class TopKPerGroupTransform(Transform):
                              bucket_col=None)
 
 
+class ExplodeTransform(Transform):
+    """Unnest a list / fixed-size-list column: one output row per list
+    element, parent columns repeated (SQL ``unnest`` is the oracle).
+    Null and empty lists produce no rows (unnest semantics). Fully
+    vectorized per batch: ``pc.list_parent_indices`` + ``take`` —
+    no Python loop, no shuffle. ``with_ordinality`` appends the
+    0-based position within the parent list."""
+
+    def __init__(self, column: str, out_col: str | None = None,
+                 with_ordinality: bool = False,
+                 ord_col: str = "ordinality") -> None:
+        self.column = column
+        self.out_col = out_col or column
+        self.with_ordinality = with_ordinality
+        self.ord_col = ord_col
+
+    def apply(self, ds):
+        import numpy as np
+
+        col, out_col = self.column, self.out_col
+        with_ord, ord_col = self.with_ordinality, self.ord_col
+
+        def explode(t: pa.Table) -> pa.Table:
+            c = t[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            parents = pc.list_parent_indices(c)
+            flat = pc.list_flatten(c)
+            others = t.drop_columns([col]).take(parents)
+            others = others.append_column(out_col, flat)
+            if with_ord:
+                p = parents.to_numpy(zero_copy_only=False)
+                change = np.ones(len(p), dtype=bool)
+                change[1:] = p[1:] != p[:-1]
+                starts = np.flatnonzero(change)
+                ordn = np.arange(len(p)) - np.repeat(
+                    starts, np.diff(np.append(starts, len(p))))
+                others = others.append_column(
+                    ord_col, pa.array(ordn, type=pa.int64()))
+            return others
+
+        return ds.map_batches(explode, **self._mb_kwargs())
+
+
 class SessionizeTransform(Transform):
     """Gap-based session windows per key — the streaming sessionization
     primitive (a custom operator Ray Data lacks; the SQL

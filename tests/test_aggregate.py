@@ -108,3 +108,22 @@ def test_deterministic_matches_native():
     for cat in n:
         for k in n[cat]:
             assert n[cat][k] == pytest.approx(d[cat][k])
+
+
+def test_quantile_per_group_matches_disc_convention(ray_session):
+    """quantile_disc convention: sorted non-null values, element at
+    index ceil(q*n)-1 (empirically verified against DuckDB)."""
+    from etlray.sources import MemorySource
+    from etlray.stages import QuantilePerGroupTransform
+
+    rows = ([{"g": "a", "v": float(x)} for x in (4, 1, 3, 2)] +
+            [{"g": "b", "v": float(x)} for x in (10, 30, 20, 50, 40)] +
+            [{"g": "b", "v": None}])
+    ds = MemorySource(rows).read()
+    out = QuantilePerGroupTransform("g", "v", qs=[0.25, 0.5, 0.9]) \
+        .apply(ds).take_all()
+    got = {r["g"]: (r["q25"], r["q50"], r["q90"]) for r in out}
+    # n=4: ceil(.25*4)-1=0 -> 1; ceil(.5*4)-1=1 -> 2; ceil(.9*4)-1=3 -> 4
+    assert got["a"] == (1.0, 2.0, 4.0)
+    # n=5 (null dropped): idx 1 -> 20; idx 2 -> 30; idx 4 -> 50
+    assert got["b"] == (20.0, 30.0, 50.0)

@@ -42,3 +42,31 @@ def test_pack_token_shards_running_sum(ray_session):
     got = {r["doc"]: r["shard_idx"] for r in out}
     # exclusive cumsum: 0,400,800,1200,1600 -> //1000 = 0,0,0,1,1
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_zip_with_index_across_blocks(ray_session):
+    import ray.data
+
+    t1 = pa.table({"k": ["a", "b", "c"]})
+    t2 = pa.table({"k": ["d", "e"]})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    from etlray.functions.sampling import zip_with_index
+
+    out = zip_with_index(ds).take_all()
+    got = {r["k"]: r["row_idx"] for r in out}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_explode_with_ordinality(ray_session):
+    import ray.data
+
+    from etlray.stages import ExplodeTransform
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "xs": [[10, 20], [], None, [30]]})
+    ds = ray.data.from_arrow(t)
+    out = ExplodeTransform("xs", out_col="x", with_ordinality=True) \
+        .apply(ds).take_all()
+    rows = sorted((r["id"], r["ordinality"], r["x"]) for r in out)
+    # empty and null lists vanish (unnest semantics)
+    assert rows == [(1, 0, 10), (1, 1, 20), (4, 0, 30)]
