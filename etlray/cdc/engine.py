@@ -51,7 +51,7 @@ class CDCEngine:
         keys: Sequence[str] = ("repo", "path"),
         lsn_col: str = "lsn",
         op_col: str = "op",
-        num_buckets: int = 32,
+        num_buckets: int | None = 32,
         content_col: str = "content",
         rename_map: Mapping[str, str] | None = None,
         rows_per_task: int | None = None,
@@ -61,7 +61,6 @@ class CDCEngine:
         self.keys = list(keys)
         self.lsn_col = lsn_col
         self.op_col = op_col
-        self.num_buckets = num_buckets
         self.content_col = content_col
         self.rename_map = dict(rename_map or {})
         # exchange tuning overrides (None = auto-sized from the cluster);
@@ -69,6 +68,35 @@ class CDCEngine:
         self.rows_per_task = rows_per_task
         self.wave_tasks = wave_tasks
         self.manifest = Manifest(table_dir)
+        # bucket count is part of the table's on-disk identity: the
+        # per-bucket watermarks are meaningless under a different
+        # hash(key)->bucket mapping, so resuming an existing table with
+        # a mismatched count would silently skip or re-apply events.
+        # The committed count wins; pass num_buckets=None to adopt it.
+        committed_nb = self._committed_num_buckets()
+        if committed_nb is not None:
+            if num_buckets is not None and num_buckets != committed_nb:
+                raise ValueError(
+                    f"table at {table_dir} was committed with "
+                    f"num_buckets={committed_nb}; resuming with "
+                    f"{num_buckets} would corrupt watermark semantics. "
+                    "Pass num_buckets=None to adopt the committed count, "
+                    "or run rebalance() to change it.")
+            self.num_buckets = committed_nb
+        else:
+            self.num_buckets = 32 if num_buckets is None else num_buckets
+
+    def _committed_num_buckets(self) -> int | None:
+        cur = self.manifest.current_epoch()
+        if cur is None:
+            return None
+        nb = (cur.get("metrics") or {}).get("num_buckets")
+        if nb is not None:
+            return int(nb)
+        files = cur.get("files") or {}
+        # tables committed before the count was recorded: every bucket
+        # has a files entry, so the mapping's size IS the count
+        return len(files) or None
 
     # ------------------------------------------------------------------
     def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False,
@@ -245,9 +273,94 @@ class CDCEngine:
             epoch_id, new_files, self.manifest.watermarks(),
             self.manifest.lineage(),
             metrics={"rows": rows, "compaction": True,
+                     "num_buckets": self.num_buckets,
                      "files": len(set(new_files.values()))})
         return {"epoch": epoch_id, "committed": ok, "rows": rows,
                 "files": len(set(new_files.values()))}
+
+    # ------------------------------------------------------------------
+    def rebalance(self, new_num_buckets: int, epoch_id=None) -> dict:
+        """EXPLICIT partition rebalancing (the north rule's skew lever):
+        commit an epoch that rewrites the table under a different
+        bucket count — scale buckets up when per-bucket writers become
+        stragglers (hot buckets), down when thousands of tiny buckets
+        dominate in task overhead.
+
+        Watermarks under the new hash(key)→bucket mapping: the only
+        per-new-bucket statement provable without tracking every key is
+        ``min`` over the old per-bucket watermarks — events between
+        that floor and a key's true old watermark may re-apply, which
+        LWW makes idempotent (a re-applied event's LSN ≤ the stored
+        row's LSN never wins; re-applied deletes re-tombstone a row
+        that is already gone)."""
+        import uuid
+
+        import ray
+
+        from etlray.cdc.apply import with_bucket
+        from etlray.exchange import hash_exchange
+
+        files = self.manifest.snapshot_files()
+        if not files:
+            return {"epoch": None, "committed": False, "reason": "empty table"}
+        if new_num_buckets == self.num_buckets:
+            return {"epoch": None, "committed": False,
+                    "reason": "already at that bucket count"}
+        epoch_id = epoch_id if epoch_id is not None \
+            else f"rebalance-{uuid.uuid4().hex[:8]}"
+        if self.manifest.committed(epoch_id):
+            return {"epoch": epoch_id, "committed": False,
+                    "reason": "already committed"}
+        snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
+        os.makedirs(snap_dir, exist_ok=True)
+        keys, nb_new = self.keys, int(new_num_buckets)
+        table_dir = self.table_dir
+
+        def pre_fn(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            return with_bucket(t, keys, nb_new)
+
+        def write_bucket(t: pa.Table, bucket: int) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            t = t.append_column(
+                BUCKET_COL, pa.array([bucket] * t.num_rows, type=pa.int32()))
+            d = os.path.join(snap_dir, f"{BUCKET_COL}={bucket}")
+            os.makedirs(d, exist_ok=True)
+            _pq.write_table(t, os.path.join(d, "part-0.parquet"))
+            return pa.table({"bucket": pa.array([bucket], type=pa.int32()),
+                             "rows": pa.array([t.num_rows], type=pa.int64())})
+
+        ds = self.read_snapshot(with_internal_cols=True)
+        stat_refs = hash_exchange(ds, keys, nb_new, write_bucket,
+                                  bucket_col=BUCKET_COL, pre_fn=pre_fn,
+                                  pass_bucket_id=True, as_refs=True,
+                                  wave_tasks=self.wave_tasks)
+        stats = [r for t in ray.get(stat_refs) for r in t.to_pylist()]
+        old_wms = self.manifest.watermarks()
+        wm_floor = min(old_wms.values()) if old_wms else -1
+        new_files = {
+            int(s["bucket"]): os.path.relpath(
+                os.path.join(snap_dir, f"{BUCKET_COL}={int(s['bucket'])}",
+                             "part-0.parquet"), table_dir)
+            for s in stats}
+        watermarks = {b: wm_floor for b in new_files}
+        lineage = {b: {"rows": int(s["rows"]), "max_lsn": wm_floor,
+                       "rebalanced_from": self.num_buckets}
+                   for b, s in zip(new_files, stats)}
+        rows = sum(int(s["rows"]) for s in stats)
+        old_nb = self.num_buckets
+        ok = self.manifest.commit_epoch(
+            epoch_id, new_files, watermarks, lineage,
+            metrics={"rows": rows, "rebalance": True,
+                     "num_buckets": nb_new, "from_num_buckets": old_nb})
+        if ok:
+            self.num_buckets = nb_new
+        return {"epoch": epoch_id, "committed": ok, "rows": rows,
+                "num_buckets": nb_new, "from_num_buckets": old_nb}
 
     # ------------------------------------------------------------------
     def follow(
@@ -543,7 +656,8 @@ class CDCEngine:
         total_rows = sum(v.get("rows", 0) for v in lineage.values())
         ok = self.manifest.commit_epoch(
             epoch_id, files, watermarks, lineage,
-            metrics={"rows": total_rows, "touched_buckets": touched})
+            metrics={"rows": total_rows, "touched_buckets": touched,
+                     "num_buckets": self.num_buckets})
         if ok:
             write_lineage_jsonl(os.path.join(self.table_dir, "_lineage.jsonl"),
                                 epoch_id,

@@ -28,7 +28,7 @@ class DeltaSink:
         mode: str = "append",
         merge_keys: Sequence[str] | None = None,
         update_columns: Sequence[str] | None = None,
-        num_buckets: int = 32,
+        num_buckets: int | None = None,
         epoch_id=None,
     ) -> None:
         if mode not in ("append", "overwrite", "merge"):

@@ -48,7 +48,7 @@ class DeltaSource:
         return self
 
     def read(self):
-        eng = CDCEngine(self.table_dir)
+        eng = CDCEngine(self.table_dir, num_buckets=None)
         ds = eng.read_snapshot(epoch_id=self.version, with_internal_cols=True,
                                columns=self.columns, predicate=self.predicate)
         if ds is None:
@@ -57,7 +57,7 @@ class DeltaSource:
         return ds
 
     def versions(self) -> list:
-        return [e["id"] for e in CDCEngine(self.table_dir).manifest.load()["epochs"]]
+        return [e["id"] for e in CDCEngine(self.table_dir, num_buckets=None).manifest.load()["epochs"]]
 
 
 _OPS = ["<=", ">=", "!=", "<>", "==", "=", "<", ">"]  # longest first

@@ -132,3 +132,34 @@ def test_recompact_after_bucket_rewrite_drops_stale_rows(engine):
         ["repo", "path"]).reset_index(drop=True)
     assert not after.duplicated(subset=["repo", "path"]).any()
     assert expect.equals(after)
+
+
+def test_rebalance_changes_bucket_count_and_keeps_state(engine):
+    """Explicit partition rebalancing: same final rows under the new
+    hash(key)->bucket mapping, subsequent applies keep working at the
+    new count, and resuming with the OLD count is refused."""
+    import ray.data
+
+    from etlray.cdc.engine import CDCEngine
+
+    before = engine.read_snapshot().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    res = engine.rebalance(16, epoch_id="reb")
+    assert res["committed"] and res["num_buckets"] == 16
+    after = engine.read_snapshot().to_pandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    assert before.equals(after)
+    # applies continue at the new count (LWW absorbs the conservative
+    # watermark floor)
+    engine.apply_log(ray.data.from_arrow(_mk_events(25, 50_000)),
+                     epoch_id="post-reb")
+    df = engine.read_snapshot().to_pandas()
+    assert not df.duplicated(subset=["repo", "path"]).any()
+    assert (df[df["path"] == "p0"]["lsn"] >= 50_000).all()
+    # a fresh engine adopts the committed count; a mismatched explicit
+    # count is refused
+    eng2 = CDCEngine(engine.table_dir, num_buckets=None)
+    assert eng2.num_buckets == 16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CDCEngine(engine.table_dir, num_buckets=8)
