@@ -672,6 +672,20 @@ def interval_join_click_before_purchase(sf_dir: str):
 
 
 @register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS user_id_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(sf_dir: str):
+    from etlray.stages import CountDistinctTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"]).read()
+    return CountDistinctTransform("event_type", "user_id").apply(ds)
+
+
+@register(
     "quantiles_value_by_type",
     """
     SELECT event_type,

@@ -483,6 +483,43 @@ class SessionizeTransform(Transform):
         return hash_exchange(ds, by, 8, sessionize_bucket, bucket_col=None)
 
 
+class CountDistinctTransform(Transform):
+    """Exact count(DISTINCT value) per group (SQL is the oracle).
+    Scale shape: per-batch distinct (group, value) pairs first — the
+    shuffle carries unique pairs per block, never raw rows — then one
+    hash exchange on the group keys and a vectorized per-bucket
+    distinct+count. Null values are not counted (SQL semantics);
+    null group keys form their own group."""
+
+    def __init__(self, group_by: str | Sequence[str], value_col: str,
+                 out_col: str | None = None) -> None:
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.value_col = value_col
+        self.out_col = out_col or f"{value_col}_distinct"
+
+    def apply(self, ds):
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, vc, out_col = self.group_by, self.value_col, self.out_col
+        cols = gb + [vc]
+
+        def local(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[vc]))
+            return t.select(cols).group_by(cols).aggregate([])
+
+        pre = ds.map_batches(local, **self._mb_kwargs())
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            t = t.group_by(cols).aggregate([])          # global distinct pairs
+            g = t.group_by(gb).aggregate([([], "count_all")])
+            return g.rename_columns(gb + [out_col])
+
+        return hash_exchange(pre, gb, 8, reduce_bucket, bucket_col=None)
+
+
 class PivotTransform(Transform):
     """Pivot (long → wide aggregation): one output row per ``group_by``
     key, one column per listed ``values`` entry of ``pivot_col``,

@@ -1,0 +1,106 @@
+"""Property tests: the distributed custom operators must agree with a
+single-process pandas/numpy brute-force reference on randomized small
+inputs (few examples — each apply spins real exchanges)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etlray.sources import MemorySource
+
+_SETTINGS = dict(max_examples=6, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+@st.composite
+def keyed_rows(draw, keys="abc", max_rows=24, vmax=50):
+    n = draw(st.integers(1, max_rows))
+    ks = draw(st.lists(st.sampled_from(list(keys)), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, vmax), min_size=n, max_size=n))
+    return [{"id": i, "k": k, "t": t} for i, (k, t) in enumerate(zip(ks, ts))]
+
+
+@given(left=keyed_rows(), right=keyed_rows())
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(ray_session, left, right):
+    from etlray.stages import IntervalJoinTransform
+
+    lds = MemorySource(left).read()
+    rds = MemorySource([{"rid": r["id"], "k": r["k"], "t": r["t"]}
+                        for r in right]).read()
+    out = IntervalJoinTransform(rds, on="t", by="k", lower=-5, upper=3) \
+        .apply(lds).take_all()
+    got = {(r["id"], r["rid"]) for r in out}
+    want = {(l["id"], r["id"]) for l in left for r in right
+            if l["k"] == r["k"] and l["t"] - 5 <= r["t"] <= l["t"] + 3}
+    assert got == want
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_topk_matches_pandas_rank(ray_session, rows):
+    from etlray.stages import TopKPerGroupTransform
+
+    ds = MemorySource(rows).read()
+    out = TopKPerGroupTransform("k", [("t", True), ("id", False)], k=2) \
+        .apply(ds).take_all()
+    got = {(r["k"], r["id"]) for r in out}
+    df = pd.DataFrame(rows).sort_values(["t", "id"],
+                                        ascending=[False, True])
+    want = set(df.groupby("k").head(2)[["k", "id"]].itertuples(index=False,
+                                                               name=None))
+    assert got == want
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_sessionize_matches_pandas(ray_session, rows):
+    from etlray.stages import SessionizeTransform
+
+    gap = 4
+    ds = MemorySource(rows).read()
+    out = SessionizeTransform("t", "k", gap=gap, order_tiebreak="id") \
+        .apply(ds).take_all()
+    got = {r["id"]: r["session_idx"] for r in out}
+    df = pd.DataFrame(rows).sort_values(["k", "t", "id"])
+    want = {}
+    for _k, g in df.groupby("k"):
+        idx = 0
+        prev = None
+        for r in g.itertuples():
+            if prev is None or r.t - prev > gap:
+                idx += 1
+            want[r.id] = idx
+            prev = r.t
+    assert got == want
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_count_distinct_matches_pandas(ray_session, rows):
+    from etlray.stages import CountDistinctTransform
+
+    ds = MemorySource(rows).read()
+    out = CountDistinctTransform("k", "t").apply(ds).take_all()
+    got = {r["k"]: r["t_distinct"] for r in out}
+    want = pd.DataFrame(rows).groupby("k")["t"].nunique().to_dict()
+    assert got == want
+
+
+@given(rows=keyed_rows(vmax=9))
+@settings(**_SETTINGS)
+def test_quantiles_match_disc_reference(ray_session, rows):
+    import math
+
+    from etlray.stages import QuantilePerGroupTransform
+
+    ds = MemorySource([{"k": r["k"], "v": float(r["t"])} for r in rows]).read()
+    out = QuantilePerGroupTransform("k", "v", qs=[0.5]).apply(ds).take_all()
+    got = {r["k"]: r["q50"] for r in out}
+    want = {}
+    for k, g in pd.DataFrame(rows).groupby("k"):
+        vals = sorted(float(v) for v in g["t"])
+        want[k] = vals[max(math.ceil(0.5 * len(vals)) - 1, 0)]
+    assert got == want
