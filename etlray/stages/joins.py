@@ -35,21 +35,29 @@ _PA_JOIN_TYPE = {
 
 
 class _BroadcastJoiner:
-    """Actor-pool callable: fetch the broadcast table once per actor."""
+    """Per-batch join against the broadcast table. A plain TASK-pool
+    callable, not an actor pool: the broadcast pa.Table is READ-ONLY
+    and ``ray.get`` of it is a zero-copy shared-memory map after the
+    object reaches a node — per-task fetch costs ~µs locally and the
+    object still ships once per node on a cluster, so an actor pool
+    would add its 1-2 s spin-up for nothing. (Actor pools stay the
+    right tool for state that is expensive to DESERIALIZE — compiled
+    regexes, models — not for plasma-resident Arrow/numpy.)"""
 
     def __init__(self, table_ref, keys: list[str], right_keys: list[str],
                  join_type: str, suffix: str) -> None:
-        import ray
-
-        self.small = ray.get(table_ref)  # zero-copy read from object store
+        self.table_ref = table_ref
         self.keys = keys
         self.right_keys = right_keys
         self.join_type = join_type
         self.suffix = suffix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        small = ray.get(self.table_ref)  # zero-copy local read
         return batch.join(
-            self.small,
+            small,
             keys=self.keys,
             right_keys=self.right_keys,
             join_type=self.join_type,
@@ -115,10 +123,8 @@ class BroadcastJoinTransform(Transform):
         ref = ray.put(table)  # broadcast ONCE, not re-shipped per batch
         kw = self._mb_kwargs()
         return ds.map_batches(
-            _BroadcastJoiner,
-            fn_constructor_args=(ref, self.keys, self.right_keys,
-                                 _PA_JOIN_TYPE[self.how], self.suffix),
-            concurrency=self.concurrency,
+            _BroadcastJoiner(ref, self.keys, self.right_keys,
+                             _PA_JOIN_TYPE[self.how], self.suffix),
             **kw,
         )
 
