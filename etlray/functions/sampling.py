@@ -60,6 +60,38 @@ def deterministic_sample(ds, id_col: str, rate: float, salt: str = "",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_per_group(ds, group_by, id_col: str, k: int, salt: str = ""):
+    """Deterministic uniform sample of ``k`` rows per group: keep the
+    rows with the ``k`` smallest ``md5(salt || id)`` values (ties by
+    id). A pure function of the data — repartition/retry-stable — and
+    SQL-reproducible: ``row_number() OVER (PARTITION BY g ORDER BY
+    md5_number_lower(salt || id), id) <= k``. Built on the
+    TopKPerGroup partial-top-k shape (shuffle carries ≤ k·groups rows
+    per block)."""
+    from etlray.stages.common import TopKPerGroupTransform
+
+    h = "__sample_h"
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        pre = salt.encode("utf-8")
+        vals = np.empty(len(ids), dtype=np.uint64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
+            vals[i] = int.from_bytes(d[8:16], "little")
+        return t.append_column(h, pa.array(vals.view(np.int64) ^ np.int64(-2**63),
+                                           type=pa.int64()))
+
+    with_h = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = TopKPerGroupTransform(group_by, [(h, False), (id_col, False)],
+                                k=k).apply(with_h)
+
+    def drop_h(t: pa.Table) -> pa.Table:
+        return t.drop_columns([h]) if h in t.column_names else t
+
+    return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zip_with_index(ds, out_col: str = "row_idx"):
     """Append a 0-based global row index under the dataset's existing
     block order (``row_number() - 1`` over that order is the oracle).

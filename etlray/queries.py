@@ -672,6 +672,56 @@ def interval_join_click_before_purchase(sf_dir: str):
 
 
 @register(
+    "group_concat_nations",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS n_name_concat
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def group_concat_nations(sf_dir: str):
+    from etlray.stages import GroupConcatTransform
+
+    ds = _pq(sf_dir, "nation", columns=["n_regionkey", "n_name"]).read()
+    return GroupConcatTransform("n_regionkey", "n_name").apply(ds)
+
+
+@register(
+    "moving_avg_user_value",
+    """
+    SELECT event_id, user_id, ts, value,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS value_mavg
+    FROM events
+    """,
+)
+def moving_avg_user_value(sf_dir: str):
+    from etlray.stages import MovingAverageTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    return MovingAverageTransform("ts", "user_id", "value", window=3,
+                                  order_tiebreak="event_id").apply(ds)
+
+
+@register(
+    "sample_docs_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5_number_lower('s1' || doc_id::VARCHAR), doc_id) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def sample_docs_per_lang(sf_dir: str):
+    from etlray.functions.sampling import sample_per_group
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"]).read()
+    return sample_per_group(ds, "lang", "doc_id", k=3, salt="s1")
+
+
+@register(
     "distinct_users_by_type",
     """
     SELECT event_type, count(DISTINCT user_id) AS user_id_distinct

@@ -483,6 +483,109 @@ class SessionizeTransform(Transform):
         return hash_exchange(ds, by, 8, sessionize_bucket, bucket_col=None)
 
 
+class GroupConcatTransform(Transform):
+    """string_agg / group_concat: per group, the values joined by
+    ``sep`` in a deterministic (sorted-by-value) order — SQL
+    ``string_agg(v, sep ORDER BY v)`` is the oracle. One hash exchange
+    on the group keys; per bucket a vectorized sort + run-length
+    concat (no per-group Python)."""
+
+    def __init__(self, group_by: str | Sequence[str], value_col: str,
+                 sep: str = ",", out_col: str | None = None) -> None:
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.value_col = value_col
+        self.sep = sep
+        self.out_col = out_col or f"{self.value_col}_concat"
+
+    def apply(self, ds):
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, vc, sep, out_col = self.group_by, self.value_col, self.sep, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            t = t.filter(pc.is_valid(t[vc]))
+            if t.num_rows == 0:
+                cols = {c: pa.array([], type=t.schema.field(c).type) for c in gb}
+                cols[out_col] = pa.array([], type=pa.string())
+                return pa.table(cols)
+            sort_keys = [(c, "ascending") for c in gb] + [(vc, "ascending")]
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+            df = t.to_pandas()
+            joined = df.groupby(gb, sort=False, dropna=False)[vc] \
+                .agg(lambda s: sep.join(s.astype(str)))
+            outdf = joined.reset_index().rename(columns={vc: out_col})
+            return pa.Table.from_pandas(outdf, preserve_index=False)
+
+        return hash_exchange(ds, gb, 8, reduce_bucket, bucket_col=None)
+
+
+class MovingAverageTransform(Transform):
+    """Per-key trailing moving average over the last ``window`` rows in
+    (ts, tie-break) order — SQL ``avg(v) OVER (PARTITION BY key ORDER
+    BY ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` is
+    the oracle. One hash exchange on the key; per bucket a vectorized
+    sort + cumulative-sum-difference sliding mean segmented at key
+    boundaries (no per-key loop)."""
+
+    def __init__(self, ts_col: str, by: str | Sequence[str],
+                 value_col: str, window: int,
+                 order_tiebreak: str | None = None,
+                 out_col: str | None = None) -> None:
+        self.ts_col = ts_col
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.window = int(window)
+        self.order_tiebreak = order_tiebreak
+        self.out_col = out_col or f"{value_col}_mavg"
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        ts_col, by, vc, w = self.ts_col, self.by, self.value_col, self.window
+        tie, out_col = self.order_tiebreak, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            if t.num_rows == 0:
+                return t.append_column(out_col, pa.array([], type=pa.float64()))
+            sort_keys = [(c, "ascending") for c in by] + \
+                [(ts_col, "ascending")] + \
+                ([(tie, "ascending")] if tie else [])
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+            v = pc.cast(t[vc], pa.float64()).to_numpy(zero_copy_only=False)
+            n = len(v)
+            change = np.zeros(n, dtype=bool)
+            for c in by:
+                kv = t[c].to_numpy(zero_copy_only=False)
+                if n > 1:
+                    neq = kv[1:] != kv[:-1]
+                    both_null = pd.isna(kv[1:]) & pd.isna(kv[:-1])
+                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+            change[0] = True
+            starts = np.flatnonzero(change)
+            pos = np.arange(n) - np.repeat(
+                starts, np.diff(np.append(starts, n)))   # index within key
+            cum = np.concatenate(([0.0], np.cumsum(v)))
+            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            lo = np.maximum(np.arange(n) - w + 1, key_start)
+            mavg = (cum[np.arange(n) + 1] - cum[lo]) / (np.arange(n) - lo + 1)
+            _ = pos
+            return t.append_column(out_col, pa.array(mavg, type=pa.float64()))
+
+        return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
+
+
 class CountDistinctTransform(Transform):
     """Exact count(DISTINCT value) per group (SQL is the oracle).
     Scale shape: per-batch distinct (group, value) pairs first — the

@@ -119,3 +119,43 @@ def test_pivot_counts_and_sums(ray_session):
                          agg="sum").apply(ds).take_all()
     got = {r["u"]: (r["x"], r["y"]) for r in out}
     assert got == {"a": (3.0, 5.0), "b": (0.0, 7.0)}
+
+
+def test_group_concat_sorted_deterministic(ray_session):
+    from etlray.stages import GroupConcatTransform
+
+    rows = [{"g": "a", "v": "z"}, {"g": "a", "v": "m"}, {"g": "a", "v": "m"},
+            {"g": "b", "v": "q"}, {"g": "b", "v": None}]
+    ds = MemorySource(rows).read()
+    out = GroupConcatTransform("g", "v").apply(ds).take_all()
+    got = {r["g"]: r["v_concat"] for r in out}
+    assert got == {"a": "m,m,z", "b": "q"}   # sorted, nulls skipped
+
+
+def test_moving_average_window_and_key_reset(ray_session):
+    from etlray.stages import MovingAverageTransform
+
+    rows = [{"id": 1, "u": "a", "t": 1, "v": 2.0},
+            {"id": 2, "u": "a", "t": 2, "v": 4.0},
+            {"id": 3, "u": "a", "t": 3, "v": 6.0},
+            {"id": 4, "u": "a", "t": 4, "v": 8.0},
+            {"id": 5, "u": "b", "t": 5, "v": 100.0}]
+    ds = MemorySource(rows).read()
+    out = MovingAverageTransform("t", "u", "v", window=3,
+                                 order_tiebreak="id").apply(ds).take_all()
+    got = {r["id"]: r["v_mavg"] for r in out}
+    assert got == {1: 2.0, 2: 3.0, 3: 4.0, 4: 6.0, 5: 100.0}
+
+
+def test_sample_per_group_deterministic(ray_session):
+    from etlray.functions.sampling import sample_per_group
+
+    rows = [{"id": i, "g": "x" if i % 2 else "y"} for i in range(40)]
+    a = sample_per_group(MemorySource(rows).read(), "g", "id", k=3,
+                         salt="s").take_all()
+    b = sample_per_group(MemorySource(rows).read(), "g", "id", k=3,
+                         salt="s").take_all()
+    sa = sorted((r["g"], r["id"]) for r in a)
+    assert sa == sorted((r["g"], r["id"]) for r in b)
+    assert len([1 for g, _ in sa if g == "x"]) == 3
+    assert len([1 for g, _ in sa if g == "y"]) == 3
