@@ -200,6 +200,31 @@ def join_broadcast_inner(sf_dir: str):
     return SelectColumnsTransform(["o_orderkey", "o_totalprice", "c_name", "c_nationkey"]).apply(ds)
 
 
+# bloom_prefilter: result-identical (no false negatives); the sketch
+# drops probe rows with no partner BEFORE the all-to-all — the filter
+# selects half the nations, so ~half the customer rows never shuffle
+@register(
+    "join_hash_inner_bloom",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c
+    JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def join_hash_inner_bloom(sf_dir: str):
+    from etlray.stages import PartitionedHashJoinTransform
+
+    cust = _pq(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey"]).read()
+    nat = _pq(sf_dir, "nation", columns=["n_nationkey", "n_name"],
+              filter=(pc.field("n_nationkey") < 12)).read()
+    ds = PartitionedHashJoinTransform(nat, on="c_nationkey",
+                                      right_on="n_nationkey", how="inner",
+                                      bloom_prefilter=True).apply(cust)
+    return SelectColumnsTransform(["c_custkey", "c_name", "n_name"]).apply(ds)
+
+
 @register(
     "join_hash_left",
     """

@@ -161,9 +161,16 @@ class PartitionedHashJoinTransform(Transform):
         how: str = "inner",
         num_buckets: int | None = None,
         suffix: str = "_r",
+        bloom_prefilter: bool = False,
     ) -> None:
         if how not in _PA_JOIN_TYPE:
             raise TransformError(f"unsupported join type: {how}")
+        if bloom_prefilter and how not in ("inner", "semi"):
+            # dropping unmatched LEFT rows changes the result for
+            # left/full/anti — the prefilter is only sound where they
+            # are dropped anyway
+            raise TransformError(
+                f"bloom_prefilter is only valid for inner/semi joins, not {how!r}")
         self.right = right
         self.keys = [on] if isinstance(on, str) else list(on)
         self.right_keys = (self.keys if right_on is None else
@@ -171,6 +178,53 @@ class PartitionedHashJoinTransform(Transform):
         self.how = how
         self.num_buckets = num_buckets
         self.suffix = suffix
+        self.bloom_prefilter = bloom_prefilter
+
+    def _bloom_prefilter(self, ds, right):
+        """Shuffle-byte saver for selective inner/semi joins: per-block
+        Bloom sketches of the RIGHT keys OR-merge on the driver (bloom
+        union == union bloom), broadcast once, and probe rows that
+        can't match are dropped BEFORE the all-to-all exchange. False
+        positives cost only shuffle bytes; there are no false
+        negatives, so the per-bucket join output is unchanged."""
+        import ray
+
+        from etlray.functions.sketch import BloomFilter
+
+        keys, right_keys = self.keys, self.right_keys
+        nkeys = max(int(right.count()), 1)
+
+        def key_strings(t: pa.Table, cols) -> list:
+            import pyarrow.compute as pc
+
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(t.column(c), pa.string()) for c in cols], "\x1f")
+            return joined.to_pylist()
+
+        def block_bloom(t: pa.Table) -> pa.Table:
+            bf = BloomFilter(nkeys)
+            ks = [k for k in key_strings(t, right_keys) if k is not None]
+            bf.add_array(ks)
+            return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                              type=pa.binary())})
+
+        import numpy as np
+
+        merged = BloomFilter(nkeys)
+        for r in right.map_batches(block_bloom, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all():
+            part = BloomFilter(nkeys)
+            part.bits = np.frombuffer(r["bits"], dtype=np.uint64).copy()
+            merged.merge(part)
+        ref = ray.put(merged)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            bf = ray.get(ref)  # zero-copy numpy from plasma
+            mask = bf.contains_array(key_strings(t, keys))
+            return t.filter(pa.array(mask))
+
+        return ds.map_batches(prefilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def apply(self, ds):
         import pyarrow as pa
@@ -178,6 +232,8 @@ class PartitionedHashJoinTransform(Transform):
         from etlray.cdc.apply import stable_bucket
 
         right = self.right.read() if hasattr(self.right, "read") else self.right
+        if self.bloom_prefilter:
+            ds = self._bloom_prefilter(ds, right)
         nb = self.num_buckets
         if nb is None:
             import ray
