@@ -683,8 +683,24 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
         os.path.basename(os.path.normpath(sf_dir)), 2_000)
     work = work_dir or tempfile.mkdtemp(prefix="etlray_cdc_")
     n_keys = max(scale // 5, 100)
-    fx = generate_fixture(os.path.join(work, "fixture"), n_events=scale,
-                          n_keys=n_keys, n_base=n_keys // 2)
+    # the fixture is DETERMINISTIC per scale → cache it across calls
+    # (bench/driver invoke this demo repeatedly; regenerating costs
+    # more than the replay being demonstrated). Atomic rename makes
+    # concurrent first-callers safe.
+    cache = os.path.join(tempfile.gettempdir(), f"etlray_cdc_fx_{scale}")
+    if not os.path.isdir(cache):
+        tmp = tempfile.mkdtemp(prefix=f"etlray_cdc_fxgen_{scale}_")
+        generate_fixture(os.path.join(tmp, "fx"), n_events=scale,
+                         n_keys=n_keys, n_base=n_keys // 2)
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            pass  # another process won the race — use theirs
+    fx_dir = os.path.join(cache, "fx")
+    fx = {"base": os.path.join(fx_dir, "base.parquet"),
+          "epochs": sorted(
+              os.path.join(fx_dir, f) for f in os.listdir(fx_dir)
+              if f.startswith("changes_epoch"))}
     eng = CDCEngine(os.path.join(work, "table"), num_buckets=16,
                     rename_map=RENAME_MAP)
     eng.bootstrap(ray.data.read_parquet(fx["base"]))

@@ -335,16 +335,21 @@ def minhash_lsh_candidates(
 
     # a pair can surface from several band buckets (with the identical
     # estimate — it is a function of the two signatures) — keep one row
-    # per unordered pair
-    def uniq_pairs(t: pa.Table) -> pa.Table:
-        t = lww_reduce(t, [id_col, "dup_of"], "jaccard") if t.num_rows else t
-        return t.drop_columns([c for c in (BUCKET_COL,) if c in t.column_names])
-
-    cand = hash_exchange(pairs, [id_col, "dup_of"], 8, uniq_pairs,
-                         bucket_col=None)
+    # per unordered pair. With exact_verify the verify step gathers the
+    # (small) candidate set to one task anyway, so the dedupe happens
+    # there for free and the extra exchange is skipped.
     if exact_verify:
-        cand = _exact_verify_pairs(cand, ds, text_col, id_col, shingle_k,
-                                   jaccard_threshold, shingle_fn=shingle_fn)
+        cand = _exact_verify_pairs(pairs, ds, text_col, id_col, shingle_k,
+                                   jaccard_threshold, shingle_fn=shingle_fn,
+                                   dedupe=True)
+    else:
+        def uniq_pairs(t: pa.Table) -> pa.Table:
+            t = lww_reduce(t, [id_col, "dup_of"], "jaccard") if t.num_rows else t
+            return t.drop_columns([c for c in (BUCKET_COL,)
+                                   if c in t.column_names])
+
+        cand = hash_exchange(pairs, [id_col, "dup_of"], 8, uniq_pairs,
+                             bucket_col=None)
     if not per_doc_best:
         return cand
 
@@ -359,7 +364,7 @@ def minhash_lsh_candidates(
 
 def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
                         shingle_k: int, jaccard_threshold: float,
-                        shingle_fn=None):
+                        shingle_fn=None, dedupe: bool = False):
     """Re-check candidate pairs with EXACT shingle Jaccard, fetching
     text only for candidate docs (assumed ≪ corpus): candidate ids are
     broadcast once via ray.put, the corpus is filtered down to those
@@ -376,6 +381,8 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
                       "jaccard": pa.array([], type=pa.float64())})
     pair_tbl = pa.concat_tables([t for t in tables if t.num_rows] or [empty],
                                 promote_options="permissive")
+    if dedupe and pair_tbl.num_rows:
+        pair_tbl = lww_reduce(pair_tbl, [id_col, "dup_of"], "jaccard")
     if pair_tbl.num_rows == 0:
         return ray.data.from_arrow(empty)
     need = sorted(set(pair_tbl[id_col].to_pylist())
