@@ -163,3 +163,56 @@ def doc_fingerprint(text: str | None, window: int = 8) -> int | None:
 def add_fingerprint(t: pa.Table, col: str = "text", window: int = 8) -> pa.Table:
     fps = [doc_fingerprint(v, window) for v in t[col].to_pylist()]
     return t.append_column("fingerprint", pa.array(fps, type=pa.int64()))
+
+
+def repetition_features(t: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 quality
+    filters), vectorized over the batch: ``n_lines`` (non-empty),
+    ``dup_line_frac`` (1 − distinct/total non-empty lines) and
+    ``top_word_frac`` (most frequent lowercase token's share). All
+    counts are integers, so a SQL oracle reproduces the exact
+    fractions. No per-row Python: lines/tokens flatten once per batch
+    through Arrow list kernels + pandas C groupbys."""
+    import numpy as np
+    import pandas as pd
+
+    s = t[col]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    n = len(s)
+
+    # ---- lines ------------------------------------------------------
+    lines = pc.split_pattern(s, pattern="\n")
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lines)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    lp = parents[keep]
+    lv = np.asarray(flat.to_pandas(), dtype=object)[keep]
+    total = np.bincount(lp, minlength=n).astype(np.float64)
+    if len(lp):
+        dd = pd.DataFrame({"p": lp, "v": lv}).drop_duplicates()
+        distinct = np.bincount(dd["p"].to_numpy(), minlength=n).astype(np.float64)
+    else:
+        distinct = np.zeros(n)
+    dup_line = np.where(total > 0, 1.0 - distinct / np.maximum(total, 1.0), 0.0)
+
+    # ---- tokens -----------------------------------------------------
+    toks = pc.split_pattern_regex(pc.utf8_lower(s), pattern=r"\s+")
+    tparents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    tflat = pc.list_flatten(toks)
+    tkeep = pc.not_equal(tflat, "").to_numpy(zero_copy_only=False)
+    tp = tparents[tkeep]
+    tv = np.asarray(tflat.to_pandas(), dtype=object)[tkeep]
+    ttotal = np.bincount(tp, minlength=n).astype(np.float64)
+    top = np.zeros(n)
+    if len(tp):
+        cnt = pd.DataFrame({"p": tp, "v": tv}).groupby(["p", "v"],
+                                                       sort=False).size()
+        mx = cnt.groupby(level=0).max()
+        top[mx.index.to_numpy()] = mx.to_numpy().astype(np.float64)
+    top_word = np.where(ttotal > 0, top / np.maximum(ttotal, 1.0), 0.0)
+
+    t = t.append_column("n_lines", pa.array(total.astype(np.int64)))
+    t = t.append_column("dup_line_frac", pa.array(dup_line, type=pa.float64()))
+    t = t.append_column("top_word_frac", pa.array(top_word, type=pa.float64()))
+    return t

@@ -355,6 +355,45 @@ def text_stats(sf_dir: str):
                                    "digit_ratio"]).apply(ds)
 
 
+# Gopher-style repetition filters (all-integer counts → exact SQL parity)
+@register(
+    "repetition_stats",
+    r"""
+    WITH l AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), lf AS (
+      SELECT doc_id, count(*) AS total, count(DISTINCT line) AS dn
+      FROM l WHERE line <> '' GROUP BY doc_id
+    ), w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok
+    ), wm AS (
+      SELECT doc_id, max(c) AS mx, sum(c) AS n FROM wc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(lf.total, 0)::BIGINT AS n_lines,
+           CASE WHEN lf.total > 0
+                THEN 1.0 - lf.dn::DOUBLE / lf.total ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN wm.n > 0
+                THEN wm.mx::DOUBLE / wm.n ELSE 0.0 END AS top_word_frac
+    FROM documents d
+    LEFT JOIN lf USING (doc_id)
+    LEFT JOIN wm USING (doc_id)
+    """,
+)
+def repetition_stats(sf_dir: str):
+    from etlray.functions.text import repetition_features
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    ds = ds.map_batches(repetition_features, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return SelectColumnsTransform(["doc_id", "n_lines", "dup_line_frac",
+                                   "top_word_frac"]).apply(ds)
+
+
 @register(
     "exact_dedup_docs",
     """
@@ -610,12 +649,16 @@ def embedding_sim_join(sf_dir: str):
 # join (SURVEY.md §2.9 — reference has none; Ray Data lacks them; built
 # from map_batches + the explicit hash exchange)
 # ---------------------------------------------------------------------------
+# value carries 2 decimals → aggregate EXACT integer cents: int64
+# addition is associative, so the parallel sum is deterministic at any
+# block order / parallelism (a raw float64 Sum drifted past the 4-dp
+# compare at sf0.1 — same failure class as round-1's pricing_summary)
 @register(
     "windowed_agg",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*)   AS n_events,
-           sum(value) AS value_sum
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
     FROM events
     GROUP BY 1, 2
     """,
@@ -625,11 +668,21 @@ def windowed_agg(sf_dir: str):
 
     def trunc(t: pa.Table) -> pa.Table:
         w = pc.floor_temporal(t["ts"], unit="hour")
-        return t.append_column(
+        t = t.append_column(
             "window_start", w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.append_column(
+            "cents", cents.combine_chunks() if isinstance(cents, pa.ChunkedArray) else cents)
     ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
     agg = AggregateTransform(["window_start", "event_type"],
-                             [("value", "count"), ("value", "sum")]).apply(ds)
+                             [("value", "count"), ("cents", "sum")]).apply(ds)
+
+    def to_value(t: pa.Table) -> pa.Table:
+        vs = pc.divide(pc.cast(t["cents_sum"], pa.float64()), 100.0)
+        t = t.append_column("value_sum",
+                            vs.combine_chunks() if isinstance(vs, pa.ChunkedArray) else vs)
+        return t.drop_columns(["cents_sum"])
+    agg = agg.map_batches(to_value, batch_format="pyarrow", zero_copy_batch=True)
     return RenameColumnsTransform({"value_count": "n_events"}).apply(agg)
 
 

@@ -47,3 +47,20 @@ def test_fingerprint_stability():
     assert a != c
     assert T.doc_fingerprint(None) is None
     assert T.doc_fingerprint("") == 0
+
+
+def test_repetition_features_exact_fractions():
+    import pyarrow as pa
+
+    from etlray.functions.text import repetition_features
+
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["a\nb\na\n\na",          # 4 non-empty, 2 distinct
+                           "x y x x",                # top word 3/4
+                           ""]})
+    out = repetition_features(t)
+    assert out["n_lines"].to_pylist() == [4, 1, 0]
+    dl = out["dup_line_frac"].to_pylist()
+    assert dl[0] == 1.0 - 2 / 4 and dl[1] == 0.0 and dl[2] == 0.0
+    tw = out["top_word_frac"].to_pylist()
+    assert tw[0] == 3 / 4 and tw[1] == 3 / 4 and tw[2] == 0.0
