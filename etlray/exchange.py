@@ -34,6 +34,12 @@ Properties:
 * deterministic bucketing (same SipHash as the CDC engine) so the
   bucket id doubles as the checkpoint partition id.
 
+Closure-shipping note: pre_fn/combine_fn/reduce_fn ride each task
+submit as pickled closures ON PURPOSE — an attempt to ray.put them
+once and pass ObjectRefs measured 10-20 % SLOWER end-to-end at 32M
+events / 16 cpus (per-task dependency resolution beats the ~1 ms/task
+driver-side pickle, which pipelines with execution anyway).
+
 Skew note: the caller is expected to pre-combine per block (e.g. the
 CDC combiner) so a Zipf-hot key contributes ≤1 row per input block;
 the gather for a hot bucket then holds O(blocks) rows, not O(events).
@@ -155,12 +161,6 @@ def _wave_exchange(
     wave_tasks = wave_tasks or _default_wave_tasks()
     combine = ray.remote(_combine_wave)
     finalize = ray.remote(_finalize_bucket)
-    # closures serialize once into the object store; passing the tiny
-    # ObjectRef per task (Ray resolves refs in args) replaces a
-    # per-submit cloudpickle of the whole closure — ~1 ms x thousands
-    # of tasks of driver serial time at 10^8-event epochs
-    combine_ref = ray.put(combine_fn) if combine_fn is not None else None
-    reduce_ref = ray.put(reduce_fn) if reduce_fn is not None else None
 
     per_bucket: list[list] = [[] for _ in range(num_buckets)]
     first_wave_raw: list[list] | None = None   # single-wave fast path
@@ -173,7 +173,7 @@ def _wave_exchange(
         combined = True
         refs = []
         for b in range(num_buckets):
-            r = combine.remote(combine_ref, *[out[b] for out in wave_outs])
+            r = combine.remote(combine_fn, *[out[b] for out in wave_outs])
             per_bucket[b].append(r)
             refs.append(r)
         pending_waves.append(refs)
@@ -204,7 +204,7 @@ def _wave_exchange(
             for b in range(num_buckets):
                 per_bucket[b].append(out[b])
 
-    reduced = [finalize.remote(reduce_ref, b, pass_bucket_id, pass_applied,
+    reduced = [finalize.remote(reduce_fn, b, pass_bucket_id, pass_applied,
                                combined, *refs)
                for b, refs in enumerate(per_bucket) if refs]
     if as_refs:
@@ -248,7 +248,6 @@ def hash_exchange(
 
     keys = list(keys)
     split = ray.remote(num_returns=num_buckets)(_split_block)
-    pre_ref = ray.put(pre_fn) if pre_fn is not None else None
 
     datasets = ds if isinstance(ds, (list, tuple)) else [ds]
 
@@ -258,7 +257,7 @@ def hash_exchange(
                 for block_ref in bundle.block_refs:
                     def submit(ref=block_ref):
                         out = split.remote(ref, keys, num_buckets, bucket_col,
-                                           pre_ref)
+                                           pre_fn)
                         return [out] if num_buckets == 1 else out
                     yield submit
 
@@ -294,7 +293,6 @@ def hash_exchange_files(
 
     keys = list(keys)
     split = ray.remote(num_returns=num_buckets)(_split_file)
-    pre_ref = ray.put(pre_fn) if pre_fn is not None else None
 
     def units():
         for path in paths:
@@ -313,7 +311,7 @@ def hash_exchange_files(
             for rgs in chunks:
                 def submit(p=path, r=rgs):
                     out = split.remote(p, r, keys, num_buckets, bucket_col,
-                                       pre_ref)
+                                       pre_fn)
                     return [out] if num_buckets == 1 else out
                 yield submit
 
