@@ -64,14 +64,6 @@ def _gen_fixture(work: str, n_events: int, pad_levels: int = 16) -> dict:
                             pad_levels=pad_levels)
 
 
-def _warmup() -> None:
-    """Spin up the worker pool with a throwaway pipeline so the timed
-    run measures compute + shuffle, not process fork/import."""
-    import ray.data
-
-    ray.data.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
-
-
 def run_cdc(fx: dict, table_dir: str, num_buckets: int) -> tuple[float, float]:
     """Returns (bootstrap_sec, apply_sec). The headline metric is
     change-events/sec APPLIED (BASELINE.json), so the timed region is
