@@ -572,6 +572,10 @@ class IntervalJoinTransform(Transform):
             df = t.to_pandas()
             left = df[df["__side"] == 0]
             rt = df[df["__side"] == 1].sort_values(by + [ron], kind="stable")
+            # null timestamps never match (SQL range-predicate
+            # semantics) — and NaT poisons searchsorted ordering
+            left = left[left[on].notna()]
+            rt = rt[rt[ron].notna()]
             frames = []
             if len(left) and len(rt):
                 r_groups = {k: g for k, g in rt.groupby(by, sort=False, dropna=True)}

@@ -159,3 +159,13 @@ def test_sample_per_group_deterministic(ray_session):
     assert sa == sorted((r["g"], r["id"]) for r in b)
     assert len([1 for g, _ in sa if g == "x"]) == 3
     assert len([1 for g, _ in sa if g == "y"]) == 3
+
+
+def test_interval_join_null_timestamps_never_match(ray_session):
+    left = MemorySource([{"lid": 1, "k": "a", "t": 100},
+                         {"lid": 2, "k": "a", "t": None}]).read()
+    right = MemorySource([{"rid": 10, "k": "a", "t": 95},
+                          {"rid": 11, "k": "a", "t": None}]).read()
+    out = IntervalJoinTransform(right, on="t", by="k",
+                                lower=-10, upper=0).apply(left).take_all()
+    assert {(r["lid"], r["rid"]) for r in out} == {(1, 10)}
