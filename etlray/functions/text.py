@@ -216,3 +216,24 @@ def repetition_features(t: pa.Table, col: str = "text") -> pa.Table:
     t = t.append_column("dup_line_frac", pa.array(dup_line, type=pa.float64()))
     t = t.append_column("top_word_frac", pa.array(top_word, type=pa.float64()))
     return t
+
+
+_PII_PATTERNS = [
+    # order matters (applied sequentially, identical in the SQL oracle)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://\S+", "<URL>"),
+    (r"\d{6,}", "<NUM>"),
+]
+
+
+def redact_pii(t: pa.Table, col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """Redact emails / URLs / long digit runs — the standard corpus
+    scrubbing pass before training. Vectorized
+    ``pc.replace_substring_regex`` (RE2), and DuckDB's
+    ``regexp_replace(..., 'g')`` runs the same RE2 engine, so a SQL
+    oracle reproduces the output byte-for-byte."""
+    s = t[col]
+    for pat, repl in _PII_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return t.append_column(out_col, _cc(s))

@@ -355,6 +355,27 @@ def text_stats(sf_dir: str):
                                    "digit_ratio"]).apply(ds)
 
 
+@register(
+    "redact_pii_docs",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://\S+', '<URL>', 'g'),
+             '\d{6,}', '<NUM>', 'g') AS text_redacted
+    FROM documents
+    """,
+)
+def redact_pii_docs(sf_dir: str):
+    from etlray.functions.text import redact_pii
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    ds = ds.map_batches(redact_pii, batch_format="pyarrow", zero_copy_batch=True)
+    return SelectColumnsTransform(["doc_id", "text_redacted"]).apply(ds)
+
+
 # Gopher-style repetition filters (all-integer counts → exact SQL parity)
 @register(
     "repetition_stats",

@@ -64,3 +64,17 @@ def test_repetition_features_exact_fractions():
     assert dl[0] == 1.0 - 2 / 4 and dl[1] == 0.0 and dl[2] == 0.0
     tw = out["top_word_frac"].to_pylist()
     assert tw[0] == 3 / 4 and tw[1] == 3 / 4 and tw[2] == 0.0
+
+
+def test_redact_pii():
+    import pyarrow as pa
+
+    from etlray.functions.text import redact_pii
+
+    t = pa.table({"text": ["mail me at a.b+c@example.org now",
+                           "see https://x.io/path?q=1 and id 1234567",
+                           "clean text 123"]})
+    out = redact_pii(t)["text_redacted"].to_pylist()
+    assert out == ["mail me at <EMAIL> now",
+                   "see <URL> and id <NUM>",
+                   "clean text 123"]
