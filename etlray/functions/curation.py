@@ -1,0 +1,189 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Benchmark decontamination, fixed-stride chunking, deterministic
+stratified splits and global n-gram statistics — the stages between
+raw-corpus dedup and token-shard packing that a 100 TB pretraining
+pipeline needs. All operators are map_batches-first: tokenization and
+gram extraction run per Arrow batch with numpy partial-combine, so the
+only all-to-all is the final (tiny) count aggregate.
+
+No reference counterpart (silvanoneto/etl-rs stops at generic
+transforms, src/transform/common.rs); semantics follow the public
+Gopher / Llama data-prep recipes (token-n-gram decontamination against
+held-out benchmark sets; fixed-stride character chunking;
+multiplicative-hash train/val splits).
+
+Scale notes (100 TB):
+* Decontamination broadcasts the benchmark gram set once via
+  ``ray.put`` — correct when the benchmark is ≪ the corpus (the normal
+  case: benchmarks are MBs, corpora are TBs). If the benchmark itself
+  were huge, swap the broadcast for a gram-hash-partitioned semi-join
+  through ``hash_exchange`` instead.
+* Chunking and split assignment are embarrassingly parallel (no
+  shuffle at all); output is ∝ input per batch.
+* ``top_ngrams`` pre-counts per batch (np.unique partial combine)
+  before one hash aggregate over unique grams, then sorts only the
+  aggregated table — never raw gram occurrences.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_WS = re.compile(r"\s+")
+
+
+def norm_tokens(text: str | None) -> list[str]:
+    """lower → collapse whitespace → trim → split(' ').
+
+    Exactly mirrors the oracle SQL
+    ``string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')``
+    so gram strings compare byte-equal between engines.
+    """
+    if text is None:
+        return [""]
+    return _WS.sub(" ", text.lower()).strip().split(" ")
+
+
+def token_ngrams(tokens: list[str], n: int) -> list[str]:
+    return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+def benchmark_grams(ds, n: int, text_col: str = "text") -> frozenset[str]:
+    """Distinct token n-grams of the (small) benchmark dataset.
+
+    Gram extraction runs distributed per batch with per-batch
+    dedup; only unique gram strings come back to the driver."""
+    def grams(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for txt in t[text_col].to_pylist():
+            out.update(token_ngrams(norm_tokens(txt), n))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    acc: set[str] = set()
+    for b in ds.map_batches(grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        acc.update(b["gram"].to_pylist())
+    return frozenset(acc)
+
+
+def contamination_hits(ds, bench_ref, n: int, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Per doc: how many of its DISTINCT n-grams appear in the
+    benchmark set. Docs with zero hits are dropped (they're clean).
+
+    ``bench_ref`` is a ``ray.put`` handle to the frozenset — shipped to
+    each worker once, not re-pickled per batch."""
+    def hits(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) \
+            else bench_ref
+        ids, cnts = [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            c = len(set(token_ngrams(norm_tokens(txt), n)) & bench)
+            if c:
+                ids.append(did)
+                cnts.append(c)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(cnts, pa.int64())})
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def decontaminate(ds, bench_ref, n: int, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Corpus minus every doc sharing ≥1 token n-gram with the benchmark."""
+    def keep(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) \
+            else bench_ref
+        mask = [not (set(token_ngrams(norm_tokens(txt), n)) & bench)
+                for txt in t[text_col].to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# fixed-stride chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+def chunk_documents(ds, size: int = 500, stride: int = 400,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Overlapping character chunks: starts 0, stride, 2·stride, …
+    while start < max(len, 1); each chunk is text[start:start+size].
+
+    Empty docs emit one empty chunk (parity with the oracle's
+    ``generate_series(1, greatest(length(text),1), stride)``). Work and
+    output are ∝ batch size — no shuffle, no state."""
+    def chunks(t: pa.Table) -> pa.Table:
+        ids_out, idx_out, chunk_out = [], [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            s = txt or ""
+            for ci, start in enumerate(range(0, max(len(s), 1), stride)):
+                ids_out.append(did)
+                idx_out.append(ci)
+                chunk_out.append(s[start:start + size])
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "chunk_idx": pa.array(idx_out, pa.int64()),
+                         "chunk": pa.array(chunk_out, pa.string())})
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified split
+# ---------------------------------------------------------------------------
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def assign_split(t: pa.Table, id_col: str = "doc_id", mod: int = 10,
+                 val_bucket: int = 0, name: str = "split") -> pa.Table:
+    """'val' where (id·KNUTH) mod ``mod`` == ``val_bucket``, else
+    'train' — stable across runs, engines and partitionings (pure
+    arithmetic on the id; no RNG state)."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (ids * KNUTH) % mod
+    lab = np.where(key == val_bucket, "val", "train")
+    return t.append_column(name, pa.array(lab, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# global n-gram statistics
+# ---------------------------------------------------------------------------
+def top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text"):
+    """Top-k most frequent token n-grams corpus-wide.
+
+    Per batch: extract grams and pre-count with ``np.unique`` (the
+    map-side combiner), so the aggregate shuffles unique grams per
+    block, not raw occurrences. Ties at the k boundary break on the
+    gram string for determinism."""
+    from etlray.stages import (AggregateTransform, LimitTransform,
+                               RenameColumnsTransform, SortTransform)
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for txt in t[text_col].to_pylist():
+            grams.extend(token_ngrams(norm_tokens(txt), n))
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        uniq, cnt = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table({"gram": pa.array(list(uniq), pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    agg = AggregateTransform(["gram"], [("cnt", "sum")]).apply(ds)
+    agg = RenameColumnsTransform({"cnt_sum": "cnt"}).apply(agg)
+
+    def as_int(t: pa.Table) -> pa.Table:
+        # counts are integral; undo the Sum aggregate's float coercion
+        i = t.schema.get_field_index("cnt")
+        return t.set_column(i, "cnt", t["cnt"].cast(pa.int64()))
+    agg = agg.map_batches(as_int, batch_format="pyarrow")
+    agg = SortTransform(["cnt", "gram"], descending=[True, False]).apply(agg)
+    return LimitTransform(k).apply(agg)

@@ -960,6 +960,114 @@ def pack_token_shards_docs(sf_dir: str):
     return pack_token_shards(ds, "n_tokens", budget=1000)
 
 
+# ---------------------------------------------------------------------------
+# corpus curation (etlray/functions/curation.py): benchmark
+# decontamination, chunking, stratified split, global n-gram stats
+# ---------------------------------------------------------------------------
+# benchmark = every 50th doc; a doc is contaminated if it shares any
+# 4-token n-gram with a benchmark doc (Gopher/Llama-style n-gram
+# decontamination). Gram strings compare byte-equal between engines.
+_DECONTAM_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS gram
+  FROM d, LATERAL unnest(range(1, greatest(len(t)-2, 1))) u(i)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+"""
+
+
+@register("decontaminate_docs", _DECONTAM_SQL)
+def decontaminate_docs(sf_dir: str):
+    import ray as _ray
+
+    from etlray.functions.curation import benchmark_grams, contamination_hits
+
+    def split_mod(t: pa.Table, want_bench: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 50 == 0) if want_bench else (ids % 50 != 0)
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    bench_ds = ds.map_batches(lambda t: split_mod(t, True), batch_format="pyarrow")
+    ref = _ray.put(benchmark_grams(bench_ds, n=4))
+    corpus = ds.map_batches(lambda t: split_mod(t, False), batch_format="pyarrow")
+    return contamination_hits(corpus, ref, n=4)
+
+
+@register(
+    "chunk_docs",
+    """
+    SELECT doc_id, CAST((i-1)/400 AS BIGINT) AS chunk_idx,
+           substring(text, CAST(i AS INT), 500) AS chunk
+    FROM documents,
+         LATERAL unnest(generate_series(1, greatest(length(text),1), 400)) u(i)
+    """,
+)
+def chunk_docs(sf_dir: str):
+    from etlray.functions.curation import chunk_documents
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    return chunk_documents(ds, size=500, stride=400)
+
+
+@register(
+    "split_train_val",
+    """
+    SELECT lang,
+           CASE WHEN (doc_id * 2654435761) % 10 = 0
+                THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def split_train_val(sf_dir: str):
+    from etlray.functions.curation import assign_split
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).read()
+    ds = ds.map_batches(lambda t: assign_split(t), batch_format="pyarrow")
+    agg = AggregateTransform(["lang", "split"],
+                             [("doc_id", "count"), ("n_chars", "sum")]).apply(ds)
+    agg = RenameColumnsTransform(
+        {"doc_id_count": "n_docs", "n_chars_sum": "chars_total"}).apply(agg)
+
+    def as_int(t: pa.Table) -> pa.Table:
+        # char totals are integral; undo the Sum aggregate's float coercion
+        i = t.schema.get_field_index("chars_total")
+        return t.set_column(i, "chars_total", t["chars_total"].cast(pa.int64()))
+    return agg.map_batches(as_int, batch_format="pyarrow")
+
+
+_TOP_NGRAMS_SQL = r"""
+WITH d AS (
+  SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS t
+  FROM documents
+), g AS (
+  SELECT array_to_string(t[i:i+4], ' ') AS gram
+  FROM d, LATERAL unnest(range(1, greatest(len(t)-3, 1))) u(i)
+)
+SELECT gram, count(*) AS cnt FROM g
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+@register("top_ngrams_docs", _TOP_NGRAMS_SQL)
+def top_ngrams_docs(sf_dir: str):
+    from etlray.functions.curation import top_ngrams
+
+    ds = _pq(sf_dir, "documents", columns=["text"]).read()
+    return top_ngrams(ds, n=5, k=20)
+
+
 @register(
     "pivot_event_counts",
     """

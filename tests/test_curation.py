@@ -1,0 +1,80 @@
+"""Corpus-curation operators (SQL-oracled in scripts/check_oracles.py:
+decontaminate_docs, chunk_docs, split_train_val, top_ngrams_docs)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from etlray.functions.curation import (
+    KNUTH,
+    assign_split,
+    benchmark_grams,
+    chunk_documents,
+    contamination_hits,
+    decontaminate,
+    norm_tokens,
+    token_ngrams,
+    top_ngrams,
+)
+from etlray.sources import MemorySource
+
+
+def test_norm_tokens_matches_sql_semantics():
+    assert norm_tokens("  Hello\t\nWorld  ") == ["hello", "world"]
+    assert norm_tokens("") == [""]          # string_split('', ' ') = ['']
+    assert norm_tokens(None) == [""]
+    assert token_ngrams(["a", "b", "c"], 2) == ["a b", "b c"]
+    assert token_ngrams(["a"], 2) == []
+
+
+def test_decontamination_finds_overlap(ray_session):
+    bench_rows = [{"doc_id": 0, "text": "the quick brown fox jumps"}]
+    corpus_rows = [
+        {"doc_id": 1, "text": "a slow red dog sits quietly"},          # clean
+        {"doc_id": 2, "text": "look the quick brown fox ran away"},    # hit
+        {"doc_id": 3, "text": "QUICK  Brown\tFOX jumps high"},         # hit (norm)
+    ]
+    grams = benchmark_grams(MemorySource(bench_rows).read(), n=3)
+    assert "the quick brown" in grams
+    ref = ray.put(grams)
+    hits = contamination_hits(MemorySource(corpus_rows).read(), ref, n=3)
+    got = {r["doc_id"]: r["n_hits"] for r in hits.take_all()}
+    assert set(got) == {2, 3}
+    clean = decontaminate(MemorySource(corpus_rows).read(), ref, n=3)
+    assert {r["doc_id"] for r in clean.take_all()} == {1}
+
+
+def test_chunking_covers_text_with_overlap(ray_session):
+    text = "x" * 1000
+    ds = MemorySource([{"doc_id": 7, "text": text},
+                       {"doc_id": 8, "text": ""}]).read()
+    rows = sorted(chunk_documents(ds, size=500, stride=400).take_all(),
+                  key=lambda r: (r["doc_id"], r["chunk_idx"]))
+    d7 = [r for r in rows if r["doc_id"] == 7]
+    assert [len(r["chunk"]) for r in d7] == [500, 500, 200]   # starts 0/400/800
+    assert [r["chunk_idx"] for r in d7] == [0, 1, 2]
+    d8 = [r for r in rows if r["doc_id"] == 8]
+    assert len(d8) == 1 and d8[0]["chunk"] == ""              # empty → 1 empty chunk
+
+
+def test_assign_split_deterministic_and_stratified():
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    out = assign_split(t)
+    lab = out["split"].to_pylist()
+    assert lab == assign_split(t)["split"].to_pylist()        # pure function
+    ids = np.arange(1000, dtype=np.int64)
+    expect = np.where((ids * KNUTH) % 10 == 0, "val", "train")
+    assert lab == list(expect)
+    frac = lab.count("val") / 1000
+    assert 0.05 < frac < 0.15                                  # ~1/10
+
+
+def test_top_ngrams_counts_and_tiebreak(ray_session):
+    rows = [{"text": "a b c"}, {"text": "a b c"}, {"text": "a b d"}]
+    out = top_ngrams(MemorySource(rows).read(), n=2, k=10).take_all()
+    got = {(r["gram"], r["cnt"]) for r in out}
+    assert ("a b", 3) in got and ("b c", 2) in got and ("b d", 1) in got
+    # descending count, gram ascending on ties
+    cnts = [r["cnt"] for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    assert isinstance(out[0]["cnt"], int)
