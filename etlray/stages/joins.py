@@ -162,6 +162,7 @@ class PartitionedHashJoinTransform(Transform):
         num_buckets: int | None = None,
         suffix: str = "_r",
         bloom_prefilter: bool = False,
+        bloom_capacity: int = 1 << 20,
     ) -> None:
         if how not in _PA_JOIN_TYPE:
             raise TransformError(f"unsupported join type: {how}")
@@ -179,6 +180,7 @@ class PartitionedHashJoinTransform(Transform):
         self.num_buckets = num_buckets
         self.suffix = suffix
         self.bloom_prefilter = bloom_prefilter
+        self.bloom_capacity = bloom_capacity
 
     def _bloom_prefilter(self, ds, right):
         """Shuffle-byte saver for selective inner/semi joins: per-block
@@ -192,7 +194,10 @@ class PartitionedHashJoinTransform(Transform):
         from etlray.functions.sketch import BloomFilter
 
         keys, right_keys = self.keys, self.right_keys
-        nkeys = max(int(right.count()), 1)
+        # fixed capacity (no serial count() job over the right side);
+        # keys beyond capacity only raise the false-positive rate —
+        # correctness is unaffected, the join re-checks every pair
+        nkeys = max(int(self.bloom_capacity), 1)
 
         def key_strings(t: pa.Table, cols) -> list:
             import pyarrow.compute as pc
