@@ -74,39 +74,54 @@ def benchmark_grams(ds, n: int, text_col: str = "text") -> frozenset[str]:
     return frozenset(acc)
 
 
+class _ContaminationStage:
+    """Actor-pool stage: the broadcast gram set is fetched and
+    deserialized ONCE per actor in ``__init__`` (a bare ``ray.get``
+    inside the batch fn would re-deserialize the whole set per batch —
+    frozensets aren't zero-copy like numpy)."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str,
+                 mode: str) -> None:
+        self.bench = ray.get(bench_ref) \
+            if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+        self.mode = mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        if self.mode == "hits":
+            ids, cnts = [], []
+            for did, txt in zip(t[self.id_col].to_pylist(), texts):
+                c = len(set(token_ngrams(norm_tokens(txt), self.n)) & self.bench)
+                if c:
+                    ids.append(did)
+                    cnts.append(c)
+            return pa.table({self.id_col: pa.array(ids, pa.int64()),
+                             "n_hits": pa.array(cnts, pa.int64())})
+        mask = [not (set(token_ngrams(norm_tokens(txt), self.n)) & self.bench)
+                for txt in texts]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+
 def contamination_hits(ds, bench_ref, n: int, id_col: str = "doc_id",
-                       text_col: str = "text"):
+                       text_col: str = "text", concurrency: int = 2):
     """Per doc: how many of its DISTINCT n-grams appear in the
-    benchmark set. Docs with zero hits are dropped (they're clean).
-
-    ``bench_ref`` is a ``ray.put`` handle to the frozenset — shipped to
-    each worker once, not re-pickled per batch."""
-    def hits(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) \
-            else bench_ref
-        ids, cnts = [], []
-        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            c = len(set(token_ngrams(norm_tokens(txt), n)) & bench)
-            if c:
-                ids.append(did)
-                cnts.append(c)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "n_hits": pa.array(cnts, pa.int64())})
-
-    return ds.map_batches(hits, batch_format="pyarrow")
+    benchmark set. Docs with zero hits are dropped (they're clean)."""
+    return ds.map_batches(_ContaminationStage, batch_format="pyarrow",
+                          fn_constructor_args=(bench_ref, n, id_col,
+                                               text_col, "hits"),
+                          concurrency=concurrency)
 
 
 def decontaminate(ds, bench_ref, n: int, id_col: str = "doc_id",
-                  text_col: str = "text"):
+                  text_col: str = "text", concurrency: int = 2):
     """Corpus minus every doc sharing ≥1 token n-gram with the benchmark."""
-    def keep(t: pa.Table) -> pa.Table:
-        bench = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) \
-            else bench_ref
-        mask = [not (set(token_ngrams(norm_tokens(txt), n)) & bench)
-                for txt in t[text_col].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(_ContaminationStage, batch_format="pyarrow",
+                          fn_constructor_args=(bench_ref, n, id_col,
+                                               text_col, "filter"),
+                          concurrency=concurrency)
 
 
 # ---------------------------------------------------------------------------
