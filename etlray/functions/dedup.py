@@ -730,3 +730,84 @@ def embedding_near_dups(
 
     return hash_exchange(bucketed, ["lsh_bucket"], 8, pairwise_bucket,
                          bucket_col=None)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster canonicalization (connected components over pairs)
+# ---------------------------------------------------------------------------
+def dup_clusters(pairs_ds, id_col: str = "doc_id", dup_col: str = "dup_of"):
+    """Connected components over a near-dup pair list → cluster
+    membership table ``(id_col, canonical_id)``, one row per doc that
+    belongs to any dup cluster (the canonical doc maps to itself;
+    canonical = min id in the component). This is the "keep one per
+    cluster" step that follows any pairwise dedup detector
+    (minhash_lsh_candidates / simhash_dup_groups / embedding_near_dups).
+
+    Scale shape: the PAIR LIST is collected to the driver and resolved
+    with path-compressed union-find — the industry-standard choice when
+    pairs ≪ corpus (near-dup rates are ~0.1-5% of docs, and each pair
+    row is 16 bytes; 10^9 pairs ≈ 16 GB is the practical ceiling).
+    The corpus itself never materializes: apply the resulting (small)
+    membership table back to the corpus with ``keep_canonical`` — a
+    broadcast ``ray.put`` lookup inside map_batches, no shuffle. For
+    corpora beyond the pair-list ceiling, run detection with
+    ``per_doc_best=True`` (O(docs) pair rows) or switch to iterative
+    min-label propagation over ``hash_exchange`` rounds.
+    """
+    import ray
+    import ray.data
+
+    tables = ray.get(pairs_ds.to_arrow_refs())
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        for a, b in zip(t[id_col].to_pylist(), t[dup_col].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    members: dict = {}
+    for n in list(parent):
+        members.setdefault(find(n), []).append(n)
+    out_id, out_canon = [], []
+    for root, ms in members.items():
+        canon = min(ms)  # min of component, not the UF root per se
+        for n in ms:
+            out_id.append(n)
+            out_canon.append(canon)
+    tbl = pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                    "canonical_id": pa.array(out_canon, type=pa.int64())})
+    return ray.data.from_arrow(tbl.sort_by(id_col))
+
+
+def keep_canonical(docs_ds, members_ds, id_col: str = "doc_id"):
+    """Drop non-canonical cluster members from the corpus. The (small)
+    membership table is broadcast once via ``ray.put``; each batch
+    filters locally — no shuffle, corpus streams through."""
+    import ray
+
+    drop: set = set()
+    for t in ray.get(members_ds.to_arrow_refs()):
+        for i, c in zip(t[id_col].to_pylist(), t["canonical_id"].to_pylist()):
+            if i != c:
+                drop.add(i)
+    drop_ref = ray.put(pa.array(sorted(drop), type=pa.int64()))
+
+    def f(t: pa.Table) -> pa.Table:
+        bad = ray.get(drop_ref)
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=bad)))
+
+    return docs_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

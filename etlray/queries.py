@@ -1189,3 +1189,48 @@ def cdc_replay_flagship(sf_dir: str):
     from etlray.cdc.engine import flagship_cdc_demo
 
     return flagship_cdc_demo(sf_dir)
+
+
+# connected components over the exact-verified MinHash pair list; the
+# oracle recomputes the same exact-Jaccard pairs (same derivation as
+# _MINHASH_SQL) and resolves components with a recursive reachability
+# CTE — canonical = min doc_id per component, canonical maps to itself
+_DUP_CLUSTER_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS s
+  FROM d, LATERAL unnest(range(1, greatest(length(norm) - 3, 2))) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), p AS (
+  SELECT ia AS a, ib AS b
+  FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+), edges AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+@register("dup_cluster_canonical", _DUP_CLUSTER_SQL)
+def dup_cluster_canonical(sf_dir: str):
+    """Near-dup pairs → connected components → (doc_id, canonical_id)
+    membership table. Pairs come from MinHash-LSH with exact verify
+    (identical contract to the oracle's exact-Jaccard pair list), so
+    the component structure matches deterministically."""
+    from etlray.functions.dedup import dup_clusters, minhash_lsh_candidates
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.8)
+    return dup_clusters(pairs)

@@ -85,3 +85,35 @@ def test_codepoint_shingles_short_and_unicode():
     a = D.codepoint_shingles("你好世界你好世界")
     b = D.codepoint_shingles("你好世界你好世界")
     assert np.array_equal(a, b)
+
+
+def test_dup_clusters_transitive(ray_session):
+    # pairs: 1-2, 2-3 (one component), 7-9 (another); 5 absent
+    import ray.data
+
+    pairs = ray.data.from_items([
+        {"doc_id": 2, "dup_of": 1},
+        {"doc_id": 3, "dup_of": 2},
+        {"doc_id": 9, "dup_of": 7},
+    ])
+    out = D.dup_clusters(pairs).take_all()
+    got = {(r["doc_id"], r["canonical_id"]) for r in out}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+
+
+def test_dup_clusters_root_only_node_kept(ray_session):
+    # a node that is only ever a union root must still appear
+    import ray.data
+
+    pairs = ray.data.from_items([{"doc_id": 8, "dup_of": 5}])
+    out = D.dup_clusters(pairs).take_all()
+    assert {(r["doc_id"], r["canonical_id"]) for r in out} == {(5, 5), (8, 5)}
+
+
+def test_keep_canonical_filters_corpus(corpus_ds, ray_session):
+    pairs = D.minhash_lsh_candidates(corpus_ds, jaccard_threshold=0.8)
+    members = D.dup_clusters(pairs)
+    kept = D.keep_canonical(corpus_ds, members).take_all()
+    ids = sorted(r["doc_id"] for r in kept)
+    # 1,2,3,5 form one near-dup cluster (canonical 1); 4 is unrelated
+    assert ids == [1, 4]
