@@ -1234,3 +1234,53 @@ def dup_cluster_canonical(sf_dir: str):
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
     pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.8)
     return dup_clusters(pairs)
+
+
+# the end-to-end "dedup the corpus" story: detect near-dup pairs,
+# resolve clusters, drop non-canonical members — corpus streams through
+# a broadcast filter, never shuffled. Oracle: anti-join against the
+# recursive-CTE cluster membership (same derivation as above).
+_CANON_ONLY_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substring(norm, CAST(i AS INT), 5) AS s
+  FROM d, LATERAL unnest(range(1, greatest(length(norm) - 3, 2))) t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), p AS (
+  SELECT ia AS a, ib AS b
+  FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+), edges AS (
+  SELECT a, b FROM p UNION SELECT b, a FROM p
+), reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+), drops AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(r)
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
+
+
+@register("corpus_canonical_only", _CANON_ONLY_SQL)
+def corpus_canonical_only(sf_dir: str):
+    """Detection → clustering → broadcast filter: the corpus minus
+    non-canonical near-dup cluster members. The corpus is never
+    shuffled — only the (small) drop set moves, via ray.put."""
+    from etlray.functions.dedup import (dup_clusters, keep_canonical,
+                                        minhash_lsh_candidates)
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"]).read()
+    pairs = minhash_lsh_candidates(
+        ds.select_columns(["doc_id", "text"]), jaccard_threshold=0.8)
+    members = dup_clusters(pairs)
+    return keep_canonical(ds, members).select_columns(["doc_id", "lang"])
