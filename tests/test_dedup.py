@@ -117,3 +117,16 @@ def test_keep_canonical_filters_corpus(corpus_ds, ray_session):
     ids = sorted(r["doc_id"] for r in kept)
     # 1,2,3,5 form one near-dup cluster (canonical 1); 4 is unrelated
     assert ids == [1, 4]
+
+
+def test_dup_clusters_empty_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "dup_of": pa.array([], type=pa.int64())}))
+    members = D.dup_clusters(empty)
+    assert members.count() == 0
+    docs = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    assert D.keep_canonical(docs, members).count() == 1  # passthrough
