@@ -150,6 +150,32 @@ class MinHasher:
         return out
 
 
+_BAND_SALT_SEED = 13
+
+
+def _band_hash_matrix(sig_mat: np.ndarray, bands: int,
+                      rows_per_band: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band hashes, fully vectorized: each band's
+    signature slice is dotted with a fixed odd-multiplier vector (wraps
+    mod 2^64), salted per band, then avalanched with the murmur3 fmix64
+    finalizer. Deterministic across processes (fixed seed)."""
+    n = sig_mat.shape[0]
+    s = sig_mat.reshape(n, bands, rows_per_band)
+    rng = np.random.default_rng(_BAND_SALT_SEED)
+    mult = (rng.integers(1, 1 << 62, size=(bands, rows_per_band),
+                         dtype=np.uint64) * np.uint64(2) + np.uint64(1))
+    salt = rng.integers(0, np.iinfo(np.uint64).max, size=bands,
+                        dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (s * mult[None, :, :]).sum(axis=2, dtype=np.uint64) + salt[None, :]
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def minhash_lsh_candidates(
     ds,
     text_col: str = "text",
@@ -209,28 +235,32 @@ def minhash_lsh_candidates(
         if not ids:
             return pa.table({
                 "band": pa.array([], type=pa.int32()),
-                "band_hash": pa.array([], type=pa.string()),
+                "band_hash": pa.array([], type=pa.int64()),
                 id_col: pa.array([], type=pa.int64()),
                 "__sig": pa.array([], type=pa.binary(sig_bytes)),
             })
-        shingles = [char_shingles(txt, shingle_k) for txt in texts]
+        # the SAME shingle_fn as the exact-verify stage, so the
+        # candidate estimate targets the jaccard the final threshold is
+        # applied to (byte- vs codepoint-shingles diverge on non-ASCII)
+        shingles = [shingle_fn(txt, shingle_k) for txt in texts]
         sig_mat = hasher.signature_batch(shingles)       # (n_docs, num_perm)
-        raws = [row.tobytes() for row in sig_mat]
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, raw in zip(ids, raws):
-            for b in range(bands):
-                band = raw[b * rows_per_band * 8:(b + 1) * rows_per_band * 8]
-                h = hashlib.blake2b(band, digest_size=8, salt=b.to_bytes(8, "little")) \
-                    .hexdigest()
-                out_band.append(b)
-                out_hash.append(h)
-                out_id.append(i)
-                out_sig.append(raw)
+        n = len(ids)
+        # vectorized band hashing: one multiply-mix per (doc, band)
+        # instead of n×bands Python blake2b calls — equal band slices
+        # still collide (hash is a pure function of the slice + band
+        # salt), unequal slices collide only at hash-collision rate,
+        # which merely adds candidates the verify stage re-checks
+        hashes = _band_hash_matrix(sig_mat, bands, rows_per_band)  # (n, bands)
+        raw = sig_mat.tobytes()
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(sig_bytes), n, [None, pa.py_buffer(raw)])
+        id_arr = pa.array(ids, type=pa.int64())
+        rep = np.repeat(np.arange(n), bands)
         return pa.table({
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.string()),
-            id_col: pa.array(out_id),
-            "__sig": pa.array(out_sig, type=pa.binary(sig_bytes)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(hashes.reshape(-1).view(np.int64)),
+            id_col: id_arr.take(pa.array(rep)),
+            "__sig": sig_arr.take(pa.array(rep)),
         })
 
     exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
@@ -364,55 +394,163 @@ def minhash_lsh_candidates(
 
 def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
                         shingle_k: int, jaccard_threshold: float,
-                        shingle_fn=None, dedupe: bool = False):
-    """Re-check candidate pairs with EXACT shingle Jaccard, fetching
-    text only for candidate docs (assumed ≪ corpus): candidate ids are
-    broadcast once via ray.put, the corpus is filtered down to those
-    docs (distributed), and the final pairwise check runs in one task
-    over the small survivor set."""
+                        shingle_fn=None, dedupe: bool = False,
+                        num_buckets: int = 8):
+    """Re-check candidate pairs with EXACT shingle Jaccard —
+    DISTRIBUTED: no single-task stage, and neither text nor the pair
+    list ever materializes on the driver.
+
+    Plan (three hash exchanges):
+      1. dedupe: exchange pairs on (id, dup_of); the exchange's bucket
+         id becomes each pair's VERIFY bucket.
+      2. route: the driver gathers only the UNIQUE candidate doc ids
+         (8 B each — candidates ≪ corpus by contract; beyond ~10^9
+         candidates swap the exact set for OR-merged per-block Bloom
+         sketches, with false positives dropped at the join below) and
+         broadcasts them once via ``ray.put`` to filter the corpus.
+         Candidate texts ∪ (doc id, verify bucket) need-rows exchange
+         on doc id; a per-bucket hash join replicates each text to
+         every verify bucket that references it — text volume moved is
+         ∝ candidate pairs, not corpus.
+      3. verify: pairs ∪ routed texts exchange on the precomputed
+         verify bucket; each bucket computes exact Jaccard with
+         ``np.intersect1d`` over per-doc cached sorted shingle arrays.
+    """
     import ray
     import ray.data
 
     if shingle_fn is None:
         shingle_fn = codepoint_shingles
-    tables = ray.get(cand.to_arrow_refs())
+
+    from etlray.exchange import hash_exchange
+
     empty = pa.table({id_col: pa.array([], type=pa.int64()),
                       "dup_of": pa.array([], type=pa.int64()),
                       "jaccard": pa.array([], type=pa.float64())})
-    pair_tbl = pa.concat_tables([t for t in tables if t.num_rows] or [empty],
-                                promote_options="permissive")
-    if dedupe and pair_tbl.num_rows:
-        pair_tbl = lww_reduce(pair_tbl, [id_col, "dup_of"], "jaccard")
-    if pair_tbl.num_rows == 0:
+
+    # -- exchange 1: dedupe pairs; bucket id = verify bucket ------------
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.append_column(BUCKET_COL,
+                                       pa.array([], type=pa.int32()))
+        return lww_reduce(t, [id_col, "dup_of"], "jaccard")
+
+    pair_refs = hash_exchange(cand, [id_col, "dup_of"], num_buckets,
+                              dedupe_pairs, bucket_col=None, as_refs=True)
+    pairs_ds = ray.data.from_arrow_refs(list(pair_refs))
+
+    @ray.remote
+    def need_rows(t: pa.Table) -> pa.Table:
+        """(doc id, verify bucket) per distinct doc referenced by this
+        bucket's pairs — deduped so each text ships at most once per
+        verify bucket."""
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             BUCKET_COL: pa.array([], type=pa.int32())})
+        ids = np.unique(np.concatenate([
+            t[id_col].to_numpy(zero_copy_only=False),
+            t["dup_of"].to_numpy(zero_copy_only=False)]))
+        pb = t[BUCKET_COL][0].as_py()
+        return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                         BUCKET_COL: pa.array(
+                             np.full(len(ids), pb, dtype=np.int32))})
+
+    @ray.remote
+    def uniq_ids(t: pa.Table) -> np.ndarray:
+        return t[id_col].to_numpy(zero_copy_only=False)
+
+    need_refs = [need_rows.remote(r) for r in pair_refs]
+    id_parts = ray.get([uniq_ids.remote(r) for r in need_refs])
+    all_ids = np.unique(np.concatenate(id_parts)) if id_parts else \
+        np.array([], dtype=np.int64)
+    if all_ids.size == 0:
         return ray.data.from_arrow(empty)
-    need = sorted(set(pair_tbl[id_col].to_pylist())
-                  | set(pair_tbl["dup_of"].to_pylist()))
-    need_ref = ray.put(pa.array(need))
+    need_ds = ray.data.from_arrow_refs(need_refs)
+    need_set_ref = ray.put(pa.array(all_ids, type=pa.int64()))
 
     def keep_candidates(t: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)  # broadcast once, shared per node
+        wanted = ray.get(need_set_ref)  # broadcast once, shared per node
         mask = pc.is_in(t[id_col], value_set=wanted)
         return t.filter(mask).select([id_col, text_col])
 
     texts = docs_ds.map_batches(keep_candidates, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    text_refs = texts.to_arrow_refs()
 
-    @ray.remote
-    def verify(pairs: pa.Table, *text_parts: pa.Table) -> pa.Table:
-        lookup: dict = {}
-        for part in text_parts:
-            for i, txt in zip(part[id_col].to_pylist(), part[text_col].to_pylist()):
-                lookup[i] = txt
+    # -- exchange 2: route texts to their verify buckets ----------------
+    def conform_route(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if BUCKET_COL in t.column_names:           # need rows
+            return pa.table({id_col: t[id_col], BUCKET_COL: t[BUCKET_COL],
+                             text_col: pa.nulls(n, type=pa.string()),
+                             "__kind": pa.array(
+                                 np.ones(n, dtype=np.int8))})
+        return pa.table({id_col: t[id_col],
+                         BUCKET_COL: pa.nulls(n, type=pa.int32()),
+                         text_col: pc.cast(t[text_col], pa.string()),
+                         "__kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    routed_empty = pa.table({"__doc": pa.array([], type=pa.int64()),
+                             text_col: pa.array([], type=pa.string()),
+                             BUCKET_COL: pa.array([], type=pa.int32())})
+
+    def route_texts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return routed_empty
+        kind = t["__kind"].to_numpy(zero_copy_only=False)
+        needs = t.filter(pa.array(kind == 1)).select([id_col, BUCKET_COL])
+        texts_t = t.filter(pa.array(kind == 0)).select([id_col, text_col])
+        # left join keeps pairs whose doc is absent from the corpus:
+        # they verify against the empty string, matching the previous
+        # single-task semantics exactly
+        joined = needs.join(texts_t, keys=[id_col], join_type="left outer")
+        return pa.table({"__doc": pc.cast(joined[id_col], pa.int64()),
+                         text_col: joined[text_col],
+                         BUCKET_COL: pc.cast(joined[BUCKET_COL], pa.int32())})
+
+    routed = hash_exchange([texts, need_ds], [id_col], num_buckets,
+                           route_texts, bucket_col=None,
+                           pre_fn=conform_route)
+
+    # -- exchange 3: per-bucket exact verify ----------------------------
+    def conform_verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if "__doc" in t.column_names:              # routed texts
+            return pa.table({
+                id_col: pa.nulls(n, type=pa.int64()),
+                "dup_of": pa.nulls(n, type=pa.int64()),
+                "jaccard": pa.nulls(n, type=pa.float64()),
+                BUCKET_COL: t[BUCKET_COL],
+                "__doc": t["__doc"], text_col: t[text_col],
+                "__kind": pa.array(np.ones(n, dtype=np.int8))})
+        return pa.table({
+            id_col: t[id_col], "dup_of": t["dup_of"],
+            "jaccard": t["jaccard"], BUCKET_COL: t[BUCKET_COL],
+            "__doc": pa.nulls(n, type=pa.int64()),
+            text_col: pa.nulls(n, type=pa.string()),
+            "__kind": pa.array(np.zeros(n, dtype=np.int8))})
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        kind = t["__kind"].to_numpy(zero_copy_only=False)
+        pair_t = t.filter(pa.array(kind == 0))
+        text_t = t.filter(pa.array(kind == 1))
+        if pair_t.num_rows == 0:
+            return empty
+        lookup = dict(zip(text_t["__doc"].to_pylist(),
+                          text_t[text_col].to_pylist()))
         shingle_cache: dict = {}
 
         def sh(i):
-            if i not in shingle_cache:
-                shingle_cache[i] = shingle_fn(lookup.get(i) or "", shingle_k)
-            return shingle_cache[i]
+            s = shingle_cache.get(i)
+            if s is None:
+                s = shingle_cache[i] = shingle_fn(lookup.get(i) or "",
+                                                  shingle_k)
+            return s
 
         out_id, out_dup, out_j = [], [], []
-        for a, b in zip(pairs[id_col].to_pylist(), pairs["dup_of"].to_pylist()):
+        for a, b in zip(pair_t[id_col].to_pylist(),
+                        pair_t["dup_of"].to_pylist()):
             sa, sb = sh(a), sh(b)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             j = inter / max(len(sa) + len(sb) - inter, 1)
@@ -424,7 +562,9 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
                          "dup_of": pa.array(out_dup, type=pa.int64()),
                          "jaccard": pa.array(out_j, type=pa.float64())})
 
-    return ray.data.from_arrow_refs([verify.remote(pair_tbl, *text_refs)])
+    return hash_exchange([pairs_ds, routed], [BUCKET_COL], num_buckets,
+                         verify_bucket, bucket_col=BUCKET_COL,
+                         pre_fn=conform_verify)
 
 
 def codepoint_shingles(text: str, k: int = 5) -> np.ndarray:
