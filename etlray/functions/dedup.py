@@ -875,7 +875,9 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 # duplicate-cluster canonicalization (connected components over pairs)
 # ---------------------------------------------------------------------------
-def dup_clusters(pairs_ds, id_col: str = "doc_id", dup_col: str = "dup_of"):
+def dup_clusters(pairs_ds, id_col: str = "doc_id", dup_col: str = "dup_of",
+                 driver_pair_limit: int = 2_000_000, num_buckets: int = 16,
+                 max_rounds: int = 64):
     """Connected components over a near-dup pair list → cluster
     membership table ``(id_col, canonical_id)``, one row per doc that
     belongs to any dup cluster (the canonical doc maps to itself;
@@ -883,17 +885,32 @@ def dup_clusters(pairs_ds, id_col: str = "doc_id", dup_col: str = "dup_of"):
     cluster" step that follows any pairwise dedup detector
     (minhash_lsh_candidates / simhash_dup_groups / embedding_near_dups).
 
-    Scale shape: the PAIR LIST is collected to the driver and resolved
-    with path-compressed union-find — the industry-standard choice when
-    pairs ≪ corpus (near-dup rates are ~0.1-5% of docs, and each pair
-    row is 16 bytes; 10^9 pairs ≈ 16 GB is the practical ceiling).
-    The corpus itself never materializes: apply the resulting (small)
-    membership table back to the corpus with ``keep_canonical`` — a
-    broadcast ``ray.put`` lookup inside map_batches, no shuffle. For
-    corpora beyond the pair-list ceiling, run detection with
-    ``per_doc_best=True`` (O(docs) pair rows) or switch to iterative
-    min-label propagation over ``hash_exchange`` rounds.
-    """
+    Two execution paths, picked by pair count:
+
+    * ``pairs ≤ driver_pair_limit``: the pair list is collected to the
+      driver and resolved with path-compressed union-find — fastest
+      when pairs fit comfortably in driver memory (each pair row is
+      16 bytes).
+    * beyond the limit: ``dup_clusters_distributed`` — iterative
+      hash-min label propagation over bucketed edge partitions; the
+      pair list never materializes on the driver (only per-round
+      changed-counts do), so the 100-TB ceiling is object-store size,
+      not driver heap.
+
+    Either way the corpus itself never shuffles: apply the membership
+    table back with ``keep_canonical`` — a broadcast ``ray.put``
+    lookup inside map_batches."""
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() > driver_pair_limit:
+        return dup_clusters_distributed(pairs_ds, id_col, dup_col,
+                                        num_buckets=num_buckets,
+                                        max_rounds=max_rounds)
+    return _dup_clusters_unionfind(pairs_ds, id_col, dup_col)
+
+
+def _dup_clusters_unionfind(pairs_ds, id_col: str, dup_col: str):
+    """Driver-side path-compressed union-find over the gathered pair
+    list (the small-pair-list fast path of ``dup_clusters``)."""
     import ray
     import ray.data
 
@@ -931,6 +948,154 @@ def dup_clusters(pairs_ds, id_col: str = "doc_id", dup_col: str = "dup_of"):
     tbl = pa.table({id_col: pa.array(out_id, type=pa.int64()),
                     "canonical_id": pa.array(out_canon, type=pa.int64())})
     return ray.data.from_arrow(tbl.sort_by(id_col))
+
+
+def dup_clusters_distributed(pairs_ds, id_col: str = "doc_id",
+                             dup_col: str = "dup_of",
+                             num_buckets: int = 16, max_rounds: int = 64):
+    """Connected components over a pair list WITHOUT gathering it to
+    the driver: iterative hash-min label propagation (the MapReduce CC
+    algorithm of Rastogi et al. 2013) over hash-bucketed edge
+    partitions.
+
+    Plan (raw Ray tasks — the one shape the Dataset API can't express:
+    a fixpoint loop over a partitioned mutable label table):
+
+    1. explode pairs to both edge orientations, one ``hash_exchange``
+       on src → per-bucket sorted, deduped edge tables whose refs stay
+       in the object store across every round (edges never re-shuffle);
+    2. labels init per bucket: ``label(v) = min(v, min neighbor)`` —
+       the first half-round for free;
+    3. each round, per bucket: join labels onto edges by src (both
+       sides sorted → one searchsorted), pre-combine to one min-label
+       message per dst, split messages by the same stable hash the
+       edge exchange used; then per bucket ``new = min(old, msgs)``
+       with a changed-count side output. Stop at fixpoint.
+
+    Rounds = graph diameter + 1; near-dup clusters are near-cliques, so
+    typically 2-3. Per-round traffic is ≤ one (node, label) row per
+    (dst, source-bucket) — O(nodes·buckets) worst case, independent of
+    edge count. Only per-round changed-counts ever reach the driver."""
+    import ray
+    import ray.data
+
+    from etlray.cdc.apply import stable_bucket
+    from etlray.exchange import hash_exchange
+
+    lab_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        a = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[dup_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def compact_edges(t: pa.Table) -> pa.Table:
+        """Sort by src and drop duplicate edges (a pair listed twice
+        collapses); the sorted order is what lets every later round
+        join by searchsorted instead of a hash build."""
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.ones(len(s), dtype=bool)
+        np.logical_or(s[1:] != s[:-1], d[1:] != d[:-1], out=keep[1:])
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    e_refs = list(hash_exchange(edges, ["src"], num_buckets, compact_edges,
+                                bucket_col=None, as_refs=True))
+
+    @ray.remote
+    def init_labels(e: pa.Table) -> pa.Table:
+        if e.num_rows == 0:
+            return lab_schema.empty_table()
+        s = e["src"].to_numpy(zero_copy_only=False)
+        d = e["dst"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        node = s[starts]
+        lab = np.minimum(node, np.minimum.reduceat(d, starts))
+        return pa.table({"node": pa.array(node), "label": pa.array(lab)})
+
+    @ray.remote(num_returns=max(num_buckets, 2))
+    def propagate(e: pa.Table, lab: pa.Table):
+        """Emit one (dst, min incoming label) message per dst of this
+        bucket's edges, split by the dst's label bucket."""
+        empties = [lab_schema.empty_table()] * max(num_buckets, 2)
+        if e.num_rows == 0 or lab.num_rows == 0:
+            return tuple(empties)
+        s = e["src"].to_numpy(zero_copy_only=False)
+        d = e["dst"].to_numpy(zero_copy_only=False)
+        nodes = lab["node"].to_numpy(zero_copy_only=False)
+        labels = lab["label"].to_numpy(zero_copy_only=False)
+        lv = labels[np.searchsorted(nodes, s)]   # every src has a label row
+        # pre-combine: min label per dst before anything ships
+        order = np.lexsort((lv, d))
+        d, lv = d[order], lv[order]
+        first = np.concatenate(([True], d[1:] != d[:-1]))
+        d, lv = d[first], lv[first]
+        msg = pa.table({"node": pa.array(d), "label": pa.array(lv)})
+        buckets = stable_bucket(msg, ["node"], num_buckets)
+        order = np.argsort(buckets, kind="stable")
+        msg = msg.take(pa.array(order))
+        bounds = np.searchsorted(buckets[order], np.arange(num_buckets + 1))
+        out = [msg.slice(bounds[b], bounds[b + 1] - bounds[b])
+               for b in range(num_buckets)]
+        while len(out) < 2:
+            out.append(lab_schema.empty_table())
+        return tuple(out)
+
+    @ray.remote(num_returns=2)
+    def min_step(lab: pa.Table, *msg_parts: pa.Table):
+        if lab.num_rows == 0:
+            return lab, 0
+        nodes = lab["node"].to_numpy(zero_copy_only=False)
+        new = lab["label"].to_numpy(zero_copy_only=False).copy()
+        for m in msg_parts:
+            if m.num_rows == 0:
+                continue
+            mn = m["node"].to_numpy(zero_copy_only=False)
+            ml = m["label"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, mn)
+            # every message targets a node that exists in this bucket
+            np.minimum.at(new, pos, ml)
+        changed = int(np.count_nonzero(
+            new < lab["label"].to_numpy(zero_copy_only=False)))
+        return pa.table({"node": pa.array(nodes), "label": pa.array(new)}), \
+            changed
+
+    lab_refs = [init_labels.remote(r) for r in e_refs]
+    nb = len(e_refs)
+    for _round in range(max_rounds):
+        msg_out = [propagate.remote(e_refs[b], lab_refs[b])
+                   for b in range(nb)]
+        new_refs, ch_refs = [], []
+        for b in range(nb):
+            parts = [msg_out[src][b] for src in range(nb)]
+            lr, cr = min_step.remote(lab_refs[b], *parts)
+            new_refs.append(lr)
+            ch_refs.append(cr)
+        lab_refs = new_refs
+        if sum(ray.get(ch_refs)) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters_distributed did not converge in {max_rounds} "
+            "rounds — the pair graph has a path longer than max_rounds; "
+            "raise max_rounds (rounds are cheap: one label exchange each)")
+
+    @ray.remote
+    def to_members(lab: pa.Table) -> pa.Table:
+        return pa.table({id_col: lab["node"], "canonical_id": lab["label"]})
+
+    return ray.data.from_arrow_refs([to_members.remote(r) for r in lab_refs])
 
 
 def keep_canonical(docs_ds, members_ds, id_col: str = "doc_id"):

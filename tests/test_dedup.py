@@ -130,3 +130,41 @@ def test_dup_clusters_empty_pairs(ray_session):
     assert members.count() == 0
     docs = ray.data.from_items([{"doc_id": 1, "text": "x"}])
     assert D.keep_canonical(docs, members).count() == 1  # passthrough
+
+def test_dup_clusters_distributed_matches_unionfind(ray_session):
+    # a long chain (multi-round propagation), a star, and a singleton pair
+    import ray.data
+
+    chain = [{"doc_id": i + 1, "dup_of": i} for i in range(100, 112)]
+    star = [{"doc_id": i, "dup_of": 500} for i in (501, 502, 503)]
+    pairs = ray.data.from_items(chain + star + [{"doc_id": 9, "dup_of": 7}])
+    want = sorted((r["doc_id"], r["canonical_id"])
+                  for r in D._dup_clusters_unionfind(
+                      pairs.materialize(), "doc_id", "dup_of").take_all())
+    got = sorted((r["doc_id"], r["canonical_id"])
+                 for r in D.dup_clusters_distributed(
+                     pairs, num_buckets=4).take_all())
+    assert got == want
+    # dispatcher picks the distributed path when forced
+    forced = sorted((r["doc_id"], r["canonical_id"])
+                    for r in D.dup_clusters(
+                        pairs, driver_pair_limit=0).take_all())
+    assert forced == want
+
+
+def test_dup_clusters_distributed_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "dup_of": pa.array([], type=pa.int64())}))
+    assert D.dup_clusters(empty, driver_pair_limit=0).count() == 0
+
+
+def test_dup_clusters_distributed_end_to_end(corpus_ds, ray_session):
+    # same corpus as test_keep_canonical_filters_corpus, distributed path
+    pairs = D.minhash_lsh_candidates(corpus_ds, jaccard_threshold=0.8)
+    members = D.dup_clusters(pairs, driver_pair_limit=0)
+    kept = D.keep_canonical(corpus_ds, members).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 4]
