@@ -813,27 +813,55 @@ def embedding_near_dups(
     ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_bands: int = 16,
     cosine_threshold: float = 0.95,
     seed: int = 11,
 ):
-    """Bucket by sign pattern under ``num_planes`` random hyperplanes,
-    then exact pairwise cosine within each bucket (numpy matmul).
-    Near-identical vectors agree on every plane with high probability."""
+    """Multi-band random-hyperplane LSH near-dup detection over an
+    embedding column: every vector gets ``num_bands`` INDEPENDENT sign
+    codes of ``num_planes`` hyperplanes each; a pair becomes a
+    candidate if ANY band's codes collide (OR over bands — the same
+    banding trick as MinHash-LSH), and exact pairwise cosine (float32
+    matmul) inside each (band, code) bucket decides. A pair surfacing
+    from several bands carries the identical cosine (a dot product of
+    the same two unit rows), so the final per-pair exchange dedupes it
+    exactly.
+
+    Recall for a pair at cosine c is ``1 - (1 - p^r)^B`` with
+    ``p = 1 - arccos(c)/π``: ≈ 1 - 1.4e-4 at c = 0.95 and ≈ 1 - 2e-6 at
+    c = 0.97 with the default r=8, B=16 — a single 12-plane code (the
+    round-2 design) caught a 0.95-cosine pair only ~28% of the time.
+    Cost: the vector column ships ×B through one exchange (256 B × 16
+    for dim-64 float32 — fine for embedding tables; for very wide
+    vectors, switch to code-only candidate rows plus a distributed
+    vector-fetch verify like ``_exact_verify_pairs``)."""
 
     def bucketize(t: pa.Table) -> pa.Table:
         from etlray.functions.ann import vectors_to_numpy
 
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "code": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             vec_col: pa.array([], type=t[vec_col].type)})
         vecs = vectors_to_numpy(t[vec_col])
         dim = vecs.shape[1]
-        planes = np.random.default_rng(seed).standard_normal((dim, num_planes)) \
-            .astype(np.float32)
-        signs = (vecs @ planes) > 0
-        codes = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, num_bands * num_planes)).astype(np.float32)
+        signs = (vecs @ planes) > 0                     # (n, B*r)
+        codes = (signs.reshape(n, num_bands, num_planes)
+                 * (1 << np.arange(num_planes))).sum(axis=2) \
+            .astype(np.int64)                           # (n, B)
+        rep = pa.array(np.repeat(np.arange(n), num_bands))
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        vcs = t[vec_col].combine_chunks() if isinstance(t[vec_col], pa.ChunkedArray) else t[vec_col]
         return pa.table({
-            id_col: t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
-            "lsh_bucket": pa.array(codes),
-            vec_col: t[vec_col].combine_chunks() if isinstance(t[vec_col], pa.ChunkedArray) else t[vec_col],
+            "band": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            "code": pa.array(codes.reshape(-1)),
+            id_col: ids.take(rep),
+            vec_col: vcs.take(rep),
         })
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
@@ -851,15 +879,16 @@ def embedding_near_dups(
         return pd.DataFrame({id_col: ids[jj], "dup_of": ids[ii],
                              "cosine": sim[ii, jj].astype(float)})
 
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "dup_of": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
+
     def pairwise_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({id_col: pa.array([], type=pa.int64()),
-                          "dup_of": pa.array([], type=pa.int64()),
-                          "cosine": pa.array([], type=pa.float64())})
         if t.num_rows == 0:
             return empty
         df = t.to_pandas()
-        out = df.groupby("lsh_bucket", sort=False)[[id_col, vec_col]].apply(
-            pairwise_group).reset_index(drop=True)
+        out = df.groupby(["band", "code"], sort=False)[[id_col, vec_col]] \
+            .apply(pairwise_group).reset_index(drop=True)
         if len(out) == 0:
             return empty
         return pa.table({id_col: pa.array(out[id_col], type=pa.int64()),
@@ -868,7 +897,17 @@ def embedding_near_dups(
 
     from etlray.exchange import hash_exchange
 
-    return hash_exchange(bucketed, ["lsh_bucket"], 8, pairwise_bucket,
+    band_pairs = hash_exchange(bucketed, ["band", "code"], 8, pairwise_bucket,
+                               bucket_col=None)
+
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = lww_reduce(t, [id_col, "dup_of"], "cosine")
+        return t.drop_columns([c for c in (BUCKET_COL,)
+                               if c in t.column_names])
+
+    return hash_exchange(band_pairs, [id_col, "dup_of"], 8, uniq_pairs,
                          bucket_col=None)
 
 

@@ -14,6 +14,7 @@ tests/.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -538,16 +539,70 @@ def simhash_dups(sf_dir: str):
     return simhash_dup_groups(ds)
 
 
+# Fixture augmentation shared by the embedding near-dup queries: the
+# seeded fixtures have NO natural pair above cosine ~0.6, which made
+# the near-dup oracles vacuous (0-row green). For every vec_id
+# divisible by 5, append a derived copy (id + 1_000_000) whose every
+# 16th coordinate is doubled — doubling is an exponent increment, so
+# the numpy-float32 and DuckDB values are bit-identical — yielding
+# ~n/5 engineered pairs at cosine ≈ 0.945-0.999. Verified margins on
+# every sf fixture: no pair (engineered or natural) within 7e-4 of the
+# 0.95 near-dup threshold or within 7e-4 of the 0.4995 sim-join
+# rounding edge, so float32-vs-double noise (~1e-6) can't flip a row.
+_AUG_EMB_SQL = """
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list(CASE WHEN (i - 1) % 16 = 0 THEN x * 2 ELSE x END
+              ORDER BY i) AS embedding
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id % 5 = 0) u
+  GROUP BY vec_id
+)
+"""
+
+
+def _augmented_embeddings(sf_dir: str):
+    """Ray side of ``_AUG_EMB_SQL``: embeddings ∪ derived near-dup
+    copies, streamed per batch (no driver materialization)."""
+    from etlray.functions.ann import vectors_to_numpy
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+
+    def derive(t: pa.Table) -> pa.Table:
+        emb_type = t.schema.field("embedding").type
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 5 == 0))
+        if sub.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "embedding": pa.array([], type=emb_type)})
+        V = vectors_to_numpy(sub["embedding"]).copy()
+        V[:, ::16] *= 2.0
+        n, d = V.shape
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(V.reshape(-1)))
+        return pa.table({"vec_id": pc.add(sub["vec_id"], 1_000_000),
+                         "embedding": emb.cast(emb_type)})
+
+    return ds.union(ds.map_batches(derive, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 # in-bucket pairs are checked with EXACT cosine ≥ threshold, so
-# precision is exact by construction; the brute-force SQL is the recall
-# oracle (LSH: near-identical vectors agree on every hyperplane w.h.p.,
-# and the seeded pipeline is deterministic on a given fixture)
+# precision is exact by construction; the brute-force SQL over the
+# augmented table is the recall oracle (multi-band hyperplane LSH:
+# P(miss) ≈ (1-p^8)^16 ≤ 1.4e-4 at cosine 0.95, and the seeded
+# pipeline is deterministic on a given fixture)
 @register(
     "embedding_near_dups",
-    """
+    f"""
+    WITH {_AUG_EMB_SQL}
     SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
            round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
 )
@@ -556,7 +611,7 @@ def embedding_near_dups_q(sf_dir: str):
 
     from etlray.functions.dedup import embedding_near_dups
 
-    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    ds = _augmented_embeddings(sf_dir)
     out = embedding_near_dups(ds, cosine_threshold=0.95)
 
     def round3(t: pa.Table) -> pa.Table:
@@ -651,17 +706,18 @@ def ngram_jaccard_pairs_q(sf_dir: str):
 # baseline that oracles the hyperplane-LSH embedding_near_dups path)
 @register(
     "embedding_sim_join",
-    """
+    f"""
+    WITH {_AUG_EMB_SQL}
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding, b.embedding), 3) >= 0.5
     """,
 )
 def embedding_sim_join(sf_dir: str):
     from etlray.functions.ann import cosine_sim_join
 
-    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    ds = _augmented_embeddings(sf_dir)
     return cosine_sim_join(ds, threshold=0.5)
 
 

@@ -168,3 +168,39 @@ def test_dup_clusters_distributed_end_to_end(corpus_ds, ray_session):
     members = D.dup_clusters(pairs, driver_pair_limit=0)
     kept = D.keep_canonical(corpus_ds, members).take_all()
     assert sorted(r["doc_id"] for r in kept) == [1, 4]
+
+def test_embedding_near_dups_multiband_recall(ray_session):
+    # 150 planted pairs at cosine 0.95-0.97 — the threshold-boundary
+    # band where the round-2 single 12-plane code had ~28% recall;
+    # multi-band OR (r=8, B=16) must catch >=95% (expected ~1-1e-4)
+    import ray.data
+
+    rng = np.random.default_rng(42)
+    n, d = 150, 64
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    target = rng.uniform(0.951, 0.97, size=n).astype(np.float32)
+    w = rng.standard_normal((n, d)).astype(np.float32)
+    w -= (w * base).sum(axis=1, keepdims=True) * base     # orthogonalize
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    partner = target[:, None] * base + np.sqrt(1 - target[:, None] ** 2) * w
+    vecs = np.concatenate([base, partner])
+    ids = np.concatenate([np.arange(n), np.arange(n) + 10_000])
+    ds = ray.data.from_items([
+        {"vec_id": int(i), "embedding": v.tolist()}
+        for i, v in zip(ids, vecs)])
+    out = D.embedding_near_dups(ds, cosine_threshold=0.95).take_all()
+    got = {(min(r["vec_id"], r["dup_of"]), max(r["vec_id"], r["dup_of"]))
+           for r in out}
+    # exact cosines of the planted pairs (float32 arithmetic drifts a
+    # hair off `target`, so recompute which pairs truly qualify)
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    planted_cos = (u[:n] * u[n:]).sum(axis=1)
+    qualifying = {(i, i + 10_000) for i in np.flatnonzero(planted_cos >= 0.95)}
+    caught = len(qualifying & got)
+    assert caught / max(len(qualifying), 1) >= 0.95
+    # precision is exact by construction: every emitted pair's true
+    # cosine must clear the threshold
+    sim = u @ u.T
+    idx = {int(v): k for k, v in enumerate(ids)}
+    assert all(sim[idx[a], idx[b]] >= 0.95 - 1e-6 for a, b in got)
