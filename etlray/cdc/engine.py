@@ -686,8 +686,11 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
     # the fixture is DETERMINISTIC per scale → cache it across calls
     # (bench/driver invoke this demo repeatedly; regenerating costs
     # more than the replay being demonstrated). Atomic rename makes
-    # concurrent first-callers safe.
-    cache = os.path.join(tempfile.gettempdir(), f"etlray_cdc_fx_{scale}")
+    # concurrent first-callers safe. The cache key carries a fixture
+    # FORMAT version so a generate_fixture change can never serve
+    # stale payloads from an earlier run.
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"etlray_cdc_fx_v2_{scale}")
     if not os.path.isdir(cache):
         tmp = tempfile.mkdtemp(prefix=f"etlray_cdc_fxgen_{scale}_")
         generate_fixture(os.path.join(tmp, "fx"), n_events=scale,
@@ -695,7 +698,11 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
         try:
             os.rename(tmp, cache)
         except OSError:
-            pass  # another process won the race — use theirs
+            # benign only if another process won the race; any other
+            # rename failure would crash later with an unrelated
+            # missing-fixture error, so re-raise it here
+            if not os.path.isdir(cache):
+                raise
     fx_dir = os.path.join(cache, "fx")
     fx = {"base": os.path.join(fx_dir, "base.parquet"),
           "epochs": sorted(

@@ -160,9 +160,18 @@ def assign_split(t: pa.Table, id_col: str = "doc_id", mod: int = 10,
                  val_bucket: int = 0, name: str = "split") -> pa.Table:
     """'val' where (id·KNUTH) mod ``mod`` == ``val_bucket``, else
     'train' — stable across runs, engines and partitionings (pure
-    arithmetic on the id; no RNG state)."""
+    arithmetic on the id; no RNG state).
+
+    The key is computed in uint64 (wrapping mod 2^64) — matching a
+    ``(CAST(id AS UBIGINT) * 2654435761) % mod`` oracle for ANY id;
+    int64 would silently wrap differently above ids ≈ 3.5e9 while
+    DuckDB BIGINT errors. Requires non-negative ids (asserted)."""
     ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    key = (ids * KNUTH) % mod
+    if len(ids) and ids.min() < 0:
+        raise ValueError("assign_split requires non-negative ids "
+                         "(uint64 key arithmetic)")
+    with np.errstate(over="ignore"):
+        key = (ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(mod)
     lab = np.where(key == val_bucket, "val", "train")
     return t.append_column(name, pa.array(lab, pa.string()))
 

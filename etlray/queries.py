@@ -1079,7 +1079,7 @@ def chunk_docs(sf_dir: str):
     "split_train_val",
     """
     SELECT lang,
-           CASE WHEN (doc_id * 2654435761) % 10 = 0
+           CASE WHEN (CAST(doc_id AS UBIGINT) * 2654435761) % 10 = 0
                 THEN 'val' ELSE 'train' END AS split,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars_total

@@ -574,14 +574,22 @@ class MovingAverageTransform(Transform):
                     change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
             change[0] = True
             starts = np.flatnonzero(change)
-            pos = np.arange(n) - np.repeat(
-                starts, np.diff(np.append(starts, n)))   # index within key
-            cum = np.concatenate(([0.0], np.cumsum(v)))
+            # null-masked window sums: SQL's avg() ignores NULLs, so a
+            # NULL value must not poison its windows — average the
+            # non-null values only, and emit NULL when a window holds
+            # none (matching the oracle exactly)
+            valid = ~np.isnan(v)
+            cum = np.concatenate(([0.0], np.cumsum(np.where(valid, v, 0.0))))
+            cnt = np.concatenate(([0], np.cumsum(valid)))
             key_start = np.repeat(starts, np.diff(np.append(starts, n)))
             lo = np.maximum(np.arange(n) - w + 1, key_start)
-            mavg = (cum[np.arange(n) + 1] - cum[lo]) / (np.arange(n) - lo + 1)
-            _ = pos
-            return t.append_column(out_col, pa.array(mavg, type=pa.float64()))
+            wsum = cum[np.arange(n) + 1] - cum[lo]
+            wcnt = cnt[np.arange(n) + 1] - cnt[lo]
+            mavg = np.divide(wsum, wcnt, out=np.full(n, np.nan),
+                             where=wcnt > 0)
+            return t.append_column(
+                out_col, pa.array(mavg, type=pa.float64(),
+                                  from_pandas=True))  # NaN → NULL
 
         return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
 

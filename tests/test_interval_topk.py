@@ -169,3 +169,19 @@ def test_interval_join_null_timestamps_never_match(ray_session):
     out = IntervalJoinTransform(right, on="t", by="k",
                                 lower=-10, upper=0).apply(left).take_all()
     assert {(r["lid"], r["rid"]) for r in out} == {(1, 10)}
+
+
+def test_moving_average_ignores_nulls(ray_session):
+    # SQL avg() OVER window skips NULLs; a NULL value must not poison
+    # every window that touches it, and an all-NULL window is NULL
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.stages import MovingAverageTransform
+
+    t = pa.table({"ts": [1, 2, 3, 4, 5], "u": ["a"] * 5,
+                  "v": [1.0, None, 3.0, None, None]})
+    out = MovingAverageTransform("ts", "u", "v", window=2).apply(
+        ray.data.from_arrow(t)).take_all()
+    got = {r["ts"]: r["v_mavg"] for r in out}
+    assert got == {1: 1.0, 2: 1.0, 3: 3.0, 4: 3.0, 5: None}
