@@ -468,6 +468,51 @@ def ann_brute_topk(sf_dir: str):
     return out.map_batches(round3, batch_format="pyarrow")
 
 
+# The IVF path (driver k-means codebook on a bounded sample, cluster
+# pruning in map_batches, exact re-rank of survivors) is the 100-TB
+# ANN mode; its oracle is the same brute-force SQL — exact-match holds
+# whenever the probed clusters contain every true top-k neighbor.
+# The seeded fixtures are ISOTROPIC gaussian (no cluster structure),
+# so neighbors spread almost uniformly over clusters and exactness
+# needs a high probe fraction (nprobe=12/16, verified at every sf —
+# the minimum is 12 at sf0.01/sf0.1). On real embedding corpora,
+# which cluster heavily, nprobe/n_clusters runs far below 1; the
+# approximate regime is recall-gated in tests/test_ann.py.
+@register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT CAST(q.query_id AS INTEGER) AS query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qe), 3) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine FROM scored WHERE rn <= 10
+    """,
+)
+def ann_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from etlray.functions.ann import ivf_topk
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtab = qtab.filter(pc.less(qtab["vec_id"], 3)).sort_by("vec_id")
+    queries = np.array(qtab["embedding"].to_pylist(), dtype=np.float32)
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
+    out = ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=12)
+
+    def round3(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("cosine")
+        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
+    return out.map_batches(round3, batch_format="pyarrow")
+
+
 # MinHash-LSH with exact verify emits the all-pairs contract of the
 # exact shingle-Jaccard self-join, so the exact SQL baseline IS its
 # oracle: precision is exact by construction (survivors are re-checked
