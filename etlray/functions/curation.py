@@ -53,6 +53,52 @@ def token_ngrams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
 
 
+def norm_tokens_list(col) -> pa.ListArray:
+    """Vectorized ``norm_tokens`` over a whole column → list<string>:
+    utf8_lower → RE2 ``\\s+``-collapse → trim → split(' '), all Arrow
+    C kernels (and RE2 is the SAME engine the DuckDB oracle runs, so
+    the token streams agree byte-for-byte — verified against the
+    per-doc Python path over every fixture doc). Null texts tokenize
+    like ``norm_tokens(None)`` = [""]."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.fill_null(pc.cast(col, pa.string()), "")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, " ")
+    out = pc.split_pattern(s, pattern=" ")
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def gram_array(tokens: pa.ListArray, n: int):
+    """Vectorized token-n-gram assembly over a batch: the flattened
+    token array is joined elementwise against its n shifted slices
+    (one C kernel call), and window positions straddling a doc
+    boundary are masked out. Returns ``(grams StringArray, doc_index
+    int64 ndarray)`` — per-doc Python loops never touch the hot path."""
+    import pyarrow.compute as pc
+
+    offs = tokens.offsets.to_numpy().astype(np.int64)
+    base = int(offs[0])
+    offs = offs - base
+    w = int(offs[-1]) - n + 1
+    if w <= 0:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    vals = tokens.values
+    parts = [vals.slice(base + j, w) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    starts = np.arange(w)
+    doc_of = np.searchsorted(offs, starts, side="right") - 1
+    valid = starts + n <= offs[doc_of + 1]
+    if valid.all():
+        return grams, doc_of
+    return grams.filter(pa.array(valid)), doc_of[valid]
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
@@ -62,10 +108,10 @@ def benchmark_grams(ds, n: int, text_col: str = "text") -> frozenset[str]:
     Gram extraction runs distributed per batch with per-batch
     dedup; only unique gram strings come back to the driver."""
     def grams(t: pa.Table) -> pa.Table:
-        out: set[str] = set()
-        for txt in t[text_col].to_pylist():
-            out.update(token_ngrams(norm_tokens(txt), n))
-        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+        import pyarrow.compute as pc
+
+        g, _doc = gram_array(norm_tokens_list(t[text_col]), n)
+        return pa.table({"gram": pc.unique(g)})
 
     acc: set[str] = set()
     for b in ds.map_batches(grams, batch_format="pyarrow").iter_batches(
@@ -75,34 +121,56 @@ def benchmark_grams(ds, n: int, text_col: str = "text") -> frozenset[str]:
 
 
 class _ContaminationStage:
-    """Actor-pool stage: the broadcast gram set is fetched and
-    deserialized ONCE per actor in ``__init__`` (a bare ``ray.get``
-    inside the batch fn would re-deserialize the whole set per batch —
-    frozensets aren't zero-copy like numpy)."""
+    """Actor-pool stage: the broadcast gram set is fetched,
+    deserialized and hash-indexed ONCE per actor in ``__init__`` (a
+    bare ``ray.get`` inside the batch fn would re-deserialize the
+    whole set per batch, and a per-batch ``pc.is_in`` would rebuild
+    the benchmark hash table per batch — the pandas Index builds its
+    table once and caches it). Per batch, membership is one O(grams)
+    C lookup pass over the vectorized gram stream."""
 
     def __init__(self, bench_ref, n: int, id_col: str, text_col: str,
                  mode: str) -> None:
-        self.bench = ray.get(bench_ref) \
+        import pandas as pd
+
+        bench = ray.get(bench_ref) \
             if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        self.bench_index = pd.Index(np.asarray(sorted(bench), dtype=object))
+        self.bench_index.get_indexer_for(np.array(["_warm"], dtype=object))
         self.n = n
         self.id_col = id_col
         self.text_col = text_col
         self.mode = mode
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
+        grams, doc_of = gram_array(norm_tokens_list(t[self.text_col]),
+                                   self.n)
+        n_docs = t.num_rows
+        if len(doc_of) == 0:
+            hit = np.array([], dtype=bool)
+        else:
+            gnp = grams.to_numpy(zero_copy_only=False)
+            hit = self.bench_index.get_indexer_for(gnp) >= 0
         if self.mode == "hits":
-            ids, cnts = [], []
-            for did, txt in zip(t[self.id_col].to_pylist(), texts):
-                c = len(set(token_ngrams(norm_tokens(txt), self.n)) & self.bench)
-                if c:
-                    ids.append(did)
-                    cnts.append(c)
-            return pa.table({self.id_col: pa.array(ids, pa.int64()),
-                             "n_hits": pa.array(cnts, pa.int64())})
-        mask = [not (set(token_ngrams(norm_tokens(txt), self.n)) & self.bench)
-                for txt in texts]
-        return t.filter(pa.array(mask, pa.bool_()))
+            # count DISTINCT hitting grams per doc: hits are rare, so
+            # dedupe only the hit subset
+            if not hit.any():
+                return pa.table({self.id_col: pa.array([], pa.int64()),
+                                 "n_hits": pa.array([], pa.int64())})
+            import pandas as pd
+
+            hd = pd.DataFrame({"d": doc_of[hit],
+                               "g": grams.to_numpy(zero_copy_only=False)[hit]})
+            per_doc = hd.drop_duplicates().groupby("d", sort=True).size()
+            ids = t[self.id_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                self.id_col: pa.array(ids[per_doc.index.to_numpy()],
+                                      pa.int64()),
+                "n_hits": pa.array(per_doc.to_numpy(), pa.int64())})
+        contam = np.zeros(n_docs, dtype=bool)
+        if hit.any():
+            contam[np.unique(doc_of[hit])] = True
+        return t.filter(pa.array(~contam))
 
 
 def contamination_hits(ds, bench_ref, n: int, id_col: str = "doc_id",
@@ -200,15 +268,13 @@ def top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
     from etlray.stages import LimitTransform, SortTransform
 
     def partial(t: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        for txt in t[text_col].to_pylist():
-            grams.extend(token_ngrams(norm_tokens(txt), n))
-        if not grams:
+        grams, _doc = gram_array(norm_tokens_list(t[text_col]), n)
+        if len(grams) == 0:
             return pa.table({"gram": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        uniq, cnt = np.unique(np.asarray(grams, dtype=object), return_counts=True)
-        return pa.table({"gram": pa.array(list(uniq), pa.string()),
-                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+        vc = pc.value_counts(grams)     # one Arrow C hash-count pass
+        return pa.table({"gram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
     def gsum(t: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(t, "gram").aggregate([("cnt", "sum")])
