@@ -68,6 +68,138 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
     return rgb[::-1] if flip else rgb
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return struct.pack(">I", len(data)) + tag + data + \
+        struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (8-bit truecolor, no interlace),
+    dependency-free: stdlib zlib deflate + numpy row filtering. All
+    five PNG filter types are supported (encoding filters use RAW
+    neighbor bytes, so every one vectorizes); real encoders pick a
+    filter per row — a fixed ``filter_type`` is enough here and lets
+    the round-trip tests exercise each decode path."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    raw = px.astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - upleft
+        pl, pu, pul = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pl <= pu) & (pl <= pul), left,
+                        np.where(pu <= pul, up, upleft))
+        filt = raw - pred
+    else:
+        raise ValueError("PNG filter type must be 0-4")
+    scan = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = (filt & 0xFF).astype(np.uint8).reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """PNG bytes → (h, w, 3) uint8 RGB, dependency-free: chunk walk,
+    stdlib zlib inflate, numpy per-row unfiltering of all five filter
+    types (Sub via a mod-256 cumulative sum; Average/Paeth carry a
+    left-neighbor dependency, so those rows reconstruct pixel-wise with
+    the 3 channels vectorized). Supports the subset this engine's own
+    ``encode_png`` emits — 8-bit truecolor (color type 2), non
+    interlaced — and returns None for anything else (grayscale,
+    palette, alpha, 16-bit, interlaced, or non-PNG payloads), which
+    sends the caller down the PIL-or-stub path."""
+    import zlib
+
+    if not payload or not payload.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            ln, tag = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt_m, inter = \
+                    struct.unpack(">IIBBBBB", data)
+                if depth != 8 or ctype != 2 or comp != 0 or filt_m != 0 \
+                        or inter != 0:
+                    return None
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        scan = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except Exception:
+        return None
+    stride = 1 + w * 3
+    if len(scan) != h * stride:
+        return None
+    scan = scan.reshape(h, stride)
+    ftypes = scan[:, 0]
+    rows = scan[:, 1:].astype(np.int16)         # filtered bytes
+    out = np.zeros((h, w, 3), dtype=np.int16)
+    prev = np.zeros((w, 3), dtype=np.int16)
+    for y in range(h):
+        f = ftypes[y]
+        cur = rows[y].reshape(w, 3)
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            rec = np.cumsum(cur, axis=0, dtype=np.int64) % 256
+        elif f == 2:
+            rec = (cur + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros((w, 3), dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            for x in range(w):
+                up = prev[x]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = prev[x - 1] if x else np.zeros(3, dtype=np.int16)
+                    p = left + up - ul
+                    pl, pu, pul = np.abs(p - left), np.abs(p - up), \
+                        np.abs(p - ul)
+                    pred = np.where((pl <= pu) & (pl <= pul), left,
+                                    np.where(pu <= pul, up, ul))
+                left = (cur[x] + pred) % 256
+                rec[x] = left
+        else:
+            return None
+        prev = rec.astype(np.int16)
+        out[y] = prev
+    return out.astype(np.uint8)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """int16 mono samples → PCM WAV bytes (stdlib wave)."""
     import io
@@ -117,6 +249,15 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     xi = np.minimum((np.arange(out_w) * w // out_w), w - 1)
     return img[yi[:, None], xi[None, :]]
 
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Dependency-free image decode: 24-bit BMP, then 8-bit truecolor
+    PNG. Returns (h, w, 3) uint8 RGB or None."""
+    img = decode_bmp(payload)
+    if img is not None:
+        return img
+    return decode_png(payload)
+
+
 IMAGE_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
     pa.field("payload", pa.binary()),
@@ -155,8 +296,9 @@ class ImageDecodeStage:
         w: list = []
         h: list = []
         for p in payloads:
-            # REAL path 1: uncompressed 24-bit BMP — numpy, no deps
-            img = decode_bmp(p or b"")
+            # REAL path 1: uncompressed 24-bit BMP or truecolor PNG —
+            # numpy + stdlib zlib, no deps
+            img = decode_image(p or b"")
             if img is not None:
                 h.append(img.shape[0])
                 w.append(img.shape[1])
@@ -176,7 +318,7 @@ class ImageDecodeStage:
                     continue
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not BMP and PIL is not installed; "
+                    "payload is not BMP/PNG and PIL is not installed; "
                     "run with strict=False for the deterministic stub")
             # STUB: deterministic fake dims from payload hash
             hsh = int.from_bytes(
@@ -204,7 +346,7 @@ class ImageFeatureStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         feats = []
         for p in t[self.payload_col].to_pylist():
-            img = decode_bmp(p or b"")
+            img = decode_image(p or b"")
             if img is not None:
                 # REAL features: grayscale thumbnail of exactly `dim`
                 # pixels, normalized to [0, 1]
@@ -218,8 +360,8 @@ class ImageFeatureStage:
                 continue
             if self.strict and self._model is None:
                 raise NotImplementedError(
-                    "payload is not BMP and no feature model is available "
-                    "in this container")
+                    "payload is not BMP/PNG and no feature model is "
+                    "available in this container")
             feats.append(_fake_features(p or b"", self.dim).tolist())
         return t.append_column(
             "features", pa.array(feats, type=pa.list_(pa.float32())))
@@ -269,17 +411,20 @@ class ImageResizeStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         outs, ws, hs = [], [], []
         for p in t[self.payload_col].to_pylist():
-            img = decode_bmp(p or b"")
+            p = p or b""
+            is_png = p.startswith(_PNG_SIG)
+            img = decode_image(p)
             if img is None:
                 if self.strict:
                     raise NotImplementedError(
-                        "payload is not an uncompressed 24-bit BMP")
+                        "payload is not a 24-bit BMP or truecolor PNG")
                 outs.append(p)
                 ws.append(None)
                 hs.append(None)
                 continue
             resized = resize_nearest(img, self.out_h, self.out_w)
-            outs.append(encode_bmp(np.ascontiguousarray(resized)))
+            enc = encode_png if is_png else encode_bmp
+            outs.append(enc(np.ascontiguousarray(resized)))
             ws.append(self.out_w)
             hs.append(self.out_h)
         t = t.append_column("resized_payload", pa.array(outs, type=pa.binary()))
@@ -347,6 +492,29 @@ def synth_bmp_table(n: int = 32, seed: int = 3,
         "media_id": pa.array(range(n), type=pa.int64()),
         "payload": pa.array(payloads, type=pa.binary()),
         "mime": pa.array(["image/bmp"] * n),
+        "width": pa.array(ws, type=pa.int32()),
+        "height": pa.array(hs, type=pa.int32()),
+    })
+
+
+def synth_png_table(n: int = 32, seed: int = 6,
+                    max_side: int = 48) -> pa.Table:
+    """Deterministic REAL-PNG media table: every payload is a valid
+    8-bit truecolor PNG (filter type cycling 0-4, so the decode path
+    exercises every unfilter kernel) — matches IMAGE_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, max_side))
+        w = int(rng.integers(8, max_side))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payloads.append(encode_png(img, filter_type=i % 5))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/png"] * n),
         "width": pa.array(ws, type=pa.int32()),
         "height": pa.array(hs, type=pa.int32()),
     })

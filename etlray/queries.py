@@ -1256,6 +1256,23 @@ def multimodal_decode(sf_dir: str):
         .select_columns(["media_id", "decoded_width", "decoded_height"])
 
 
+@register("multimodal_decode_png")
+def multimodal_decode_png(sf_dir: str):
+    """Strict-mode decode of REAL compressed payloads: every row is an
+    8-bit truecolor PNG (filter types 0-4) decoded by the
+    dependency-free zlib+numpy codec — stub fallback would raise."""
+    import ray.data
+
+    from etlray.functions.multimodal import ImageDecodeStage, synth_png_table
+
+    ds = ray.data.from_arrow(synth_png_table(256))
+    return ds.map_batches(ImageDecodeStage,
+                          fn_constructor_kwargs={"strict": True},
+                          batch_format="pyarrow",
+                          batch_size=32, concurrency=2) \
+        .select_columns(["media_id", "decoded_width", "decoded_height"])
+
+
 @register("multimodal_features")
 def multimodal_features(sf_dir: str):
     import ray.data

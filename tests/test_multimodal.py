@@ -120,3 +120,60 @@ def test_audio_features_real(ray_session):
         assert r["duration_sec"] == pytest.approx(r["duration_hint"], abs=0.01)
         assert 0.1 < r["rms"] < 0.5               # sine at 12k/32768 amplitude
         assert r["spectral_centroid"] > 50
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from etlray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(12)
+    for ft in range(5):
+        img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        out = decode_png(encode_png(img, filter_type=ft))
+        assert out is not None and np.array_equal(out, img), ft
+
+
+def test_png_rejects_non_png_and_unsupported():
+    from etlray.functions.multimodal import decode_png, encode_bmp
+    import numpy as np
+
+    assert decode_png(b"") is None
+    assert decode_png(b"not a png at all") is None
+    bmp = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert decode_png(bmp) is None
+
+
+def test_png_query_strict_decodes_real_dims(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etlray.queries import QUERIES
+
+    out = QUERIES["multimodal_decode_png"]("/root/testdata/sf0.001").take_all()
+    from etlray.functions.multimodal import synth_png_table
+
+    t = synth_png_table(256)
+    want = {(m, w, h) for m, w, h in zip(t["media_id"].to_pylist(),
+                                         t["width"].to_pylist(),
+                                         t["height"].to_pylist())}
+    got = {(r["media_id"], r["decoded_width"], r["decoded_height"])
+           for r in out}
+    assert got == want
+
+
+def test_resize_stage_reencodes_png_as_png(ray_session):
+    import ray.data
+
+    from etlray.functions.multimodal import (ImageResizeStage, decode_png,
+                                             synth_png_table)
+
+    ds = ray.data.from_arrow(synth_png_table(8))
+    out = ds.map_batches(ImageResizeStage,
+                         fn_constructor_kwargs={"out_w": 12, "out_h": 9,
+                                                "strict": True},
+                         batch_format="pyarrow", batch_size=4,
+                         concurrency=1).take_all()
+    for r in out:
+        img = decode_png(r["resized_payload"])
+        assert img is not None and img.shape == (9, 12, 3)
