@@ -110,12 +110,18 @@ def run_headline(num_cpus: int, fixture_dir: str | None = None) -> dict:
     for p in [fx["base"], *fx["epochs"]]:
         with open(p, "rb") as f:
             f.read()
-    # bucket count FIXED (not a function of num_cpus) so two parallelism
-    # levels execute the identical physical plan — the scaling
-    # comparison then isolates parallelism, as N vs 4N nodes would
+    # bucket count FIXED per event count (never a function of num_cpus)
+    # so two parallelism levels execute the identical physical plan —
+    # the scaling comparison then isolates parallelism, as N vs 4N
+    # nodes would. It DOES scale with events (64 up to 32M, then
+    # ~500k events/bucket) so the per-bucket writer working set stays
+    # LLC-sized at any log length — the round-2 microarchitectural
+    # suspect for the 64M 16-cpu plateau.
+    default_buckets = min(512, max(64, n_events // 500_000))
     boot_sec, apply_sec = run_cdc(
         fx, os.path.join(work, "table"),
-        num_buckets=int(os.environ.get("ETLRAY_BENCH_BUCKETS", "64")))
+        num_buckets=int(os.environ.get("ETLRAY_BENCH_BUCKETS",
+                                       str(default_buckets))))
     return {"sec": apply_sec, "bootstrap_sec": boot_sec,
             "events_per_sec": n_events / apply_sec,
             "n_events": n_events, "num_cpus": num_cpus, "work": work}
@@ -194,15 +200,26 @@ def main() -> None:
         # ambient load (loadavg 4-6 observed while idle), so a single
         # sample conflates our scaling with someone else's workload
         repeats = int(os.environ.get("ETLRAY_SCALE_REPEATS", "3"))
+        # pin each level to a FIXED cpu set (0..n-1): stops scheduler
+        # migration and keeps the level's footprint off the sibling
+        # slots the ambient host load lands on — the 4-cpu level's
+        # 40-60 s windows were absorbing noise bursts whole at 64M
+        # (round-2 finding). ETLRAY_SCALE_PIN=0 disables.
+        taskset = shutil.which("taskset")
+        use_pin = os.environ.get("ETLRAY_SCALE_PIN", "auto") != "0" \
+            and taskset is not None
         results = {}
         for ncpu in (lo, hi):
             best = None
             for _ in range(repeats):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                            ETLRAY_BENCH_FIXDIR=work)
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                    env=env, capture_output=True, text=True, check=True).stdout
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--headline-only"]
+                if use_pin:
+                    cmd = [taskset, "-c", f"0-{ncpu - 1}"] + cmd
+                out = subprocess.run(cmd, env=env, capture_output=True,
+                                     text=True, check=True).stdout
                 r = json.loads(out.strip().splitlines()[-1])
                 if best is None or r["sec"] < best["sec"]:
                     best = r
@@ -217,6 +234,7 @@ def main() -> None:
             f"sec_{lo}cpu": round(results[lo]["sec"], 3),
             f"sec_{hi}cpu": round(results[hi]["sec"], 3),
             "scaling_efficiency": round(eff, 3),
+            "pinned": use_pin,
         }))
         return
 
