@@ -127,6 +127,136 @@ def run_headline(num_cpus: int, fixture_dir: str | None = None) -> dict:
             "n_events": n_events, "num_cpus": num_cpus, "work": work}
 
 
+def _slice_log(fx: dict, out_dir: str, n_files: int) -> list[tuple[str, int]]:
+    """Slice the fixture's 3 epoch files into ~n_files sequenced parquet
+    slices (cached; cut at row-group boundaries, epoch schemas preserved
+    so schema evolution arrives MID-STREAM, as a real binlog tail
+    would). Returns [(path, rows)] in lsn order."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "SLICES.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return [tuple(x) for x in json.load(f)]
+    per_file = max(1, fx["n_events"] // n_files)
+    slices: list[tuple[str, int]] = []
+    seq = 0
+    for ep in fx["epochs"]:
+        pf = pq.ParquetFile(ep)
+        writer, rows, path = None, 0, None
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg)
+            if writer is None:
+                path = os.path.join(out_dir, f"{seq:05d}.parquet")
+                writer = pq.ParquetWriter(path, t.schema)
+                rows = 0
+            writer.write_table(t)  # one row group per call → splittable
+            rows += t.num_rows
+            if rows >= per_file:
+                writer.close()
+                slices.append((path, rows))
+                seq, writer = seq + 1, None
+        if writer is not None:
+            writer.close()
+            slices.append((path, rows))
+            seq += 1
+    with open(manifest, "w") as f:
+        json.dump(slices, f)
+    return slices
+
+
+def run_follow(num_cpus: int) -> dict:
+    """Follow-mode duty cycle (the production binlog-tail stand-in):
+    bootstrap, pre-write a BACKLOG of change files, then tail-follow
+    while a producer thread keeps appending live files. Reports
+    catch-up throughput (events/s over the backlog) and per-file tail
+    lag (commit wall time − file-visible wall time) for the live
+    phase. Env: ETLRAY_FOLLOW_EVENTS / _FILES / _BACKLOG / _INTERVAL."""
+    import threading
+
+    _init_ray(num_cpus)
+    n_events = int(os.environ.get("ETLRAY_FOLLOW_EVENTS", "16000000"))
+    n_files = int(os.environ.get("ETLRAY_FOLLOW_FILES", "32"))
+    pad_levels = int(os.environ.get("ETLRAY_SCALE_PAD_LEVELS", "2"))
+    interval = float(os.environ.get("ETLRAY_FOLLOW_INTERVAL", "1.0"))
+    base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    # share the scaling bench's fixture cache (same generator args)
+    cache = os.path.join(base_tmp, f"etlray_scale_cache_{n_events}_p{pad_levels}")
+    manifest_path = os.path.join(cache, "fx", "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            fx = json.load(f)
+    else:
+        fx = _gen_fixture(cache, n_events, pad_levels)
+        with open(manifest_path, "w") as f:
+            json.dump(fx, f)
+    slices = _slice_log(fx, os.path.join(cache, f"follow_slices_{n_files}"),
+                        n_files)
+    n_files = len(slices)
+    n_backlog = int(os.environ.get("ETLRAY_FOLLOW_BACKLOG", str(n_files // 2)))
+
+    import ray.data
+
+    from etlray.cdc.engine import CDCEngine
+    from etlray.cdc.fixture import RENAME_MAP
+
+    log_dir = tempfile.mkdtemp(prefix="etlray_follow_log_", dir=base_tmp)
+    table_dir = tempfile.mkdtemp(prefix="etlray_follow_tbl_", dir=base_tmp)
+    for p, _ in slices[:n_backlog]:  # backlog visible before the tail starts
+        os.link(p, os.path.join(log_dir, os.path.basename(p)))
+    nb = min(512, max(64, n_events // 500_000))
+    eng = CDCEngine(table_dir,
+                    num_buckets=int(os.environ.get("ETLRAY_BENCH_BUCKETS", nb)),
+                    rename_map=RENAME_MAP)
+    _warmup()
+    eng.bootstrap(ray.data.read_parquet(fx["base"]))
+
+    write_times: dict[str, float] = {}
+
+    def producer() -> None:
+        for p, _ in slices[n_backlog:]:
+            time.sleep(interval)
+            dst = os.path.join(log_dir, os.path.basename(p))
+            tmp = dst + ".inflight"  # not *.parquet → invisible to the tail
+            os.link(p, tmp)
+            os.rename(tmp, dst)  # atomic publish (follow contract)
+            write_times[os.path.basename(p)] = time.time()
+
+    batch = int(os.environ.get("ETLRAY_FOLLOW_BATCH", "1"))
+    mode = os.environ.get("ETLRAY_FOLLOW_MODE", "merge")
+    th = threading.Thread(target=producer)
+    t0 = time.time()
+    th.start()
+    res = eng.follow(log_dir, poll_interval=0.05, idle_timeout=120.0,
+                     max_epochs=n_files, max_files_per_epoch=batch,
+                     mode=mode)
+    t1 = time.time()
+    th.join()
+
+    by_file = {m: e for e in res["epochs"]
+               for m in e.get("member_files", [e["epoch"]])}
+    backlog_rows = sum(r for _, r in slices[:n_backlog])
+    last_backlog = os.path.basename(slices[n_backlog - 1][0])
+    catchup_sec = by_file[last_backlog]["committed_wall"] - t0
+    lags = [by_file[name]["committed_wall"] - w
+            for name, w in write_times.items() if name in by_file]
+    return {
+        "n_events": n_events, "n_files": n_files, "backlog_files": n_backlog,
+        "batch": batch, "mode": mode,
+        "applied_files": sum(e.get("files", 1) for e in res["epochs"]),
+        "applied_epochs": len(res["epochs"]),
+        "catchup_sec": round(catchup_sec, 3),
+        "catchup_events_per_sec": round(backlog_rows / catchup_sec, 1),
+        "tail_interval_sec": interval,
+        "tail_lag_mean_sec": round(sum(lags) / len(lags), 3) if lags else None,
+        "tail_lag_max_sec": round(max(lags), 3) if lags else None,
+        "overall_sec": round(t1 - t0, 3),
+        "overall_events_per_sec": round(n_events / (t1 - t0), 1),
+        "num_cpus": num_cpus,
+    }
+
+
 def _warmup() -> None:
     """Spawn the worker pool and touch the sf parquet footers before
     any timer starts — the first pipeline otherwise pays ~5 s of
@@ -236,6 +366,15 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
             "pinned": use_pin,
         }))
+        return
+
+    if "--follow" in sys.argv:
+        out = run_follow(NUM_CPUS)
+        out["metric"] = "cdc_follow"
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
         return
 
     if "--headline-only" in sys.argv:

@@ -44,6 +44,57 @@ from etlray.cdc.evolve import conform_table, conformer, unify_schemas
 from etlray.cdc.manifest import Manifest, write_lineage_jsonl
 
 
+def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
+                       rename, columns, predicate):
+    """Read-side fold of one bucket's base file + delta stack (runs as
+    a Ray task): conform schemas, LWW-reduce, drop tombstones, then
+    apply the scan's predicate/column pruning to the merged result.
+    The predicate must run POST-merge: filtering the base first could
+    keep a stale row whose newer delta version fails the predicate."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from etlray.cdc.lww import drop_deletes, lww_reduce
+
+    need = None
+    if columns is not None:
+        need = list(dict.fromkeys(
+            list(columns) + list(keys) + [lsn_col, op_col]))
+
+    def read(path: str, filter_bucket: bool) -> pa.Table:
+        f = pq.ParquetFile(path)
+        avail = set(f.schema_arrow.names)
+        cols = None
+        if need is not None:
+            cols = [c for c in need if c in avail]
+            if filter_bucket and BUCKET_COL in avail and BUCKET_COL not in cols:
+                cols.append(BUCKET_COL)
+        t = f.read(columns=cols)
+        if filter_bucket and BUCKET_COL in t.column_names:
+            t = t.filter(pc.equal(t[BUCKET_COL], bucket))
+        return t
+
+    tables = []
+    if base_path:
+        shared = (os.path.basename(os.path.dirname(base_path))
+                  != f"{BUCKET_COL}={bucket}")
+        tables.append(read(base_path, shared))
+    for dp in delta_paths:
+        tables.append(read(dp, False))
+    target = unify_schemas([t.schema for t in tables], rename)
+    tables = [t if t.schema.equals(target) else conform_table(t, target, rename)
+              for t in tables]
+    merged = drop_deletes(lww_reduce(pa.concat_tables(tables),
+                                     list(keys), lsn_col), op_col)
+    if predicate is not None:
+        import pyarrow.dataset as pads
+
+        merged = pads.InMemoryDataset(merged).to_table(filter=predicate)
+    if columns is not None:
+        merged = merged.select(list(columns))
+    return merged
+
+
 class CDCEngine:
     def __init__(
         self,
@@ -56,6 +107,7 @@ class CDCEngine:
         rename_map: Mapping[str, str] | None = None,
         rows_per_task: int | None = None,
         wave_tasks: int | None = None,
+        max_delta_depth: int | None = 8,
     ) -> None:
         self.table_dir = table_dir
         self.keys = list(keys)
@@ -63,6 +115,11 @@ class CDCEngine:
         self.op_col = op_col
         self.content_col = content_col
         self.rename_map = dict(rename_map or {})
+        # delta-mode epochs auto-checkpoint once a bucket's delta stack
+        # reaches this depth (None = manual checkpoint only): bounds
+        # read amplification at max_delta_depth files per bucket while
+        # keeping per-epoch write cost ∝ new events
+        self.max_delta_depth = max_delta_depth
         # exchange tuning overrides (None = auto-sized from the cluster);
         # also lets tests force the multi-wave pipeline on tiny inputs
         self.rows_per_task = rows_per_task
@@ -115,15 +172,19 @@ class CDCEngine:
         a bucket a LATER epoch rewrote out of the group must not
         surface stale rows."""
         import pyarrow.dataset as pads
+        import ray
         import ray.data
 
         files = self.manifest.snapshot_files(epoch_id)
         if files is None:
             return None
-        if not files:
+        deltas = self.manifest.snapshot_deltas(epoch_id)
+        if not files and not deltas:
             return ray.data.from_arrow(pa.table({}))
         by_path: dict[str, list[int]] = {}
         for b, p in sorted(files.items()):
+            if b in deltas:
+                continue  # merge-on-read path below
             by_path.setdefault(p, []).append(b)
         kw: dict = {}
         if columns:
@@ -145,6 +206,18 @@ class CDCEngine:
             parts.insert(0, ray.data.read_parquet(
                 plain, filter=predicate, **kw) if predicate is not None
                 else ray.data.read_parquet(plain, **kw))
+        if deltas:
+            # MERGE-ON-READ: one task per delta-carrying bucket reads
+            # base + delta stack, LWW-reduces, drops tombstones. Cost ∝
+            # that bucket's data; buckets without deltas keep the plain
+            # zero-copy scan above.
+            merge_read = ray.remote(_merge_read_bucket)
+            refs = [merge_read.remote(
+                b, files.get(b), deltas[b], self.keys, self.lsn_col,
+                self.op_col, self.rename_map,
+                list(columns) if columns else None, predicate)
+                for b in sorted(deltas)]
+            parts.append(ray.data.from_arrow_refs(refs))
         ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
         if with_internal_cols:
             return ds
@@ -185,6 +258,10 @@ class CDCEngine:
             referenced.update(
                 os.path.normpath(os.path.join(self.table_dir, v))
                 for v in e["files"].values())
+            for paths in (e.get("deltas") or {}).values():
+                referenced.update(
+                    os.path.normpath(os.path.join(self.table_dir, v))
+                    for v in paths)
         deleted = freed = 0
         for snap in _glob.glob(os.path.join(self.table_dir, "snap-*")):
             for root, _dirs, fnames in os.walk(snap, topdown=False):
@@ -274,9 +351,79 @@ class CDCEngine:
             self.manifest.lineage(),
             metrics={"rows": rows, "compaction": True,
                      "num_buckets": self.num_buckets,
-                     "files": len(set(new_files.values()))})
+                     "files": len(set(new_files.values()))},
+            # compaction merges BASE files only — outstanding delta
+            # stacks carry through unchanged (checkpoint folds them)
+            deltas=self.manifest.snapshot_deltas(absolute=False))
         return {"epoch": epoch_id, "committed": ok, "rows": rows,
                 "files": len(set(new_files.values()))}
+
+    def checkpoint(self, epoch_id=None) -> dict:
+        """Fold every outstanding delta stack into its bucket's base
+        file (one parallel task per delta-carrying bucket) and commit
+        the result as an epoch. Reads after a checkpoint pay zero
+        merge-on-read cost; the write cost is the bucket rewrite that
+        delta-mode epochs deferred — amortized over the stack's depth,
+        total write volume is O(new data + table/`max_delta_depth` per
+        epoch) instead of O(table) per epoch."""
+        import uuid
+
+        import ray
+
+        deltas_abs = self.manifest.snapshot_deltas()
+        if not deltas_abs:
+            return {"epoch": None, "committed": False, "reason": "no deltas"}
+        epoch_id = epoch_id if epoch_id is not None \
+            else f"ckpt-{uuid.uuid4().hex[:8]}"
+        if self.manifest.committed(epoch_id):
+            return {"epoch": epoch_id, "committed": False,
+                    "reason": "already committed"}
+        snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
+        files = self.manifest.snapshot_files() or {}
+        keys, lsn_col, op_col = self.keys, self.lsn_col, self.op_col
+        rename = self.rename_map
+
+        @ray.remote
+        def fold(bucket: int, base: str | None, dps: list[str],
+                 out_path: str) -> tuple[int, int]:
+            import pyarrow.parquet as _pq
+
+            t = _merge_read_bucket(bucket, base, dps, keys, lsn_col,
+                                   op_col, rename, None, None)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            _pq.write_table(t, out_path)
+            return bucket, t.num_rows
+
+        refs = []
+        new_files: dict[int, str] = {}
+        for b in sorted(deltas_abs):
+            rel = os.path.join(f"snap-{epoch_id}", f"{BUCKET_COL}={b}",
+                               "part-0.parquet")
+            new_files[b] = rel
+            refs.append(fold.remote(b, files.get(b), deltas_abs[b],
+                                    os.path.join(self.table_dir, rel)))
+        folded = dict(ray.get(refs))
+
+        out_files = {b: os.path.relpath(p, self.table_dir)
+                     for b, p in files.items()}
+        out_files.update(new_files)
+        watermarks = self.manifest.watermarks()
+        lineage = self.manifest.lineage()
+        for b, rows in folded.items():
+            ln = dict(lineage.get(b) or {})
+            ln.pop("delta_rows", None)
+            ln.pop("delta_depth", None)
+            ln.update({"rows": int(rows),
+                       "max_lsn": int(watermarks.get(b, -1))})
+            lineage[b] = ln
+        total_rows = sum(v.get("rows", 0) for v in lineage.values())
+        ok = self.manifest.commit_epoch(
+            epoch_id, out_files, watermarks, lineage,
+            metrics={"rows": total_rows, "checkpoint": True,
+                     "folded_buckets": len(folded),
+                     "num_buckets": self.num_buckets})
+        return {"epoch": epoch_id, "committed": ok, "rows": total_rows,
+                "folded_buckets": len(folded)}
 
     # ------------------------------------------------------------------
     def rebalance(self, new_num_buckets: int, epoch_id=None) -> dict:
@@ -371,6 +518,8 @@ class CDCEngine:
         idle_timeout: float | None = None,
         max_epochs: int | None = None,
         rename_map: Mapping[str, str] | None = None,
+        max_files_per_epoch: int = 1,
+        mode: str = "merge",
     ) -> dict:
         """Tail-follow a GROWING directory of change-log parquet files —
         the closest sandbox analogue of a binlog/WAL tail (the reference's
@@ -387,20 +536,45 @@ class CDCEngine:
         cleanly — producers must write-temp-then-rename for atomicity.
 
         Returns after ``idle_timeout`` seconds with no new files (or
-        after ``max_epochs`` applies); runs forever if neither is set.
+        after ``max_epochs`` file applies); runs forever if neither is
+        set.
+
+        ``max_files_per_epoch`` > 1 enables CATCH-UP BATCHING: when the
+        follower is behind, up to that many ready files apply as ONE
+        epoch — one set of bucket rewrites for the whole backlog instead
+        of one full pass per file (per-epoch write amplification is the
+        duty-cycle cost of micro-epochs). Exactly-once still holds at
+        file granularity: the batch commit records its member files and
+        a restarted follower skips them; a crash BEFORE the batch commit
+        re-applies those files, which the per-bucket LSN watermarks make
+        an event-level no-op.
+
+        ``mode="delta"`` applies each file/batch as a delta epoch (see
+        ``apply_log``) — the steady-state tail then writes ∝ new events
+        per file instead of rewriting every touched bucket, with
+        ``max_delta_depth`` auto-checkpoints bounding read
+        amplification.
         """
         import glob as _glob
         import time as _time
 
         import pyarrow.parquet as pq
 
+        # file ids already covered by prior commits — either directly
+        # (epoch id == file name) or as members of a batched epoch
+        done: set[str] = set()
+        for e in self.manifest.load()["epochs"]:
+            done.add(str(e["id"]))
+            done.update((e.get("metrics") or {}).get("member_files", []))
+
         applied: list[dict] = []
+        n_files_applied = 0
         idle = 0.0
         while True:
             ready = []
             for f in sorted(_glob.glob(os.path.join(log_dir, pattern))):
                 eid = os.path.basename(f)
-                if self.manifest.committed(eid):
+                if eid in done:
                     continue
                 try:
                     pq.ParquetFile(f)  # footer readable → fully written
@@ -408,12 +582,31 @@ class CDCEngine:
                     continue  # in-flight file; retry next poll
                 ready.append((eid, f))
             progressed = False
-            for eid, f in ready:
-                res = self.apply_log([f], epoch_id=eid, rename_map=rename_map)
+            while ready:
+                group, ready = (ready[:max(1, max_files_per_epoch)],
+                                ready[max(1, max_files_per_epoch):])
+                if len(group) == 1:
+                    eid, paths = group[0][0], [group[0][1]]
+                    extra = None
+                else:
+                    eid = f"batch:{group[0][0]}..{group[-1][0]}"
+                    paths = [f for _, f in group]
+                    extra = {"member_files": [e for e, _ in group]}
+                res = self.apply_log(paths, epoch_id=eid,
+                                     rename_map=rename_map,
+                                     extra_metrics=extra, mode=mode)
                 if res.get("committed"):
+                    # wall-clock commit stamp: lets a harness compute
+                    # per-file tail latency (commit time − producer
+                    # write time) without instrumenting the manifest
+                    res["committed_wall"] = _time.time()
+                    res["files"] = len(group)
+                    res["member_files"] = [e for e, _ in group]
                     applied.append(res)
                     progressed = True
-                if max_epochs is not None and len(applied) >= max_epochs:
+                done.update(e for e, _ in group)
+                n_files_applied += len(group)
+                if max_epochs is not None and n_files_applied >= max_epochs:
                     return {"epochs": applied, "reason": "max_epochs"}
             if progressed:
                 idle = 0.0
@@ -472,23 +665,52 @@ class CDCEngine:
                                       prepare_fn=stamp)
 
     def apply_log(self, changes, epoch_id,
-                  rename_map: Mapping[str, str] | None = None):
+                  rename_map: Mapping[str, str] | None = None,
+                  extra_metrics: Mapping | None = None,
+                  mode: str = "merge"):
         """Apply a change-log slice (paths or Dataset) as one epoch.
 
         Exactly-once: re-running a committed epoch id is a no-op;
         events below the per-bucket watermark are filtered (duplicate
         delivery of individual events is also a no-op). Only buckets
-        with surviving events are rewritten; the rest carry forward."""
+        with surviving events are rewritten; the rest carry forward.
+
+        ``mode="merge"`` (default) rewrites each touched bucket's file
+        (read cost on the snapshot stays zero). ``mode="delta"`` writes
+        ONLY the epoch's net per-key effect per bucket as a DELTA file
+        stacked on the bucket's base — cost ∝ new events, NOT touched
+        bucket size, which is what a micro-epoch binlog tail needs
+        (per-file full-bucket rewrite is the LSM write-amplification
+        problem). Reads merge base+deltas on the fly;
+        ``checkpoint()`` folds deltas back into base files, and
+        ``max_delta_depth`` auto-checkpoints when a bucket's stack
+        grows past it. Delete events are retained in delta files as
+        tombstones (op='delete') so the read-side merge can drop the
+        base row.
+
+        ``extra_metrics`` is merged into the commit record's metrics —
+        ``follow`` uses it to record the member files of a batched
+        catch-up epoch."""
+        if mode not in ("merge", "delta"):
+            raise ValueError(f"unknown apply mode {mode!r}")
         if self.manifest.committed(epoch_id):
             return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
         rename = dict(self.rename_map)
         rename.update(rename_map or {})
         source, target = self._normalize_events(changes, rename)
-        return self._apply_and_commit(source, epoch_id,
-                                      prepare_fn=conformer(target, rename))
+        res = self._apply_and_commit(source, epoch_id,
+                                     prepare_fn=conformer(target, rename),
+                                     extra_metrics=extra_metrics, mode=mode)
+        if (mode == "delta" and res.get("committed")
+                and self.max_delta_depth is not None
+                and res.get("max_delta_depth", 0) >= self.max_delta_depth):
+            res["checkpoint"] = self.checkpoint(f"ckpt-after-{epoch_id}")
+        return res
 
     # ------------------------------------------------------------------
-    def _apply_and_commit(self, source, epoch_id, prepare_fn=None) -> dict:
+    def _apply_and_commit(self, source, epoch_id, prepare_fn=None,
+                          extra_metrics: Mapping | None = None,
+                          mode: str = "merge") -> dict:
         """``source`` is ("files", [paths]) — file-direct split tasks,
         zero Ray Data stages — or ("datasets", [Dataset])."""
         import pyarrow.compute as pc
@@ -506,6 +728,10 @@ class CDCEngine:
         prev_files = self.manifest.snapshot_files() or {}
         prev_lineage = self.manifest.lineage()
         prev_watermarks = self.manifest.watermarks()
+        # outstanding delta stacks: merge-mode writers fold a bucket's
+        # deltas in (and the commit clears them); delta-mode appends
+        prev_deltas_abs = self.manifest.snapshot_deltas()
+        prev_deltas_rel = self.manifest.snapshot_deltas(absolute=False)
 
         wm = np.full(nb, -1, dtype=np.int64)
         for b, v in (prev_watermarks or {}).items():
@@ -562,6 +788,10 @@ class CDCEngine:
                     # rows — take only this bucket's
                     prev = prev.filter(pc.equal(prev[BUCKET_COL], bucket))
                 tables.append(prev)
+            # outstanding delta stack: fold it in (the rewrite makes
+            # the stack obsolete; the commit clears it for this bucket)
+            for dp in prev_deltas_abs.get(bucket, []):
+                tables.append(pq.read_table(dp))
             schemas = [x.schema for x in tables]
             target = unify_schemas(schemas, rename)
             tables = [x if x.schema.equals(target)
@@ -607,6 +837,36 @@ class CDCEngine:
                 "applied_events": pa.array([applied], type=pa.int64()),
             })
 
+        def delta_write(t: pa.Table, bucket: int, applied: int) -> pa.Table:
+            """Delta-mode writer for one bucket: the epoch's net per-key
+            effect only — no base read, no base rewrite. Tombstones
+            (op='delete') are RETAINED so the read-side merge drops the
+            base row; cost ∝ new events in this bucket."""
+            if applied == 0:  # untouched bucket
+                return pa.table({
+                    "bucket": pa.array([bucket], type=pa.int32()),
+                    "rows": pa.array([-1], type=pa.int64()),
+                    "max_lsn": pa.array([-1], type=pa.int64()),
+                    "applied_events": pa.array([0], type=pa.int64()),
+                })
+            t = lww_reduce(t, keys, lsn_col)  # final cross-wave reduce
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            t = t.append_column(
+                BUCKET_COL, pa.array([bucket] * t.num_rows, type=pa.int32()))
+            max_lsn = int(pc.max(t.column(lsn_col)).as_py()) if t.num_rows else -1
+            d = os.path.join(snap_dir, f"{BUCKET_COL}={bucket}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, "delta-0.parquet"))
+            return pa.table({
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "rows": pa.array([t.num_rows], type=pa.int64()),
+                "max_lsn": pa.array([max_lsn], type=pa.int64()),
+                "applied_events": pa.array([applied], type=pa.int64()),
+            })
+
+        writer = merge_write if mode == "merge" else delta_write
+
         import ray as _ray
 
         kind, items = source
@@ -624,12 +884,12 @@ class CDCEngine:
             rows_per_task = self.rows_per_task or min(
                 max(total_rows // (3 * ncpu) + 1, 20_000), 500_000)
             stat_refs = hash_exchange_files(
-                items, keys, nb, merge_write, bucket_col=BUCKET_COL,
+                items, keys, nb, writer, bucket_col=BUCKET_COL,
                 pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
                 rows_per_task=rows_per_task, combine_fn=combine,
                 pass_applied=True, wave_tasks=self.wave_tasks)
         else:
-            stat_refs = hash_exchange(items, keys, nb, merge_write,
+            stat_refs = hash_exchange(items, keys, nb, writer,
                                       bucket_col=BUCKET_COL, pass_bucket_id=True,
                                       as_refs=True, pre_fn=pre_fn,
                                       combine_fn=combine, pass_applied=True,
@@ -637,9 +897,12 @@ class CDCEngine:
         stats = [r for t in _ray.get(stat_refs) for r in t.to_pylist()]
 
         files: dict[int, str] = {}
+        deltas: dict[int, list[str]] = {b: list(v)
+                                        for b, v in prev_deltas_rel.items()}
         watermarks: dict[int, int] = dict(prev_watermarks)
         lineage: dict[int, dict] = dict(prev_lineage)
         touched = 0
+        delta_rows = 0
         for b, path in prev_files.items():
             files[b] = os.path.relpath(path, self.table_dir)
         for s in stats:
@@ -647,23 +910,45 @@ class CDCEngine:
             if s["rows"] < 0:  # carry-forward
                 continue
             touched += 1
-            files[b] = os.path.relpath(
-                os.path.join(snap_dir, f"{BUCKET_COL}={b}", "part-0.parquet"),
-                self.table_dir)
             watermarks[b] = max(int(s["max_lsn"]), watermarks.get(b, -1))
-            lineage[b] = {"rows": int(s["rows"]), "max_lsn": int(watermarks[b]),
-                          "applied_events": int(s["applied_events"])}
+            if mode == "merge":
+                files[b] = os.path.relpath(
+                    os.path.join(snap_dir, f"{BUCKET_COL}={b}", "part-0.parquet"),
+                    self.table_dir)
+                deltas.pop(b, None)  # rewrite folded the stack in
+                lineage[b] = {"rows": int(s["rows"]),
+                              "max_lsn": int(watermarks[b]),
+                              "applied_events": int(s["applied_events"])}
+            else:
+                deltas.setdefault(b, []).append(os.path.relpath(
+                    os.path.join(snap_dir, f"{BUCKET_COL}={b}", "delta-0.parquet"),
+                    self.table_dir))
+                delta_rows += int(s["rows"])
+                ln = dict(lineage.get(b) or {})
+                # base "rows" carries (unknown until fold); delta stats
+                # are exact per this epoch
+                ln.update({"max_lsn": int(watermarks[b]),
+                           "applied_events": int(s["applied_events"]),
+                           "delta_rows": int(s["rows"]),
+                           "delta_depth": len(deltas[b])})
+                lineage[b] = ln
         total_rows = sum(v.get("rows", 0) for v in lineage.values())
-        ok = self.manifest.commit_epoch(
-            epoch_id, files, watermarks, lineage,
-            metrics={"rows": total_rows, "touched_buckets": touched,
-                     "num_buckets": self.num_buckets})
+        max_depth = max((len(v) for v in deltas.values()), default=0)
+        metrics = {"rows": total_rows, "touched_buckets": touched,
+                   "num_buckets": self.num_buckets}
+        if mode == "delta":
+            metrics.update({"mode": "delta", "delta_rows": delta_rows,
+                            "max_delta_depth": max_depth})
+        metrics.update(extra_metrics or {})
+        ok = self.manifest.commit_epoch(epoch_id, files, watermarks, lineage,
+                                        metrics=metrics, deltas=deltas)
         if ok:
             write_lineage_jsonl(os.path.join(self.table_dir, "_lineage.jsonl"),
                                 epoch_id,
                                 {b: v for b, v in lineage.items()})
         return {"epoch": epoch_id, "committed": ok, "rows": total_rows,
-                "buckets": len(files), "touched_buckets": touched}
+                "buckets": len(files), "touched_buckets": touched,
+                "max_delta_depth": max_depth}
 
 
 # ---------------------------------------------------------------------------

@@ -154,13 +154,17 @@ class Manifest:
         watermarks: dict[int, int],
         lineage: dict[int, dict] | None = None,
         metrics: dict | None = None,
+        deltas: dict[int, list[str]] | None = None,
     ) -> bool:
         """Atomically append an epoch. Returns False (no-op) if the
         epoch is already committed — the exactly-once guarantee.
 
         ``files`` maps bucket → parquet path RELATIVE to table_dir; an
         epoch's mapping may reference files written by EARLIER epochs
-        (incremental carry-forward of untouched buckets)."""
+        (incremental carry-forward of untouched buckets). ``deltas``
+        maps bucket → ordered list of DELTA parquet paths (relative)
+        stacked on top of the bucket's base file — written by
+        delta-mode applies, folded away by ``CDCEngine.checkpoint``."""
         os.makedirs(self.table_dir, exist_ok=True)
         p = self._pointer()
         if self._is_legacy(p):
@@ -173,6 +177,7 @@ class Manifest:
             "id": epoch_id,
             "seq": seq,
             "files": {str(k): v for k, v in files.items()},
+            "deltas": {str(k): list(v) for k, v in (deltas or {}).items() if v},
             "watermarks": {str(k): int(v) for k, v in watermarks.items()},
             "lineage": {str(k): v for k, v in (lineage or {}).items()},
             "metrics": metrics or {},
@@ -203,6 +208,25 @@ class Manifest:
             return None
         return {int(k): os.path.join(self.table_dir, v)
                 for k, v in rec["files"].items()}
+
+    def snapshot_deltas(self, epoch_id: str | int | None = None,
+                        absolute: bool = True) -> dict[int, list[str]]:
+        """bucket → ordered delta parquet paths stacked on the bucket's
+        base file ({} when the snapshot has no outstanding deltas)."""
+        p = self._pointer()
+        if self._is_legacy(p):
+            return {}
+        target = p.get("current") if epoch_id is None else epoch_id
+        if target is None:
+            return {}
+        rec = self._read_record(target)
+        if rec is None:
+            return {}
+        out: dict[int, list[str]] = {}
+        for k, paths in (rec.get("deltas") or {}).items():
+            out[int(k)] = [os.path.join(self.table_dir, v) for v in paths] \
+                if absolute else list(paths)
+        return out
 
     def lineage(self, epoch_id: str | int | None = None) -> dict[int, dict]:
         p = self._pointer()

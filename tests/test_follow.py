@@ -60,6 +60,40 @@ def test_follow_consumes_growing_directory(ray_session, tmp_path):
     assert res2["epochs"] == []
 
 
+def test_follow_catchup_batching(ray_session, tmp_path):
+    """A backlog applied with max_files_per_epoch>1 must (a) produce the
+    same table as per-file replay, (b) record member files so a
+    restarted follower skips them."""
+    from etlray.cdc.engine import CDCEngine
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    batches = [_events(60, 1000 * (i + 1)) for i in range(5)]
+    for i, t in enumerate(batches):  # all 5 pre-written: a deep backlog
+        _write_atomic(t, str(log_dir / f"epoch-{i:06d}.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=4, content_col="content")
+    res = eng.follow(str(log_dir), poll_interval=0.05, idle_timeout=0.2,
+                     max_files_per_epoch=3)
+    # 5 files → one batch of 3 + one batch of 2 = 2 epochs
+    assert [e["files"] for e in res["epochs"]] == [3, 2]
+    assert res["epochs"][0]["member_files"] == [
+        f"epoch-{i:06d}.parquet" for i in range(3)]
+
+    ref = CDCEngine(str(tmp_path / "table_ref"), num_buckets=4, content_col="content")
+    for i in range(5):
+        ref.apply_log([str(log_dir / f"epoch-{i:06d}.parquet")], epoch_id=i)
+    a = eng.read_snapshot().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = ref.read_snapshot().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    # restart: member files are recognized as committed → nothing applies
+    eng2 = CDCEngine(str(tmp_path / "table"), num_buckets=None)
+    res2 = eng2.follow(str(log_dir), poll_interval=0.05, idle_timeout=0.2,
+                       max_files_per_epoch=3)
+    assert res2["epochs"] == []
+
+
 def test_follow_skips_inflight_files(ray_session, tmp_path):
     from etlray.cdc.engine import CDCEngine
 
