@@ -181,16 +181,39 @@ def run_follow(num_cpus: int) -> dict:
     pad_levels = int(os.environ.get("ETLRAY_SCALE_PAD_LEVELS", "2"))
     interval = float(os.environ.get("ETLRAY_FOLLOW_INTERVAL", "1.0"))
     base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    # share the scaling bench's fixture cache (same generator args)
-    cache = os.path.join(base_tmp, f"etlray_scale_cache_{n_events}_p{pad_levels}")
-    manifest_path = os.path.join(cache, "fx", "manifest.json")
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            fx = json.load(f)
+    # ETLRAY_FOLLOW_NKEYS sets the key universe independently of the
+    # event count — the production tail shape is a LARGE table receiving
+    # SMALL binlog slices, where merge-mode's per-epoch bucket rewrite
+    # is ~O(table) but delta-mode stays ~O(slice). Default (unset)
+    # shares the scaling bench's fixture (keys = events/5).
+    n_keys = int(os.environ.get("ETLRAY_FOLLOW_NKEYS", "0"))
+    if n_keys:
+        cache = os.path.join(
+            base_tmp, f"etlray_follow_cache_{n_events}_k{n_keys}_p{pad_levels}")
+        manifest_path = os.path.join(cache, "fx", "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                fx = json.load(f)
+        else:
+            from etlray.cdc.fixture import generate_fixture
+
+            fx = generate_fixture(os.path.join(cache, "fx"),
+                                  n_events=n_events, n_keys=n_keys,
+                                  n_base=n_keys, pad_levels=pad_levels)
+            with open(manifest_path, "w") as f:
+                json.dump(fx, f)
     else:
-        fx = _gen_fixture(cache, n_events, pad_levels)
-        with open(manifest_path, "w") as f:
-            json.dump(fx, f)
+        # share the scaling bench's fixture cache (same generator args)
+        cache = os.path.join(base_tmp,
+                             f"etlray_scale_cache_{n_events}_p{pad_levels}")
+        manifest_path = os.path.join(cache, "fx", "manifest.json")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                fx = json.load(f)
+        else:
+            fx = _gen_fixture(cache, n_events, pad_levels)
+            with open(manifest_path, "w") as f:
+                json.dump(fx, f)
     slices = _slice_log(fx, os.path.join(cache, f"follow_slices_{n_files}"),
                         n_files)
     n_files = len(slices)

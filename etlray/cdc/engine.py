@@ -954,10 +954,13 @@ class CDCEngine:
 # ---------------------------------------------------------------------------
 # flagship demo for __ray_entry__.entry()
 # ---------------------------------------------------------------------------
-def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
+def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None,
+                      mode: str = "merge"):
     """Generate the deterministic CDC fixture (size keyed to sf_dir),
     bootstrap + replay all three schema-evolution epochs, and return
-    the final table Dataset."""
+    the final table Dataset. ``mode="delta"`` replays through the
+    delta tier and returns a MERGE-ON-READ snapshot (delta stacks left
+    outstanding on purpose, so the read path itself is exercised)."""
     import tempfile
 
     import ray.data
@@ -994,8 +997,8 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None):
               os.path.join(fx_dir, f) for f in os.listdir(fx_dir)
               if f.startswith("changes_epoch"))}
     eng = CDCEngine(os.path.join(work, "table"), num_buckets=16,
-                    rename_map=RENAME_MAP)
+                    rename_map=RENAME_MAP, max_delta_depth=None)
     eng.bootstrap(ray.data.read_parquet(fx["base"]))
     for i, p in enumerate(fx["epochs"]):
-        eng.apply_log(p, epoch_id=i)
+        eng.apply_log(p, epoch_id=i, mode=mode)
     return eng.read_snapshot()

@@ -1309,6 +1309,17 @@ def cdc_replay_flagship(sf_dir: str):
     return flagship_cdc_demo(sf_dir)
 
 
+@register("cdc_delta_replay")
+def cdc_delta_replay(sf_dir: str):
+    """Flagship fixture replayed through the DELTA tier (per-bucket
+    delta stacks instead of bucket rewrites) and read back through
+    MERGE-ON-READ — rows-only; byte-equality with merge-mode replay
+    and the single-process oracle is gated by tests/test_delta_mode.py."""
+    from etlray.cdc.engine import flagship_cdc_demo
+
+    return flagship_cdc_demo(sf_dir, mode="delta")
+
+
 # connected components over the exact-verified MinHash pair list; the
 # oracle recomputes the same exact-Jaccard pairs (same derivation as
 # _MINHASH_SQL) and resolves components with a recursive reachability
