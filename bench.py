@@ -248,14 +248,26 @@ def run_follow(num_cpus: int) -> dict:
 
     batch = int(os.environ.get("ETLRAY_FOLLOW_BATCH", "1"))
     mode = os.environ.get("ETLRAY_FOLLOW_MODE", "merge")
+    # retention is part of the duty cycle: without periodic vacuum a
+    # 30-epoch merge-mode tail accumulates O(epochs × table) of
+    # superseded snapshots (measured: 33 GB at shape B), whose tmpfs
+    # pages then compete with the object store
+    vac = int(os.environ.get("ETLRAY_FOLLOW_VACUUM", "8")) or None
     th = threading.Thread(target=producer)
     t0 = time.time()
     th.start()
     res = eng.follow(log_dir, poll_interval=0.05, idle_timeout=120.0,
                      max_epochs=n_files, max_files_per_epoch=batch,
-                     mode=mode)
+                     mode=mode, vacuum_every=vac)
     t1 = time.time()
     th.join()
+
+    # scratch hygiene: a 30-epoch merge-mode run leaves O(epochs×table)
+    # of superseded snapshots; tmpfs pages count against the same RAM
+    # as the object store (round-2 finding), so stale dirs poison every
+    # later benchmark on the box
+    shutil.rmtree(log_dir, ignore_errors=True)
+    shutil.rmtree(table_dir, ignore_errors=True)
 
     by_file = {m: e for e in res["epochs"]
                for m in e.get("member_files", [e["epoch"]])}

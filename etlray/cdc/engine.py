@@ -520,6 +520,7 @@ class CDCEngine:
         rename_map: Mapping[str, str] | None = None,
         max_files_per_epoch: int = 1,
         mode: str = "merge",
+        vacuum_every: int | None = None,
     ) -> dict:
         """Tail-follow a GROWING directory of change-log parquet files —
         the closest sandbox analogue of a binlog/WAL tail (the reference's
@@ -554,6 +555,12 @@ class CDCEngine:
         per file instead of rewriting every touched bucket, with
         ``max_delta_depth`` auto-checkpoints bounding read
         amplification.
+
+        ``vacuum_every=N`` runs ``vacuum(keep_last=2)`` after every N
+        committed epochs — a long-running tail otherwise accumulates
+        O(epochs × table) of superseded snapshot files (retention is a
+        duty-cycle cost, so it belongs inside the loop, not in a
+        separate janitor).
         """
         import glob as _glob
         import time as _time
@@ -604,6 +611,9 @@ class CDCEngine:
                     res["member_files"] = [e for e, _ in group]
                     applied.append(res)
                     progressed = True
+                    if (vacuum_every is not None
+                            and len(applied) % vacuum_every == 0):
+                        self.vacuum(keep_last=2)
                 done.update(e for e, _ in group)
                 n_files_applied += len(group)
                 if max_epochs is not None and n_files_applied >= max_epochs:

@@ -94,6 +94,35 @@ def test_follow_catchup_batching(ray_session, tmp_path):
     assert res2["epochs"] == []
 
 
+def test_follow_periodic_vacuum(ray_session, tmp_path):
+    """vacuum_every=N must GC superseded snapshots mid-tail without
+    changing the final table."""
+    import glob
+
+    from etlray.cdc.engine import CDCEngine
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    for i in range(6):
+        _write_atomic(_events(40, 1000 * (i + 1)), str(log_dir / f"e-{i:04d}.parquet"))
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=4, content_col="content")
+    res = eng.follow(str(log_dir), poll_interval=0.05, idle_timeout=0.2,
+                     vacuum_every=2)
+    assert len(res["epochs"]) == 6
+    # only the last keep_last=2 epochs' snap dirs may hold files
+    live = {os.path.basename(os.path.dirname(os.path.dirname(p)))
+            for p in glob.glob(str(tmp_path / "table" / "snap-*" / "*" / "*.parquet"))}
+    assert len(live) <= 2 + 1  # keep_last=2 (+ carry-forward refs)
+
+    ref = CDCEngine(str(tmp_path / "table_ref"), num_buckets=4)
+    for i in range(6):
+        ref.apply_log([str(log_dir / f"e-{i:04d}.parquet")], epoch_id=i)
+    a = eng.read_snapshot().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = ref.read_snapshot().to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_follow_skips_inflight_files(ray_session, tmp_path):
     from etlray.cdc.engine import CDCEngine
 
