@@ -257,7 +257,7 @@ def run_follow(num_cpus: int) -> dict:
     t0 = time.time()
     th.start()
     res = eng.follow(log_dir, poll_interval=0.05, idle_timeout=120.0,
-                     max_epochs=n_files, max_files_per_epoch=batch,
+                     max_files=n_files, max_files_per_epoch=batch,
                      mode=mode, vacuum_every=vac)
     t1 = time.time()
     th.join()
@@ -272,8 +272,13 @@ def run_follow(num_cpus: int) -> dict:
     by_file = {m: e for e in res["epochs"]
                for m in e.get("member_files", [e["epoch"]])}
     backlog_rows = sum(r for _, r in slices[:n_backlog])
-    last_backlog = os.path.basename(slices[n_backlog - 1][0])
-    catchup_sec = by_file[last_backlog]["committed_wall"] - t0
+    if n_backlog > 0:
+        last_backlog = os.path.basename(slices[n_backlog - 1][0])
+        catchup_sec = by_file[last_backlog]["committed_wall"] - t0
+    else:
+        # no backlog → nothing to catch up on; slices[-1] would be the
+        # last LIVE file and the "catch-up" numbers garbage
+        catchup_sec = None
     lags = [by_file[name]["committed_wall"] - w
             for name, w in write_times.items() if name in by_file]
     return {
@@ -281,8 +286,9 @@ def run_follow(num_cpus: int) -> dict:
         "batch": batch, "mode": mode,
         "applied_files": sum(e.get("files", 1) for e in res["epochs"]),
         "applied_epochs": len(res["epochs"]),
-        "catchup_sec": round(catchup_sec, 3),
-        "catchup_events_per_sec": round(backlog_rows / catchup_sec, 1),
+        "catchup_sec": round(catchup_sec, 3) if catchup_sec else None,
+        "catchup_events_per_sec":
+            round(backlog_rows / catchup_sec, 1) if catchup_sec else None,
         "tail_interval_sec": interval,
         "tail_lag_mean_sec": round(sum(lags) / len(lags), 3) if lags else None,
         "tail_lag_max_sec": round(max(lags), 3) if lags else None,

@@ -61,12 +61,43 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
         need = list(dict.fromkeys(
             list(columns) + list(keys) + [lsn_col, op_col]))
 
+    def predicate_cols(schema: pa.Schema) -> list:
+        """Columns the scan predicate references, discovered by binding it
+        against empty tables of progressively wider schemas (pyarrow has no
+        public field-extraction API for Expression). The pruned read must
+        include these even when they are outside the caller's `columns`
+        projection, or the post-merge filter raises ArrowInvalid. Falls back
+        to every column if the probe can't attribute a failure."""
+        import re
+
+        import pyarrow.dataset as pads
+
+        got: list[str] = []
+        for _ in range(len(schema.names) + 1):
+            sub = pa.schema([schema.field(n) for n in got])
+            try:
+                pads.InMemoryDataset(sub.empty_table()).to_table(
+                    filter=predicate)
+                return got
+            except Exception as ex:  # noqa: BLE001 — probe, widen, retry
+                m = re.search(r"No match for FieldRef\.Name\(([^)]*)\)",
+                              str(ex))
+                name = m.group(1) if m else None
+                if name in schema.names and name not in got:
+                    got.append(name)
+                else:
+                    return list(schema.names)
+        return list(schema.names)
+
     def read(path: str, filter_bucket: bool) -> pa.Table:
         f = pq.ParquetFile(path)
         avail = set(f.schema_arrow.names)
         cols = None
         if need is not None:
             cols = [c for c in need if c in avail]
+            if predicate is not None:
+                cols += [c for c in predicate_cols(f.schema_arrow)
+                         if c in avail and c not in cols]
             if filter_bucket and BUCKET_COL in avail and BUCKET_COL not in cols:
                 cols.append(BUCKET_COL)
         t = f.read(columns=cols)
@@ -516,7 +547,7 @@ class CDCEngine:
         pattern: str = "*.parquet",
         poll_interval: float = 0.5,
         idle_timeout: float | None = None,
-        max_epochs: int | None = None,
+        max_files: int | None = None,
         rename_map: Mapping[str, str] | None = None,
         max_files_per_epoch: int = 1,
         mode: str = "merge",
@@ -537,8 +568,10 @@ class CDCEngine:
         cleanly — producers must write-temp-then-rename for atomicity.
 
         Returns after ``idle_timeout`` seconds with no new files (or
-        after ``max_epochs`` file applies); runs forever if neither is
-        set.
+        once ``max_files`` log FILES have been applied — under catch-up
+        batching several files can share one epoch, so this bounds
+        files consumed, not epochs committed); runs forever if neither
+        is set.
 
         ``max_files_per_epoch`` > 1 enables CATCH-UP BATCHING: when the
         follower is behind, up to that many ready files apply as ONE
@@ -616,8 +649,8 @@ class CDCEngine:
                         self.vacuum(keep_last=2)
                 done.update(e for e, _ in group)
                 n_files_applied += len(group)
-                if max_epochs is not None and n_files_applied >= max_epochs:
-                    return {"epochs": applied, "reason": "max_epochs"}
+                if max_files is not None and n_files_applied >= max_files:
+                    return {"epochs": applied, "reason": "max_files"}
             if progressed:
                 idle = 0.0
                 continue

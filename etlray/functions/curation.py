@@ -34,7 +34,11 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-_WS = re.compile(r"\s+")
+# RE2's \s is exactly [\t\n\f\r ] — narrower than Python re's Unicode
+# \s (no \v, no U+00A0, …). Both the DuckDB oracle and the Arrow
+# kernels in norm_tokens_list run RE2, so the Python helper must use
+# the RE2 class or the two tokenizers diverge on Unicode whitespace.
+_WS = re.compile(r"[\t\n\f\r ]+")
 
 
 def norm_tokens(text: str | None) -> list[str]:
@@ -42,11 +46,12 @@ def norm_tokens(text: str | None) -> list[str]:
 
     Exactly mirrors the oracle SQL
     ``string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ')``
-    so gram strings compare byte-equal between engines.
+    so gram strings compare byte-equal between engines — including on
+    Unicode whitespace, which RE2's ``\\s`` does NOT match (see _WS).
     """
     if text is None:
         return [""]
-    return _WS.sub(" ", text.lower()).strip().split(" ")
+    return _WS.sub(" ", text.lower()).strip(" ").split(" ")
 
 
 def token_ngrams(tokens: list[str], n: int) -> list[str]:
@@ -159,8 +164,7 @@ class _ContaminationStage:
                                  "n_hits": pa.array([], pa.int64())})
             import pandas as pd
 
-            hd = pd.DataFrame({"d": doc_of[hit],
-                               "g": grams.to_numpy(zero_copy_only=False)[hit]})
+            hd = pd.DataFrame({"d": doc_of[hit], "g": gnp[hit]})
             per_doc = hd.drop_duplicates().groupby("d", sort=True).size()
             ids = t[self.id_col].to_numpy(zero_copy_only=False)
             return pa.table({

@@ -158,9 +158,15 @@ def _band_hash_matrix(sig_mat: np.ndarray, bands: int,
     """(n_docs, bands) uint64 band hashes, fully vectorized: each band's
     signature slice is dotted with a fixed odd-multiplier vector (wraps
     mod 2^64), salted per band, then avalanched with the murmur3 fmix64
-    finalizer. Deterministic across processes (fixed seed)."""
+    finalizer. Deterministic across processes (fixed seed). When num_perm
+    is not a multiple of bands, the trailing num_perm − bands·rows_per_band
+    permutations are ignored (the pre-vectorization byte-slicing behavior),
+    not a reshape error."""
     n = sig_mat.shape[0]
-    s = sig_mat.reshape(n, bands, rows_per_band)
+    if rows_per_band < 1:
+        raise ValueError(
+            f"bands={bands} exceeds signature width {sig_mat.shape[1]}")
+    s = sig_mat[:, :bands * rows_per_band].reshape(n, bands, rows_per_band)
     rng = np.random.default_rng(_BAND_SALT_SEED)
     mult = (rng.integers(1, 1 << 62, size=(bands, rows_per_band),
                          dtype=np.uint64) * np.uint64(2) + np.uint64(1))
@@ -365,13 +371,12 @@ def minhash_lsh_candidates(
 
     # a pair can surface from several band buckets (with the identical
     # estimate — it is a function of the two signatures) — keep one row
-    # per unordered pair. With exact_verify the verify step gathers the
-    # (small) candidate set to one task anyway, so the dedupe happens
-    # there for free and the extra exchange is skipped.
+    # per unordered pair. With exact_verify, the verify plan's FIRST
+    # exchange already LWW-dedupes pairs while assigning verify
+    # buckets, so a separate dedupe exchange here would be redundant.
     if exact_verify:
         cand = _exact_verify_pairs(pairs, ds, text_col, id_col, shingle_k,
-                                   jaccard_threshold, shingle_fn=shingle_fn,
-                                   dedupe=True)
+                                   jaccard_threshold, shingle_fn=shingle_fn)
     else:
         def uniq_pairs(t: pa.Table) -> pa.Table:
             t = lww_reduce(t, [id_col, "dup_of"], "jaccard") if t.num_rows else t
@@ -394,8 +399,7 @@ def minhash_lsh_candidates(
 
 def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
                         shingle_k: int, jaccard_threshold: float,
-                        shingle_fn=None, dedupe: bool = False,
-                        num_buckets: int = 8):
+                        shingle_fn=None, num_buckets: int = 8):
     """Re-check candidate pairs with EXACT shingle Jaccard —
     DISTRIBUTED: no single-task stage, and neither text nor the pair
     list ever materializes on the driver.

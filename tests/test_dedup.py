@@ -37,6 +37,16 @@ def test_minhash_lsh_finds_near_dups(corpus_ds, ray_session):
     assert all(r["dup_of"] != 4 and r["doc_id"] != 4 for r in pairs)
 
 
+def test_minhash_bands_not_dividing_num_perm(corpus_ds, ray_session):
+    # 64 perms / 12 bands → 5 rows per band, 4 trailing perms unused —
+    # valid under the pre-vectorization byte-slicing banding and must
+    # stay valid (regression: reshape ValueError in _band_hash_matrix)
+    pairs = D.minhash_lsh_candidates(corpus_ds, jaccard_threshold=0.7,
+                                     bands=12, num_perm=64).take_all()
+    got = {(r["doc_id"], r["dup_of"]) for r in pairs}
+    assert (2, 1) in got and (5, 1) in got
+
+
 def test_simhash_exact_groups(corpus_ds, ray_session):
     pairs = D.simhash_dup_groups(corpus_ds).take_all()
     got = {(r["doc_id"], r["dup_of"]) for r in pairs}

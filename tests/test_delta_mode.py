@@ -171,6 +171,16 @@ def test_read_pushdown_through_merge_on_read(fixture_dir, tmp_path, ray_session)
     expect = {k: v for k, v in full.items() if v.get("language") == "py"}
     assert set(filt) == set(expect)
 
+    # predicate over a column OUTSIDE the projection: the pruned
+    # merge-on-read must still fetch the predicate's columns
+    both = _state(eng, columns=["repo", "path", "content_sha"],
+                  predicate=pred)
+    assert set(both) == set(expect)
+    k = next(iter(both))
+    assert set(both[k]) == {"repo", "path", "content_sha"}
+    for k in expect:
+        assert both[k]["content_sha"] == expect[k]["content_sha"]
+
 
 def test_vacuum_keeps_referenced_delta_files(fixture_dir, tmp_path, ray_session):
     import ray.data
