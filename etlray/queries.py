@@ -905,6 +905,26 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "event_lag_gaps_per_user",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS value_lag,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           row_number() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_lag_gaps_per_user(sf_dir: str):
+    from etlray.stages import WindowLagTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    return WindowLagTransform("ts", "user_id", "value",
+                              order_tiebreak="event_id").apply(ds)
+
+
+@register(
     "sample_docs_per_lang",
     """
     SELECT doc_id, lang FROM (

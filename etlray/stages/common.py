@@ -594,6 +594,95 @@ class MovingAverageTransform(Transform):
         return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
 
 
+class WindowLagTransform(Transform):
+    """Per-key ordered LAG + ROW_NUMBER — SQL ``lag(v) OVER (PARTITION
+    BY key ORDER BY ts, tie)`` / ``row_number() OVER (...)`` is the
+    oracle. The missing piece between MovingAverageTransform (sliding
+    aggregate) and SessionizeTransform (gap splitting): raw access to
+    the previous row in event order, the primitive behind
+    time-since-last-event features, delta encoding and change
+    detection in CDC streams.
+
+    Scale shape: ONE hash exchange on the partition key (same
+    partitioning as every other per-key window stage — reusable
+    downstream); per bucket a vectorized sort + shift segmented at key
+    boundaries. No per-key Python loop; output is ∝ input.
+
+    Emits ``<value>_lag`` (previous row's value, NULL at each key's
+    first row), ``rn`` (1-based row number per key) and, when
+    ``ts_col`` is a timestamp, ``gap_us`` (microseconds since the
+    previous row, NULL at first rows)."""
+
+    def __init__(self, ts_col: str, by: str | Sequence[str],
+                 value_col: str, order_tiebreak: str | None = None,
+                 gap_col: str | None = "gap_us",
+                 rank_col: str = "rn") -> None:
+        self.ts_col = ts_col
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.order_tiebreak = order_tiebreak
+        self.gap_col = gap_col
+        self.rank_col = rank_col
+
+    def apply(self, ds):
+        import numpy as np
+        import pandas as pd
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        ts_col, by, vc = self.ts_col, self.by, self.value_col
+        tie, gap_col, rank_col = (self.order_tiebreak, self.gap_col,
+                                  self.rank_col)
+        lag_col = f"{vc}_lag"
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            vtype = t.schema.field(vc).type
+            is_ts = pa.types.is_timestamp(t.schema.field(ts_col).type)
+            if t.num_rows == 0:
+                t = t.append_column(lag_col, pa.array([], type=vtype))
+                if gap_col and is_ts:
+                    t = t.append_column(gap_col, pa.array([], pa.int64()))
+                return t.append_column(rank_col, pa.array([], pa.int64()))
+            sort_keys = [(c, "ascending") for c in by] + \
+                [(ts_col, "ascending")] + \
+                ([(tie, "ascending")] if tie else [])
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+            n = t.num_rows
+            change = np.zeros(n, dtype=bool)
+            for c in by:
+                kv = t[c].to_numpy(zero_copy_only=False)
+                if n > 1:
+                    neq = kv[1:] != kv[:-1]
+                    both_null = pd.isna(kv[1:]) & pd.isna(kv[:-1])
+                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+            change[0] = True
+            first = change  # row starts a new key
+            # lag(value): shift by one, NULL where a key starts
+            shifted = t[vc].combine_chunks().slice(0, n - 1) \
+                if n > 1 else pa.array([], type=vtype)
+            lag_arr = pa.concat_arrays(
+                [pa.array([None], type=vtype), shifted]) \
+                if n > 1 else pa.array([None], type=vtype)
+            lag_arr = pc.if_else(pa.array(first), pa.scalar(None, vtype),
+                                 lag_arr)
+            t = t.append_column(lag_col, lag_arr)
+            if gap_col and is_ts:
+                us = t[ts_col].combine_chunks().cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                gaps = np.zeros(n, dtype=np.int64)
+                gaps[1:] = us[1:] - us[:-1]
+                t = t.append_column(gap_col, pa.array(gaps, mask=first))
+            starts = np.flatnonzero(first)
+            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            rn = np.arange(n, dtype=np.int64) - key_start + 1
+            return t.append_column(rank_col, pa.array(rn))
+
+        return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
+
+
 class CountDistinctTransform(Transform):
     """Exact count(DISTINCT value) per group (SQL is the oracle).
     Scale shape: per-batch distinct (group, value) pairs first — the

@@ -185,3 +185,30 @@ def test_moving_average_ignores_nulls(ray_session):
         ray.data.from_arrow(t)).take_all()
     got = {r["ts"]: r["v_mavg"] for r in out}
     assert got == {1: 1.0, 2: 1.0, 3: 3.0, 4: 3.0, 5: None}
+
+
+def test_window_lag_rank_and_gap(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.stages import WindowLagTransform
+
+    def ts(s):
+        return dt.datetime(2020, 1, 1, 0, 0, s)
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "u": ["a", "a", "a", "b"],
+                  "ts": [ts(1), ts(3), ts(3), ts(9)],
+                  "v": [10.0, None, 30.0, 7.0]})
+    out = WindowLagTransform("ts", "u", "v", order_tiebreak="id").apply(
+        ray.data.from_arrow(t)).take_all()
+    got = {r["id"]: (r["v_lag"], r["gap_us"], r["rn"]) for r in out}
+    # key 'a': lag carries the raw previous value (None stays None),
+    # equal timestamps break ties on id, gap in exact microseconds;
+    # key 'b' restarts: lag/gap NULL, rn back to 1
+    assert got == {1: (None, None, 1),
+                   2: (10.0, 2_000_000, 2),
+                   3: (None, 0, 3),
+                   4: (None, None, 1)}
