@@ -296,3 +296,127 @@ def top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
                         bucket_col=None)
     red = SortTransform(["cnt", "gram"], descending=[True, False]).apply(red)
     return LimitTransform(k).apply(red)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+def doc_frequencies(ds, text_col: str = "text", num_buckets: int = 32):
+    """(term, df) over the corpus — df = number of DOCS containing the
+    term. Per batch: tokenize (Arrow kernels), dedupe (doc, term) pairs,
+    pre-count per term — the exchange carries unique terms per block,
+    never raw token occurrences. One hash exchange on the term sums the
+    partials."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from etlray.exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        terms, doc_of = gram_array(norm_tokens_list(t[text_col]), 1)
+        if len(doc_of) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        u = pd.DataFrame({"d": doc_of,
+                          "t": terms.to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        vc = u["t"].value_counts(sort=False)
+        return pa.table({"term": pa.array(vc.index.to_numpy(), pa.string()),
+                         "df": pa.array(vc.to_numpy(), pa.int64())})
+
+    def dsum(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+        return pa.table({"term": g["term"], "df": g["df_sum"]})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(pre, ["term"], num_buckets=num_buckets,
+                         reduce_fn=dsum, combine_fn=dsum, bucket_col=None)
+
+
+class _TfidfStage:
+    """Actor-pool stage: the broadcast (term → df) map plus the corpus
+    doc count are fetched and hash-indexed ONCE per actor in
+    ``__init__``. Per batch: vectorized tf counts per (doc, term), one
+    Index lookup pass for df, score = tf · ln(N/df) rounded to
+    ``round_to`` decimals (rounded on BOTH engines so cross-engine
+    float noise cannot reorder the top-k), then a C-sorted per-doc
+    head(k) with (score desc, term asc) tie-breaking."""
+
+    def __init__(self, df_ref, n_docs: int, k: int, id_col: str,
+                 text_col: str, round_to: int) -> None:
+        import pandas as pd
+
+        df_tbl = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) \
+            else df_ref
+        self.index = pd.Index(df_tbl["term"])
+        self.df = df_tbl["df"].to_numpy()
+        self.n_docs = n_docs
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+        self.round_to = round_to
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table({self.id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tfidf": pa.array([], pa.float64())})
+        terms, doc_of = gram_array(norm_tokens_list(t[self.text_col]), 1)
+        if len(doc_of) == 0:
+            return empty
+        tf = pd.DataFrame({"d": doc_of,
+                           "t": terms.to_numpy(zero_copy_only=False)}) \
+            .groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        pos = self.index.get_indexer_for(tf["t"].to_numpy())
+        # every term of every doc is in the corpus df table by
+        # construction; a miss would mean the two tokenizer passes
+        # disagree — surface it rather than emit a wrong score
+        if (pos < 0).any():
+            raise AssertionError("term missing from corpus df table")
+        score = np.round(
+            tf["tf"].to_numpy() * np.log(self.n_docs / self.df[pos]),
+            self.round_to)
+        tf["tfidf"] = score
+        top = tf.sort_values(["d", "tfidf", "t"],
+                             ascending=[True, False, True], kind="stable") \
+            .groupby("d", sort=False).head(self.k)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: pa.array(ids[top["d"].to_numpy()], pa.int64()),
+            "term": pa.array(top["t"].to_numpy(), pa.string()),
+            "tfidf": pa.array(top["tfidf"].to_numpy(), pa.float64())})
+
+
+def tfidf_top_terms(ds, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text", round_to: int = 6,
+                    concurrency: int = 2):
+    """Per-doc top-k terms by TF-IDF (tf · ln(N/df), natural log) —
+    corpus keyword extraction for training-data analysis. Docs with
+    NULL text are the caller's concern (pre-filter them; N is
+    ``ds.count()``).
+
+    Scale shape: two passes over text. Pass 1 builds the (term, df)
+    vocabulary distributed (``doc_frequencies``) and broadcasts it
+    once via ``ray.put`` — correct while the vocabulary ≪ corpus (the
+    normal case: vocab grows ~Heaps' law, sublinear in corpus size).
+    For a vocabulary too large to broadcast, swap pass 2's lookup for
+    a term-hash-partitioned join of the (doc, term, tf) stream against
+    the df table through ``hash_exchange`` and a per-doc re-gather —
+    the same fallback documented on decontamination. Pass 2 is an
+    actor pool: the df index builds once per actor, each batch is
+    vectorized pandas/numpy. No driver-side row loop anywhere."""
+    n_docs = ds.count()
+    df_tbl = doc_frequencies(ds, text_col=text_col)
+    import pandas as pd
+
+    parts = [b.to_pandas() for b in df_tbl.iter_batches(batch_format="pyarrow")]
+    vocab = pd.concat(parts, ignore_index=True) if parts else \
+        pd.DataFrame({"term": [], "df": []})
+    df_ref = ray.put(vocab)
+    return ds.map_batches(
+        _TfidfStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(df_ref=df_ref, n_docs=n_docs, k=k,
+                                   id_col=id_col, text_col=text_col,
+                                   round_to=round_to))

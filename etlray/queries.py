@@ -905,6 +905,35 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "tfidf_top_terms_docs",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM d),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+      FROM tf, n JOIN df ON tf.term = df.term)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms_docs(sf_dir: str):
+    from etlray.functions.curation import tfidf_top_terms
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=pc.field("text").is_valid()).read()
+    return tfidf_top_terms(ds, k=5)
+
+
+@register(
     "event_lag_gaps_per_user",
     """
     SELECT event_id, user_id, ts, value,

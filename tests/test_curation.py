@@ -78,3 +78,25 @@ def test_top_ngrams_counts_and_tiebreak(ray_session):
     cnts = [r["cnt"] for r in out]
     assert cnts == sorted(cnts, reverse=True)
     assert isinstance(out[0]["cnt"], int)
+
+
+def test_tfidf_top_terms_small(ray_session):
+    from etlray.functions.curation import tfidf_top_terms
+    from etlray.sources import MemorySource
+
+    rows = [{"doc_id": 1, "text": "apple banana apple"},
+            {"doc_id": 2, "text": "banana cherry"},
+            {"doc_id": 3, "text": "cherry durian durian durian"}]
+    out = tfidf_top_terms(MemorySource(rows).read(), k=2).take_all()
+    import math
+
+    got = {(r["doc_id"], r["term"]): r["tfidf"] for r in out}
+    # 'apple' appears twice in doc 1 and nowhere else: tf=2, df=1
+    assert got[(1, "apple")] == round(2 * math.log(3 / 1), 6)
+    # 'banana' is in two docs: df=2
+    assert got[(1, "banana")] == round(1 * math.log(3 / 2), 6)
+    assert got[(3, "durian")] == round(3 * math.log(3 / 1), 6)
+    per_doc = {}
+    for d, _ in got:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert all(v == 2 for v in per_doc.values())  # k=2 rows per doc
