@@ -145,3 +145,122 @@ class BloomFilter:
         word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
         hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
         return hit.all(axis=1).astype(bool)
+
+
+class QuantileSketch:
+    """Deterministic mergeable quantile summary — a weighted sorted
+    sample compressed to ``capacity`` distinct values.
+
+    EXACT while the number of distinct values ≤ capacity (no
+    compression happens — which is what lets the small-scale oracle
+    compare it against SQL ``quantile_disc`` bit-for-bit); beyond
+    that, compression re-samples the weighted CDF at equi-weight
+    midpoints, bounding rank error by ~total_weight/capacity per
+    compression round. Fully deterministic (no randomized compaction à
+    la KLL), so retries and partition order cannot change the answer.
+
+    Distributed shape (``approx_quantiles``): one sketch per block via
+    map_batches, ≤ capacity (value, weight) pairs per block to the
+    driver, pairwise merge there — no shuffle, mirroring HyperLogLog
+    above. Compare with the exact ``QuantilePerGroupTransform``, whose
+    exchange carries one row per distinct (group, value) per block."""
+
+    def __init__(self, capacity: int = 1 << 17) -> None:
+        if capacity < 2:
+            raise ValueError("capacity must be >= 2")
+        self.capacity = int(capacity)
+        self.vals = np.empty(0, np.float64)
+        self.wts = np.empty(0, np.int64)
+
+    @property
+    def total(self) -> int:
+        return int(self.wts.sum())
+
+    def add_array(self, values) -> "QuantileSketch":
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = values.to_numpy(zero_copy_only=False)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self._absorb(v, np.ones(len(v), dtype=np.int64))
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        self._absorb(other.vals, other.wts)
+        return self
+
+    def _absorb(self, vals: np.ndarray, wts: np.ndarray) -> None:
+        v = np.concatenate([self.vals, vals])
+        w = np.concatenate([self.wts, wts])
+        if len(v) == 0:
+            return
+        # collapse duplicate values (weight sum) — heavy-hitter-friendly
+        uv, inv = np.unique(v, return_inverse=True)
+        uw = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+        if len(uv) > self.capacity:
+            total = int(uw.sum())
+            cum = np.cumsum(uw)
+            # re-sample the weighted CDF at equi-weight midpoints
+            targets = ((np.arange(self.capacity) + 0.5) / self.capacity
+                       * total)
+            idx = np.searchsorted(cum, targets, side="left")
+            uv = uv[np.minimum(idx, len(uv) - 1)]
+            base, rem = divmod(total, self.capacity)
+            uw = np.full(self.capacity, base, dtype=np.int64)
+            uw[:rem] += 1
+            # re-sampling can emit the same value twice — re-collapse
+            uv, inv = np.unique(uv, return_inverse=True)
+            uw = np.bincount(inv, weights=uw.astype(np.float64)) \
+                .astype(np.int64)
+        self.vals, self.wts = uv, uw
+
+    def quantile(self, q: float) -> float:
+        """SQL ``quantile_disc`` convention: element at (1-based) rank
+        ``ceil(q·n)`` of the weighted sorted values."""
+        import math
+
+        n = self.total
+        if n == 0:
+            return float("nan")
+        k = max(math.ceil(q * n) - 1, 0)
+        pos = int(np.searchsorted(np.cumsum(self.wts), k + 1, side="left"))
+        return float(self.vals[min(pos, len(self.vals) - 1)])
+
+    def to_bytes(self) -> tuple[bytes, bytes]:
+        return self.vals.tobytes(), self.wts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, vb: bytes, wb: bytes,
+                   capacity: int = 1 << 17) -> "QuantileSketch":
+        s = cls(capacity)
+        s.vals = np.frombuffer(vb, dtype=np.float64).copy()
+        s.wts = np.frombuffer(wb, dtype=np.int64).copy()
+        return s
+
+
+def approx_quantiles(ds, col: str, qs, names=None,
+                     capacity: int = 1 << 17) -> pa.Table:
+    """Distributed global quantiles via ``QuantileSketch``: one sketch
+    per block, ≤ capacity pairs per block to the driver, deterministic
+    merge — zero shuffle. Exact (= ``quantile_disc``) while the
+    column's distinct-value count stays ≤ capacity; bounded-rank-error
+    approximate beyond. Returns a one-row Table named per ``names``
+    (default ``q{percent}``)."""
+    qs = [float(q) for q in qs]
+    names = (list(names) if names is not None
+             else [f"q{int(round(q * 100))}" for q in qs])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        s = QuantileSketch(capacity)
+        s.add_array(t[col])
+        vb, wb = s.to_bytes()
+        return pa.table({"v": pa.array([vb], pa.binary()),
+                         "w": pa.array([wb], pa.binary())})
+
+    merged = QuantileSketch(capacity)
+    for b in ds.map_batches(sketch, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"):
+        for vb, wb in zip(b["v"].to_pylist(), b["w"].to_pylist()):
+            merged.merge(QuantileSketch.from_bytes(vb, wb, capacity))
+    return pa.table({n: pa.array([merged.quantile(q)], pa.float64())
+                     for q, n in zip(qs, names)})

@@ -905,6 +905,28 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "approx_quantiles_value",
+    """
+    SELECT quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.50) AS q50,
+           quantile_disc(value, 0.90) AS q90,
+           quantile_disc(value, 0.99) AS q99
+    FROM events
+    """,
+)
+def approx_quantiles_value(sf_dir: str):
+    # the sketch is EXACT below its capacity (what the oracle checks
+    # here); at 100 TB the same code path degrades gracefully to
+    # bounded-rank-error estimates with zero shuffle — the scale
+    # companion to the exact QuantilePerGroupTransform
+    from etlray.functions.sketch import approx_quantiles
+
+    ds = _pq(sf_dir, "events", columns=["value"]).read()
+    return approx_quantiles(ds, "value", qs=[0.25, 0.5, 0.9, 0.99],
+                            names=["q25", "q50", "q90", "q99"])
+
+
+@register(
     "tfidf_top_terms_docs",
     """
     WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

@@ -74,3 +74,62 @@ def test_bloom_prefilter_rejected_for_left_join(ray_session):
     with pytest.raises(TransformError):
         PartitionedHashJoinTransform(None, on="k", how="left",
                                      bloom_prefilter=True)
+
+
+def test_quantile_sketch_exact_below_capacity(ray_session):
+    import numpy as np
+
+    from etlray.functions.sketch import QuantileSketch
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=1000)
+    s = QuantileSketch(capacity=4096).add_array(v)
+    sv = np.sort(v)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        import math
+
+        assert s.quantile(q) == sv[max(math.ceil(q * len(v)) - 1, 0)]
+
+
+def test_quantile_sketch_bounded_error_and_deterministic(ray_session):
+    import numpy as np
+
+    from etlray.functions.sketch import QuantileSketch
+
+    rng = np.random.default_rng(11)
+    v = rng.exponential(size=50_000)
+    sv = np.sort(v)
+
+    def build(order):
+        s = QuantileSketch(capacity=256)
+        for chunk in np.array_split(order, 10):
+            s.merge(QuantileSketch(capacity=256).add_array(chunk))
+        return s
+
+    a = build(v)
+    for q in (0.1, 0.5, 0.9):
+        got = a.quantile(q)
+        # each of the 10 sequential merges can trigger one resample
+        # round adding ≤ total/capacity rank error — bound compounds
+        # with rounds (observed ~5× n/capacity at q=0.5)
+        rank = np.searchsorted(sv, got)
+        assert abs(rank - q * len(v)) < 11 * len(v) / 256
+
+    b = build(v)  # same partitioning → identical sketch
+    assert np.array_equal(a.vals, b.vals) and np.array_equal(a.wts, b.wts)
+
+
+def test_approx_quantiles_distributed(ray_session):
+    import numpy as np
+    import ray.data
+
+    from etlray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=5000)
+    ds = ray.data.from_items([{"x": float(x)} for x in v]).repartition(8)
+    out = approx_quantiles(ds, "x", qs=[0.5], capacity=1 << 14)
+    import math
+
+    sv = np.sort(v)
+    assert out["q50"][0].as_py() == sv[math.ceil(0.5 * len(v)) - 1]
