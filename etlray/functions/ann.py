@@ -233,3 +233,77 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
     pruned = ds.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_topk(pruned, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def centroid_per_group(ds, group_col: str, vec_col: str = "embedding",
+                       num_buckets: int = 8):
+    """Mean vector per group — cluster centroids over an embedding
+    column, the aggregate behind k-means refinement, class prototypes
+    and per-source embedding drift monitoring.
+
+    Scale shape: per batch the (n, d) matrix is summed into one
+    (groups_in_batch, d) partial with a single ``np.add.at`` scatter
+    (no per-row loop); the exchange then carries one d-vector per
+    (group, block) — never raw embeddings — and a per-bucket sum /
+    count finishes. Output is LONG format (group, pos, centroid_v),
+    one row per vector component, so results stay join- and
+    oracle-friendly (no list-column representation skew between
+    engines).
+
+    ``pos`` is 1-based to match SQL ``generate_subscripts``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from etlray.cdc.apply import BUCKET_COL
+    from etlray.exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
+                             "__sum": pa.array([], pa.binary()),
+                             "__n": pa.array([], pa.int64())})
+        mat = vectors_to_numpy(t[vec_col]).astype(np.float64)
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        acc = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(acc, codes, mat)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({group_col: pa.array(uniq),
+                         "__sum": pa.array([r.tobytes() for r in acc],
+                                           pa.binary()),
+                         "__n": pa.array(cnt)})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if BUCKET_COL in t.column_names:
+            t = t.drop_columns([BUCKET_COL])
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "pos": pa.array([], pa.int64()),
+                             "centroid_v": pa.array([], pa.float64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        sums = np.stack([np.frombuffer(b, dtype=np.float64)
+                         for b in t["__sum"].to_pylist()])
+        ns = t["__n"].to_numpy()
+        codes, uniq = pd.factorize(keys)
+        # deterministic partial order: sort partials by (group, then
+        # original order) so the float sum is partition-stable
+        order = np.argsort(codes, kind="stable")
+        acc = np.zeros((len(uniq), sums.shape[1]))
+        np.add.at(acc, codes[order], sums[order])
+        cnt = np.bincount(codes, weights=ns.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        cent = acc / cnt[:, None]
+        g, d = cent.shape
+        return pa.table({
+            group_col: pa.array(np.repeat(uniq, d), type=gtype),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), g)),
+            "centroid_v": pa.array(cent.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(cnt, d))})
+
+    return hash_exchange(pre, [group_col], num_buckets, reduce_bucket,
+                         bucket_col=None)

@@ -264,3 +264,43 @@ def approx_quantiles(ds, col: str, qs, names=None,
             merged.merge(QuantileSketch.from_bytes(vb, wb, capacity))
     return pa.table({n: pa.array([merged.quantile(q)], pa.float64())
                      for q, n in zip(qs, names)})
+
+
+def histogram(ds, col: str, lo: float, hi: float, nbins: int) -> pa.Table:
+    """Fixed-bin histogram of a numeric column over [lo, hi) — the
+    zero-shuffle profiling aggregate: each block reduces to one
+    ``nbins``-long count vector (np.bincount), the driver sums the
+    per-block vectors. Values outside [lo, hi) and NULLs are dropped
+    (count them separately if you need them). Bin assignment is
+    ``floor((v - lo) / (hi - lo) * nbins)`` evaluated in double — the
+    exact expression a SQL oracle can replicate bit-for-bit. Returns
+    (bin, lo_edge, cnt), one row per non-empty bin."""
+    if not (hi > lo) or nbins < 1:
+        raise ValueError("need hi > lo and nbins >= 1")
+
+    def part(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        v = v[~np.isnan(v)]
+        b = np.floor((v - lo) / (hi - lo) * nbins).astype(np.int64)
+        # filter on the COMPUTED bin, not the raw value — float
+        # rounding can push v<hi into bin nbins, and an oracle that
+        # filters the same way stays bit-identical
+        b = b[(b >= 0) & (b < nbins)]
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        # carry explicit bin ids: the consumer re-batches rows across
+        # block boundaries, so positional nbins-runs can't be assumed
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    total = np.zeros(nbins, dtype=np.int64)
+    for b in ds.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(total, b["bin"].to_numpy(), b["cnt"].to_numpy())
+    keep = np.flatnonzero(total)
+    width = (hi - lo) / nbins
+    return pa.table({"bin": pa.array(keep, pa.int64()),
+                     "lo_edge": pa.array(lo + keep * width, pa.float64()),
+                     "cnt": pa.array(total[keep], pa.int64())})

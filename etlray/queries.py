@@ -905,6 +905,42 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "histogram_event_values",
+    """
+    WITH b AS (
+      SELECT CAST(floor((value - 0.0) / (500.0 - 0.0) * 25) AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL)
+    SELECT bin, 0.0 + bin * ((500.0 - 0.0) / 25) AS lo_edge,
+           count(*) AS cnt
+    FROM b WHERE bin >= 0 AND bin < 25 GROUP BY bin
+    """,
+)
+def histogram_event_values(sf_dir: str):
+    from etlray.functions.sketch import histogram
+
+    ds = _pq(sf_dir, "events", columns=["value"]).read()
+    return histogram(ds, "value", lo=0.0, hi=500.0, nbins=25)
+
+
+@register(
+    "centroid_embeddings_by_label",
+    """
+    SELECT label, CAST(pos AS BIGINT) AS pos, avg(v) AS centroid_v,
+           count(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def centroid_embeddings_by_label(sf_dir: str):
+    from etlray.functions.ann import centroid_per_group
+
+    ds = _pq(sf_dir, "embeddings", columns=["label", "embedding"]).read()
+    return centroid_per_group(ds, "label")
+
+
+@register(
     "approx_quantiles_value",
     """
     SELECT quantile_disc(value, 0.25) AS q25,

@@ -133,3 +133,33 @@ def test_approx_quantiles_distributed(ray_session):
 
     sv = np.sort(v)
     assert out["q50"][0].as_py() == sv[math.ceil(0.5 * len(v)) - 1]
+
+
+def test_histogram_counts_and_edges(ray_session):
+    import numpy as np
+    import ray.data
+
+    from etlray.functions.sketch import histogram
+
+    v = [0.0, 0.5, 1.0, 2.5, 9.99, 10.0, -0.1, None]
+    ds = ray.data.from_items([{"x": x} for x in v])
+    out = histogram(ds, "x", lo=0.0, hi=10.0, nbins=10)
+    got = {r["bin"]: (r["lo_edge"], r["cnt"]) for r in out.to_pylist()}
+    # 10.0, -0.1 and None fall outside; 0.0+0.5 share bin 0
+    assert got == {0: (0.0, 2), 1: (1.0, 1), 2: (2.0, 1), 9: (9.0, 1)}
+
+
+def test_centroid_per_group_exact(ray_session):
+    import numpy as np
+    import ray.data
+
+    from etlray.functions.ann import centroid_per_group
+
+    rows = [{"g": "a", "embedding": [1.0, 2.0]},
+            {"g": "a", "embedding": [3.0, 6.0]},
+            {"g": "b", "embedding": [10.0, 0.0]}]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = centroid_per_group(ds, "g").take_all()
+    got = {(r["g"], r["pos"]): (r["centroid_v"], r["n_vecs"]) for r in out}
+    assert got == {("a", 1): (2.0, 2), ("a", 2): (4.0, 2),
+                   ("b", 1): (10.0, 1), ("b", 2): (0.0, 1)}
