@@ -304,3 +304,98 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int) -> pa.Table:
     return pa.table({"bin": pa.array(keep, pa.int64()),
                      "lo_edge": pa.array(lo + keep * width, pa.float64()),
                      "cnt": pa.array(total[keep], pa.int64())})
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary: at most ``capacity`` (value,
+    count) entries; counts are exact while the stream's distinct-value
+    count stays ≤ capacity (no decrement ever fires — the condition
+    the SQL oracle checks), and otherwise undercount by at most the
+    tracked ``decremented`` total. Merging is summary concatenation +
+    count sum + one deterministic compress — associative, so the
+    distributed shape is the same zero-shuffle one as HyperLogLog /
+    QuantileSketch above: one summary per block, fold on the driver."""
+
+    def __init__(self, capacity: int = 1024) -> None:
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.decremented = 0
+
+    def add_array(self, values) -> "MisraGries":
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            values = values.to_numpy(zero_copy_only=False)
+        v = np.asarray(values, dtype=object)
+        v = v[~pd.isna(v)]
+        if len(v) == 0:
+            return self
+        uniq, cnt = np.unique(v, return_counts=True)
+        for u, c in zip(uniq, cnt):
+            self.counts[u] = self.counts.get(u, 0) + int(c)
+        self._compress()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for u, c in other.counts.items():
+            self.counts[u] = self.counts.get(u, 0) + c
+        self.decremented += other.decremented
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        cs = np.fromiter(self.counts.values(), dtype=np.int64)
+        # subtract the (capacity+1)-th largest count from everyone and
+        # drop the non-positive — the classic MG decrement, batched
+        thresh = int(np.partition(cs, -self.capacity - 1)
+                     [-self.capacity - 1])
+        self.decremented += thresh
+        self.counts = {u: c - thresh for u, c in self.counts.items()
+                       if c - thresh > 0}
+
+    def top(self, k: int) -> list[tuple]:
+        """Top-k by (count desc, value asc) — value tie-break keeps the
+        cut deterministic."""
+        return sorted(self.counts.items(),
+                      key=lambda uc: (-uc[1], uc[0]))[:k]
+
+
+def heavy_hitters(ds, col: str, k: int = 10,
+                  capacity: int = 1024) -> pa.Table:
+    """Approximate top-k most frequent values — one MisraGries summary
+    per block, driver fold, zero shuffle. EXACT (= GROUP BY count)
+    while the column's distinct count ≤ capacity; beyond that, counts
+    are undercounts by ≤ the summary's ``decremented`` bound. The
+    zero-shuffle companion to the exact exchange-based ``top_ngrams``:
+    use this to find candidates at 100 TB, the exact path to confirm.
+    Values are returned as strings (the summary stringifies keys so a
+    block summary serializes as one Arrow list row)."""
+    def part(t: pa.Table) -> pa.Table:
+        s = MisraGries(capacity)
+        s.add_array(t[col])
+        vals = list(s.counts)
+        # ONE row per block summary (list-typed) — the consumer
+        # re-batches rows across blocks, so flat (value, count) rows
+        # from different blocks would interleave and lose identity
+        return pa.table({
+            "v": pa.array([[str(x) for x in vals]],
+                          pa.list_(pa.string())),
+            "c": pa.array([[s.counts[x] for x in vals]],
+                          pa.list_(pa.int64())),
+            "d": pa.array([s.decremented], pa.int64())})
+
+    merged = MisraGries(capacity)
+    for b in ds.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"):
+        for vs, cs, d in zip(b["v"].to_pylist(), b["c"].to_pylist(),
+                             b["d"].to_pylist()):
+            o = MisraGries(capacity)
+            o.counts = dict(zip(vs, cs))
+            o.decremented = int(d)
+            merged.merge(o)
+    top = merged.top(k)
+    return pa.table({"value": pa.array([u for u, _ in top]),
+                     "cnt": pa.array([c for _, c in top], pa.int64())})

@@ -905,6 +905,24 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "heavy_hitters_event_type",
+    """
+    SELECT event_type AS value, count(*) AS cnt FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY cnt DESC, value LIMIT 5
+    """,
+)
+def heavy_hitters_event_type(sf_dir: str):
+    # exact while distinct event types ≤ capacity (the oracle's
+    # regime); at 100 TB the same fold gives bounded-undercount
+    # candidates with zero shuffle
+    from etlray.functions.sketch import heavy_hitters
+
+    ds = _pq(sf_dir, "events", columns=["event_type"]).read()
+    return heavy_hitters(ds, "event_type", k=5, capacity=1024)
+
+
+@register(
     "histogram_event_values",
     """
     WITH b AS (

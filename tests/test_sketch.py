@@ -163,3 +163,38 @@ def test_centroid_per_group_exact(ray_session):
     got = {(r["g"], r["pos"]): (r["centroid_v"], r["n_vecs"]) for r in out}
     assert got == {("a", 1): (2.0, 2), ("a", 2): (4.0, 2),
                    ("b", 1): (10.0, 1), ("b", 2): (0.0, 1)}
+
+
+def test_misra_gries_exact_below_capacity_and_bounded_above(ray_session):
+    import numpy as np
+
+    from etlray.functions.sketch import MisraGries
+
+    stream = ["a"] * 100 + ["b"] * 50 + [f"noise{i}" for i in range(200)]
+    rng = np.random.default_rng(1)
+    rng.shuffle(stream)
+
+    exact = MisraGries(capacity=1024).add_array(np.array(stream, object))
+    assert dict(exact.top(2)) == {"a": 100, "b": 50}
+    assert exact.decremented == 0
+
+    # tight capacity: heavy values survive, counts undercount by
+    # at most `decremented`
+    s = MisraGries(capacity=8)
+    for chunk in np.array_split(np.array(stream, object), 7):
+        s.merge(MisraGries(capacity=8).add_array(chunk))
+    top = dict(s.top(2))
+    assert "a" in top and 100 - s.decremented <= top["a"] <= 100
+    assert s.decremented > 0
+
+
+def test_heavy_hitters_distributed_exact(ray_session):
+    import ray.data
+
+    from etlray.functions.sketch import heavy_hitters
+
+    rows = [{"t": f"v{i % 7}"} for i in range(700)] + [{"t": None}]
+    out = heavy_hitters(ray.data.from_items(rows).repartition(4),
+                        "t", k=3, capacity=64)
+    got = {r["value"]: r["cnt"] for r in out.to_pylist()}
+    assert got == {"v0": 100, "v1": 100, "v2": 100}  # tie → value asc
