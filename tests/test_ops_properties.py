@@ -104,3 +104,79 @@ def test_quantiles_match_disc_reference(ray_session, rows):
         vals = sorted(float(v) for v in g["t"])
         want[k] = vals[max(math.ceil(0.5 * len(vals)) - 1, 0)]
     assert got == want
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_window_lag_matches_pandas(ray_session, rows):
+    from etlray.stages import WindowLagTransform
+
+    # integer ts column (no gap output path) + float value with nulls
+    for r in rows:
+        r["v"] = float(r["t"]) if r["t"] % 3 else None
+    ds = MemorySource(rows).read()
+    out = WindowLagTransform("t", "k", "v", order_tiebreak="id") \
+        .apply(ds).take_all()
+    got = {r["id"]: (r["v_lag"], r["rn"]) for r in out}
+
+    df = pd.DataFrame(rows).sort_values(["k", "t", "id"])
+    want = {}
+    for _, g in df.groupby("k"):
+        prev = None
+        for rn, (_, r) in enumerate(g.iterrows(), start=1):
+            want[r["id"]] = (prev, rn)
+            prev = r["v"]
+    for i, (lag, rn) in want.items():
+        glag, grn = got[i]
+        assert grn == rn
+        if lag is None or pd.isna(lag):
+            assert glag is None
+        else:
+            assert glag == lag
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_histogram_matches_numpy(ray_session, rows):
+    from etlray.functions.sketch import histogram
+
+    ds = MemorySource(rows).read()
+    out = histogram(ds, "t", lo=0.0, hi=50.0, nbins=5)
+    got = {r["bin"]: r["cnt"] for r in out.to_pylist()}
+    v = np.array([r["t"] for r in rows], dtype=np.float64)
+    b = np.floor((v - 0.0) / 50.0 * 5).astype(int)
+    b = b[(b >= 0) & (b < 5)]
+    want = {int(x): int(c) for x, c in zip(*np.unique(b, return_counts=True))}
+    assert got == want
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_heavy_hitters_exact_regime_matches_value_counts(ray_session, rows):
+    from etlray.functions.sketch import heavy_hitters
+
+    ds = MemorySource(rows).read()
+    out = heavy_hitters(ds, "k", k=3, capacity=64)  # ≤3 distinct → exact
+    got = {r["value"]: r["cnt"] for r in out.to_pylist()}
+    want = dict(pd.Series([r["k"] for r in rows]).value_counts())
+    want = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert got == {str(k): v for k, v in want.items()}
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_centroid_matches_numpy_mean(ray_session, rows):
+    from etlray.functions.ann import centroid_per_group
+
+    for r in rows:
+        r["embedding"] = [float(r["t"]), float(r["t"] * 2 + 1)]
+    ds = MemorySource(rows).read()
+    out = centroid_per_group(ds, "k").take_all()
+    got = {(r["k"], r["pos"]): (r["centroid_v"], r["n_vecs"]) for r in out}
+    df = pd.DataFrame(rows)
+    for k, g in df.groupby("k"):
+        m = np.mean(np.stack(g["embedding"].to_numpy()), axis=0)
+        for pos in (1, 2):
+            cv, nv = got[(k, pos)]
+            assert nv == len(g)
+            assert abs(cv - m[pos - 1]) < 1e-9
