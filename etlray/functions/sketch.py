@@ -188,6 +188,18 @@ class QuantileSketch:
         self._absorb(other.vals, other.wts)
         return self
 
+    def merge_many(self, sketches) -> "QuantileSketch":
+        """Fold a whole list in ONE absorb — a single compression round
+        instead of one per pairwise merge, so rank error stays ~2
+        rounds (partial build + this fold) rather than compounding
+        with the number of blocks. Use this in distributed reducers."""
+        sketches = list(sketches)
+        if not sketches:
+            return self
+        self._absorb(np.concatenate([s.vals for s in sketches]),
+                     np.concatenate([s.wts for s in sketches]))
+        return self
+
     def _absorb(self, vals: np.ndarray, wts: np.ndarray) -> None:
         v = np.concatenate([self.vals, vals])
         w = np.concatenate([self.wts, wts])
@@ -204,9 +216,14 @@ class QuantileSketch:
                        * total)
             idx = np.searchsorted(cum, targets, side="left")
             uv = uv[np.minimum(idx, len(uv) - 1)]
-            base, rem = divmod(total, self.capacity)
-            uw = np.full(self.capacity, base, dtype=np.int64)
-            uw[:rem] += 1
+            # weights = diffs of ROUNDED cumulative targets, so the new
+            # CDF tracks (i+1)·total/capacity within 0.5 everywhere —
+            # piling the integer remainder onto the first entries
+            # instead would drift the lower half by up to `remainder`
+            ncum = np.rint(np.arange(1, self.capacity + 1)
+                           * (total / self.capacity)).astype(np.int64)
+            ncum[-1] = total
+            uw = np.diff(np.concatenate(([0], ncum)))
             # re-sampling can emit the same value twice — re-collapse
             uv, inv = np.unique(uv, return_inverse=True)
             uw = np.bincount(inv, weights=uw.astype(np.float64)) \
@@ -256,12 +273,13 @@ def approx_quantiles(ds, col: str, qs, names=None,
         return pa.table({"v": pa.array([vb], pa.binary()),
                          "w": pa.array([wb], pa.binary())})
 
-    merged = QuantileSketch(capacity)
+    parts = []
     for b in ds.map_batches(sketch, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(
             batch_format="pyarrow"):
         for vb, wb in zip(b["v"].to_pylist(), b["w"].to_pylist()):
-            merged.merge(QuantileSketch.from_bytes(vb, wb, capacity))
+            parts.append(QuantileSketch.from_bytes(vb, wb, capacity))
+    merged = QuantileSketch(capacity).merge_many(parts)
     return pa.table({n: pa.array([merged.quantile(q)], pa.float64())
                      for q, n in zip(qs, names)})
 
@@ -399,3 +417,76 @@ def heavy_hitters(ds, col: str, k: int = 10,
     top = merged.top(k)
     return pa.table({"value": pa.array([u for u, _ in top]),
                      "cnt": pa.array([c for _, c in top], pa.int64())})
+
+
+def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
+                               names=None, capacity: int = 1 << 15,
+                               num_buckets: int = 8):
+    """Per-group quantiles via ``QuantileSketch`` partials — the sketch
+    as a MAP-SIDE COMBINER, not just a driver fold: each batch reduces
+    to one ≤2·capacity-entry sketch per group it contains, the exchange
+    carries sketches (never raw rows), and each bucket merges its
+    groups' sketches and extracts the quantiles. Exact
+    (= ``quantile_disc``) while each group's distinct-value count stays
+    ≤ capacity; bounded-rank-error beyond — the scale companion to the
+    exact ``QuantilePerGroupTransform``, trading exactness for a
+    shuffle volume independent of group size."""
+    import pyarrow.compute as pc
+
+    from etlray.cdc.apply import BUCKET_COL
+    from etlray.exchange import hash_exchange
+
+    qs = [float(q) for q in qs]
+    names = (list(names) if names is not None
+             else [f"q{int(round(q * 100))}" for q in qs])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__v": pa.array([], pa.binary()),
+                             "__w": pa.array([], pa.binary())})
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        vals = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        codes, uniq = pd.factorize(keys)
+        vb, wb = [], []
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        for gi in range(len(uniq)):
+            s = QuantileSketch(capacity)
+            s.add_array(vals[order[bounds[gi]:bounds[gi + 1]]])
+            b1, b2 = s.to_bytes()
+            vb.append(b1)
+            wb.append(b2)
+        return pa.table({group_col: pa.array(uniq, type=gtype),
+                         "__v": pa.array(vb, pa.binary()),
+                         "__w": pa.array(wb, pa.binary())})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if BUCKET_COL in t.column_names:
+            t = t.drop_columns([BUCKET_COL])
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            cols = {group_col: pa.array([], gtype)}
+            cols.update({n: pa.array([], pa.float64()) for n in names})
+            return pa.table(cols)
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys)
+        parts: list[list] = [[] for _ in range(len(uniq))]
+        for gi, vb, wb in zip(codes, t["__v"].to_pylist(),
+                              t["__w"].to_pylist()):
+            parts[gi].append(QuantileSketch.from_bytes(vb, wb, capacity))
+        merged = [QuantileSketch(capacity).merge_many(p) for p in parts]
+        cols = {group_col: pa.array(uniq, type=gtype)}
+        for q, n in zip(qs, names):
+            cols[n] = pa.array([s.quantile(q) for s in merged],
+                               pa.float64())
+        return pa.table(cols)
+
+    return hash_exchange(pre, [group_col], num_buckets, reduce_bucket,
+                         bucket_col=None)

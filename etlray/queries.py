@@ -981,6 +981,28 @@ def approx_quantiles_value(sf_dir: str):
 
 
 @register(
+    "approx_quantiles_value_by_type",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.50) AS q50,
+           quantile_disc(value, 0.90) AS q90
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_quantiles_value_by_type(sf_dir: str):
+    # per-group sketch partials through the exchange — exact below
+    # capacity (the oracle's regime), shuffle volume independent of
+    # group size beyond it; the scale path beside the exact
+    # QuantilePerGroupTransform (quantiles_value_by_type)
+    from etlray.functions.sketch import approx_quantiles_per_group
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    return approx_quantiles_per_group(ds, "event_type", "value",
+                                      qs=[0.25, 0.5, 0.9])
+
+
+@register(
     "tfidf_top_terms_docs",
     """
     WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),

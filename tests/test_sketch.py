@@ -198,3 +198,33 @@ def test_heavy_hitters_distributed_exact(ray_session):
                         "t", k=3, capacity=64)
     got = {r["value"]: r["cnt"] for r in out.to_pylist()}
     assert got == {"v0": 100, "v1": 100, "v2": 100}  # tie → value asc
+
+
+def test_approx_quantiles_per_group_exact_and_capped(ray_session):
+    import numpy as np
+    import ray.data
+
+    from etlray.functions.sketch import approx_quantiles_per_group
+
+    rng = np.random.default_rng(7)
+    rows = [{"g": ("a" if i % 2 else "b"), "x": float(v)}
+            for i, v in enumerate(rng.normal(size=4000))]
+    ds = ray.data.from_items(rows).repartition(6)
+
+    out = approx_quantiles_per_group(ds, "g", "x", qs=[0.5],
+                                     capacity=1 << 14).take_all()
+    got = {r["g"]: r["q50"] for r in out}
+    import math
+
+    for g in ("a", "b"):
+        sv = np.sort([r["x"] for r in rows if r["g"] == g])
+        assert got[g] == sv[math.ceil(0.5 * len(sv)) - 1]  # exact regime
+
+    capped = approx_quantiles_per_group(ds, "g", "x", qs=[0.5],
+                                        capacity=128).take_all()
+    for r in capped:
+        sv = np.sort([q["x"] for q in rows if q["g"] == r["g"]])
+        rank = np.searchsorted(sv, r["q50"])
+        # merge_many folds all partials in ONE compress round: error
+        # stays ~half a resample cell per round (2 rounds ≈ n/capacity)
+        assert abs(rank - 0.5 * len(sv)) < 3 * len(sv) / 128
