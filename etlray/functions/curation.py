@@ -420,3 +420,37 @@ def tfidf_top_terms(ds, k: int = 5, id_col: str = "doc_id",
         fn_constructor_kwargs=dict(df_ref=df_ref, n_docs=n_docs, k=k,
                                    id_col=id_col, text_col=text_col,
                                    round_to=round_to))
+
+
+def approx_top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
+                      capacity: int = 1 << 19) -> pa.Table:
+    """Approximate corpus-wide top-k token n-grams — the zero-shuffle
+    Misra-Gries companion to the exact exchange-based ``top_ngrams``:
+    each block reduces to one bounded summary row (per-batch
+    ``np.unique`` pre-count, MG compress), the driver folds all
+    summaries with one vectorized groupby-sum + single compress.
+
+    EXACT (identical to ``top_ngrams``) while the corpus's distinct
+    gram count stays ≤ capacity — the regime the SQL oracle checks —
+    and a bounded undercount beyond, where the exact path's gram-hash
+    exchange becomes the expensive step this sketch avoids. Ties at
+    the k boundary break on the gram string, matching the exact
+    operator."""
+    from etlray.functions.sketch import MisraGries, _mg_fold
+
+    def part(t: pa.Table) -> pa.Table:
+        grams, _doc = gram_array(norm_tokens_list(t[text_col]), n)
+        s = MisraGries(capacity)
+        s.add_array(grams.to_numpy(zero_copy_only=False))
+        vals = list(s.counts)
+        return pa.table({
+            "v": pa.array([[str(x) for x in vals]], pa.list_(pa.string())),
+            "c": pa.array([[s.counts[x] for x in vals]],
+                          pa.list_(pa.int64())),
+            "d": pa.array([s.decremented], pa.int64())})
+
+    m = _mg_fold(ds.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True), capacity)
+    top = m.top(k)
+    return pa.table({"gram": pa.array([g for g, _ in top], pa.string()),
+                     "cnt": pa.array([c for _, c in top], pa.int64())})

@@ -404,19 +404,38 @@ def heavy_hitters(ds, col: str, k: int = 10,
                           pa.list_(pa.int64())),
             "d": pa.array([s.decremented], pa.int64())})
 
-    merged = MisraGries(capacity)
-    for b in ds.map_batches(part, batch_format="pyarrow",
-                            zero_copy_batch=True).iter_batches(
-            batch_format="pyarrow"):
-        for vs, cs, d in zip(b["v"].to_pylist(), b["c"].to_pylist(),
-                             b["d"].to_pylist()):
-            o = MisraGries(capacity)
-            o.counts = dict(zip(vs, cs))
-            o.decremented = int(d)
-            merged.merge(o)
+    merged = _mg_fold(ds.map_batches(part, batch_format="pyarrow",
+                                     zero_copy_batch=True), capacity)
     top = merged.top(k)
     return pa.table({"value": pa.array([u for u, _ in top]),
                      "cnt": pa.array([c for _, c in top], pa.int64())})
+
+
+def _mg_fold(parts_ds, capacity: int) -> MisraGries:
+    """Vectorized driver fold of block MG summaries: ONE groupby-sum
+    over all entries plus a single compress — equivalent to (and with
+    the same error bound as) pairwise merging, but O(total entries) in
+    pandas C instead of Python dict loops, so vocabulary-scale
+    summaries (hundreds of thousands of entries per block) fold in
+    milliseconds."""
+    vs: list[np.ndarray] = []
+    cs: list[np.ndarray] = []
+    dec = 0
+    for b in parts_ds.iter_batches(batch_format="pyarrow"):
+        for v, c, d in zip(b["v"].to_pylist(), b["c"].to_pylist(),
+                           b["d"].to_pylist()):
+            vs.append(np.asarray(v, dtype=object))
+            cs.append(np.asarray(c, dtype=np.int64))
+            dec += int(d)
+    m = MisraGries(capacity)
+    if not vs:
+        return m
+    summed = pd.Series(np.concatenate(cs),
+                       index=np.concatenate(vs)).groupby(level=0).sum()
+    m.counts = dict(zip(summed.index, (int(x) for x in summed.to_numpy())))
+    m.decremented = dec
+    m._compress()
+    return m
 
 
 def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,

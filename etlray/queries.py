@@ -1316,6 +1316,16 @@ def top_ngrams_docs(sf_dir: str):
     return top_ngrams(ds, n=5, k=20)
 
 
+@register("approx_top_ngrams_docs", _TOP_NGRAMS_SQL)
+def approx_top_ngrams_docs(sf_dir: str):
+    # zero-shuffle Misra-Gries path; exact (same oracle as
+    # top_ngrams_docs) while distinct grams ≤ capacity
+    from etlray.functions.curation import approx_top_ngrams
+
+    ds = _pq(sf_dir, "documents", columns=["text"]).read()
+    return approx_top_ngrams(ds, n=5, k=20)
+
+
 @register(
     "pivot_event_counts",
     """

@@ -100,3 +100,18 @@ def test_tfidf_top_terms_small(ray_session):
     for d, _ in got:
         per_doc[d] = per_doc.get(d, 0) + 1
     assert all(v == 2 for v in per_doc.values())  # k=2 rows per doc
+
+
+def test_approx_top_ngrams_matches_exact_below_capacity(ray_session):
+    from etlray.functions.curation import approx_top_ngrams, top_ngrams
+    from etlray.sources import MemorySource
+
+    rows = [{"text": "the cat sat on the mat"},
+            {"text": "the cat sat on the rug"},
+            {"text": "a dog ran in the park"}] * 4
+    ds = MemorySource(rows).read()
+    exact = top_ngrams(ds, n=3, k=5).take_all()
+    approx = approx_top_ngrams(MemorySource(rows).read(), n=3, k=5,
+                               capacity=1 << 12).to_pylist()
+    assert [(r["gram"], r["cnt"]) for r in exact] == \
+        [(r["gram"], r["cnt"]) for r in approx]
