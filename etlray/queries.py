@@ -105,14 +105,27 @@ def agg_events_by_type(sf_dir: str):
     ).apply(ds)
 
 
-# TPC-H Q1-shaped pricing summary
+# TPC-H Q1-shaped pricing summary.
+# Money columns aggregate as EXACT decimal-scaled int64 (quantity and
+# extendedprice carry 2 decimals → ×100; disc_price carries 4 → ×10000;
+# the scaled doubles are within one ulp of integers, so the pc.round /
+# SQL round() mode difference can never matter): integer addition is
+# associative, the parallel sum is bit-deterministic at any block order,
+# and the oracle compare is exact instead of pinned by an in-query
+# ROUND whose half-boundary a sum can straddle (round-1 failure at
+# sf0.1; boundary hit observed again at sf0.001 before this change).
+# avg(l_quantity) stays float: quantities are integers, so their float64
+# sum is exact in any order and the average is bit-equal across engines.
 @register(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(sum(l_quantity), 2)                         AS sum_qty,
-           ROUND(sum(l_extendedprice), 2)                    AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+             AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_base_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) / 10000.0 AS sum_disc_price,
            avg(l_quantity)                                   AS avg_qty,
            count(*)                                          AS count_order
     FROM lineitem
@@ -128,35 +141,41 @@ def pricing_summary(sf_dir: str):
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount", "l_shipdate"],
              filter=(pc.field("l_shipdate") <= cutoff)).read()
-    ds = ComputedColumnTransform(
-        "disc_price",
-        lambda t: pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-    ).apply(ds)
-    # deterministic=True: each group's float sums are computed ONCE via
-    # numpy pairwise summation in a deterministically-ordered bucket —
-    # reproducible across runs/num_cpus (Ray's native parallel Sum
-    # accumulates partials in nondeterministic block order, which at
-    # 1e8-scale sums wobbles past 4-decimal rounding). The residual
-    # δ vs DuckDB is ≈1e-6 absolute, so an in-query ROUND(.., 2) on
-    # BOTH sides pins the hash.
-    agg = AggregateTransform(
-        ["l_returnflag", "l_linestatus"],
-        [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
-         ("l_quantity", "average"), ("l_quantity", "count")],
-        deterministic=True,
-    ).apply(ds)
 
-    def round_sums(t: pa.Table) -> pa.Table:
-        for name in ("l_quantity_sum", "l_extendedprice_sum", "disc_price_sum"):
-            idx = t.column_names.index(name)
-            t = t.set_column(idx, name, pc.round(t.column(idx), 2))
+    def scaled(t: pa.Table) -> pa.Table:
+        def add(name, arr):
+            return pc.cast(pc.round(arr), pa.int64())
+        q = add("q", pc.multiply(t["l_quantity"], 100.0))
+        bp = add("bp", pc.multiply(t["l_extendedprice"], 100.0))
+        dp = add("dp", pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(1.0, t["l_discount"])), 10000.0))
+        for name, arr in (("q_c", q), ("bp_c", bp), ("dp_c", dp)):
+            t = t.append_column(
+                name, arr.combine_chunks()
+                if isinstance(arr, pa.ChunkedArray) else arr)
         return t
 
-    agg = agg.map_batches(round_sums, batch_format="pyarrow")
+    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    agg = AggregateTransform(
+        ["l_returnflag", "l_linestatus"],
+        [("q_c", "sum"), ("bp_c", "sum"), ("dp_c", "sum"),
+         ("l_quantity", "average"), ("l_quantity", "count")],
+    ).apply(ds)
+
+    def unscale(t: pa.Table) -> pa.Table:
+        for name, out, div in (("q_c_sum", "sum_qty", 100.0),
+                               ("bp_c_sum", "sum_base_price", 100.0),
+                               ("dp_c_sum", "sum_disc_price", 10000.0)):
+            v = pc.divide(pc.cast(t[name], pa.float64()), div)
+            t = t.append_column(
+                out, v.combine_chunks()
+                if isinstance(v, pa.ChunkedArray) else v)
+            t = t.drop_columns([name])
+        return t
+
+    agg = agg.map_batches(unscale, batch_format="pyarrow")
     return RenameColumnsTransform({
-        "l_quantity_sum": "sum_qty",
-        "l_extendedprice_sum": "sum_base_price",
-        "disc_price_sum": "sum_disc_price",
         "l_quantity_average": "avg_qty",
         "l_quantity_count": "count_order",
     }).apply(agg)
