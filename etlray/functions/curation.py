@@ -301,12 +301,21 @@ def top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # TF-IDF
 # ---------------------------------------------------------------------------
-def doc_frequencies(ds, text_col: str = "text", num_buckets: int = 32):
+def doc_frequencies(ds, text_col: str = "text", num_buckets: int = 32,
+                    with_doc_count: bool = False):
     """(term, df) over the corpus — df = number of DOCS containing the
     term. Per batch: tokenize (Arrow kernels), dedupe (doc, term) pairs,
     pre-count per term — the exchange carries unique terms per block,
     never raw token occurrences. One hash exchange on the term sums the
-    partials."""
+    partials.
+
+    ``with_doc_count=True`` adds an ``nd`` column that piggybacks each
+    batch's DOC count on its first term row (0 elsewhere): plain sums
+    are associative, so ``sum(nd)`` over the final table is the corpus
+    doc count — callers that need N (TF-IDF) get it from the SAME text
+    pass instead of a second full scan. Every doc yields ≥1 token (null
+    and empty text tokenize to [""]), so each non-empty batch has a
+    carrier row."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -315,18 +324,32 @@ def doc_frequencies(ds, text_col: str = "text", num_buckets: int = 32):
     def partial(t: pa.Table) -> pa.Table:
         terms, doc_of = gram_array(norm_tokens_list(t[text_col]), 1)
         if len(doc_of) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64())})
-        u = pd.DataFrame({"d": doc_of,
-                          "t": terms.to_numpy(zero_copy_only=False)}) \
-            .drop_duplicates()
-        vc = u["t"].value_counts(sort=False)
-        return pa.table({"term": pa.array(vc.index.to_numpy(), pa.string()),
-                         "df": pa.array(vc.to_numpy(), pa.int64())})
+            cols = {"term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64())}
+            if with_doc_count:
+                cols["nd"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        # distinct (doc, term) then count per term — Arrow C++ hash
+        # group-bys end to end (a pandas drop_duplicates over the
+        # object-dtype token stream was ~4× the whole pipeline's cost)
+        u = pa.table({"d": pa.array(doc_of), "t": terms}) \
+            .group_by(["d", "t"]).aggregate([])
+        vc = pc.value_counts(u["t"].combine_chunks())
+        cols = {"term": vc.field("values"),
+                "df": pc.cast(vc.field("counts"), pa.int64())}
+        if with_doc_count:
+            nd = np.zeros(len(vc), dtype=np.int64)
+            nd[0] = t.num_rows
+            cols["nd"] = pa.array(nd)
+        return pa.table(cols)
 
     def dsum(t: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
-        return pa.table({"term": g["term"], "df": g["df_sum"]})
+        aggs = [("df", "sum")] + ([("nd", "sum")] if with_doc_count else [])
+        g = pa.TableGroupBy(t, "term").aggregate(aggs)
+        cols = {"term": g["term"], "df": g["df_sum"]}
+        if with_doc_count:
+            cols["nd"] = g["nd_sum"]
+        return pa.table(cols)
 
     pre = ds.map_batches(partial, batch_format="pyarrow")
     return hash_exchange(pre, ["term"], num_buckets=num_buckets,
@@ -365,9 +388,13 @@ class _TfidfStage:
         terms, doc_of = gram_array(norm_tokens_list(t[self.text_col]), 1)
         if len(doc_of) == 0:
             return empty
-        tf = pd.DataFrame({"d": doc_of,
-                           "t": terms.to_numpy(zero_copy_only=False)}) \
-            .groupby(["d", "t"], sort=False).size().reset_index(name="tf")
+        # tf per (doc, term) via Arrow C++ hash group-by — the token
+        # stream never touches object-dtype pandas (see partial())
+        g = pa.table({"d": pa.array(doc_of), "t": terms}) \
+            .group_by(["d", "t"]).aggregate([([], "count_all")])
+        tf = pd.DataFrame({"d": g["d"].to_numpy(),
+                           "t": g["t"].to_numpy(zero_copy_only=False),
+                           "tf": g["count_all"].to_numpy()})
         pos = self.index.get_indexer_for(tf["t"].to_numpy())
         # every term of every doc is in the corpus df table by
         # construction; a miss would mean the two tokenizer passes
@@ -406,14 +433,15 @@ def tfidf_top_terms(ds, k: int = 5, id_col: str = "doc_id",
     the same fallback documented on decontamination. Pass 2 is an
     actor pool: the df index builds once per actor, each batch is
     vectorized pandas/numpy. No driver-side row loop anywhere."""
-    n_docs = ds.count()
-    df_tbl = doc_frequencies(ds, text_col=text_col)
+    # N rides the df pass (nd piggyback column) — no second scan of text
+    df_tbl = doc_frequencies(ds, text_col=text_col, with_doc_count=True)
     import pandas as pd
 
     parts = [b.to_pandas() for b in df_tbl.iter_batches(batch_format="pyarrow")]
     vocab = pd.concat(parts, ignore_index=True) if parts else \
-        pd.DataFrame({"term": [], "df": []})
-    df_ref = ray.put(vocab)
+        pd.DataFrame({"term": [], "df": [], "nd": []})
+    n_docs = int(vocab["nd"].sum()) if len(vocab) else 0
+    df_ref = ray.put(vocab.drop(columns=["nd"]))
     return ds.map_batches(
         _TfidfStage, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
