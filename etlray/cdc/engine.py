@@ -61,24 +61,34 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
         need = list(dict.fromkeys(
             list(columns) + list(keys) + [lsn_col, op_col]))
 
+    _pred_cols_cache: dict[tuple, list] = {}
+
     def predicate_cols(schema: pa.Schema) -> list:
         """Columns the scan predicate references, discovered by binding it
         against empty tables of progressively wider schemas (pyarrow has no
         public field-extraction API for Expression). The pruned read must
         include these even when they are outside the caller's `columns`
         projection, or the post-merge filter raises ArrowInvalid. Falls back
-        to every column if the probe can't attribute a failure."""
+        to every column if the probe can't attribute a failure. Memoized
+        per schema-name-set: a delta stack re-reads the probe result for
+        every file instead of re-running the exception-driven loop."""
         import re
 
         import pyarrow.dataset as pads
 
+        key = tuple(schema.names)
+        if key in _pred_cols_cache:
+            return _pred_cols_cache[key]
+
         got: list[str] = []
+        out = None
         for _ in range(len(schema.names) + 1):
             sub = pa.schema([schema.field(n) for n in got])
             try:
                 pads.InMemoryDataset(sub.empty_table()).to_table(
                     filter=predicate)
-                return got
+                out = got
+                break
             except Exception as ex:  # noqa: BLE001 — probe, widen, retry
                 m = re.search(r"No match for FieldRef\.Name\(([^)]*)\)",
                               str(ex))
@@ -86,8 +96,12 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
                 if name in schema.names and name not in got:
                     got.append(name)
                 else:
-                    return list(schema.names)
-        return list(schema.names)
+                    out = list(schema.names)
+                    break
+        if out is None:
+            out = list(schema.names)
+        _pred_cols_cache[key] = out
+        return out
 
     def read(path: str, filter_bucket: bool) -> pa.Table:
         f = pq.ParquetFile(path)

@@ -262,13 +262,21 @@ def centroid_per_group(ds, group_col: str, vec_col: str = "embedding",
             return pa.table({group_col: pa.array([], t.schema.field(group_col).type),
                              "__sum": pa.array([], pa.binary()),
                              "__n": pa.array([], pa.int64())})
+        gtype = t.schema.field(group_col).type
         mat = vectors_to_numpy(t[vec_col]).astype(np.float64)
         keys = t[group_col].to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(keys)
+        # use_na_sentinel=False: a NULL group is a REAL group (SQL
+        # GROUP BY semantics) — the default -1 sentinel would scatter
+        # its rows into the last group's sum and crash bincount
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         acc = np.zeros((len(uniq), mat.shape[1]))
         np.add.at(acc, codes, mat)
         cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        return pa.table({group_col: pa.array(uniq),
+        # type=gtype: inference from the factorized uniques would emit
+        # a different schema than the empty branch for e.g. dictionary
+        # or large_string columns, breaking concat in the exchange
+        return pa.table({group_col: pa.array(uniq, type=gtype,
+                                             from_pandas=True),
                          "__sum": pa.array([r.tobytes() for r in acc],
                                            pa.binary()),
                          "__n": pa.array(cnt)})
@@ -289,7 +297,7 @@ def centroid_per_group(ds, group_col: str, vec_col: str = "embedding",
         sums = np.stack([np.frombuffer(b, dtype=np.float64)
                          for b in t["__sum"].to_pylist()])
         ns = t["__n"].to_numpy()
-        codes, uniq = pd.factorize(keys)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         # deterministic partial order: sort partials by (group, then
         # original order) so the float sum is partition-stable
         order = np.argsort(codes, kind="stable")
@@ -300,7 +308,8 @@ def centroid_per_group(ds, group_col: str, vec_col: str = "embedding",
         cent = acc / cnt[:, None]
         g, d = cent.shape
         return pa.table({
-            group_col: pa.array(np.repeat(uniq, d), type=gtype),
+            group_col: pa.array(np.repeat(uniq, d), type=gtype,
+                                from_pandas=True),
             "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), g)),
             "centroid_v": pa.array(cent.reshape(-1)),
             "n_vecs": pa.array(np.repeat(cnt, d))})

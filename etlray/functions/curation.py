@@ -382,7 +382,10 @@ class _TfidfStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        empty = pa.table({self.id_col: pa.array([], pa.int64()),
+        # preserve the caller's id type (string uuids, int32, …) —
+        # a hardcoded int64 would break the id_col parameter's promise
+        idt = t.schema.field(self.id_col).type
+        empty = pa.table({self.id_col: pa.array([], idt),
                           "term": pa.array([], pa.string()),
                           "tfidf": pa.array([], pa.float64())})
         terms, doc_of = gram_array(norm_tokens_list(t[self.text_col]), 1)
@@ -408,9 +411,10 @@ class _TfidfStage:
         top = tf.sort_values(["d", "tfidf", "t"],
                              ascending=[True, False, True], kind="stable") \
             .groupby("d", sort=False).head(self.k)
-        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        ids = t[self.id_col].combine_chunks() \
+            if isinstance(t[self.id_col], pa.ChunkedArray) else t[self.id_col]
         return pa.table({
-            self.id_col: pa.array(ids[top["d"].to_numpy()], pa.int64()),
+            self.id_col: ids.take(pa.array(top["d"].to_numpy())),
             "term": pa.array(top["t"].to_numpy(), pa.string()),
             "tfidf": pa.array(top["tfidf"].to_numpy(), pa.float64())})
 

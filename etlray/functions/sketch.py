@@ -460,16 +460,21 @@ def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
              else [f"q{int(round(q * 100))}" for q in qs])
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value_col]))
         gtype = t.schema.field(group_col).type
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], gtype),
                              "__v": pa.array([], pa.binary()),
                              "__w": pa.array([], pa.binary())})
         keys = t[group_col].to_numpy(zero_copy_only=False)
-        vals = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+        # NULL VALUES become NaN here and add_array drops them (SQL
+        # quantile_disc ignores NULLs) — but the GROUP still exists, so
+        # no is_valid pre-filter: a group whose values are all NULL
+        # must emit NULL quantiles, not vanish. NULL GROUPS are real
+        # groups (use_na_sentinel=False), matching SQL GROUP BY.
+        vals = np.asarray(pc.cast(t[value_col], pa.float64())
+                          .to_numpy(zero_copy_only=False),
                           dtype=np.float64)
-        codes, uniq = pd.factorize(keys)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         vb, wb = [], []
         order = np.argsort(codes, kind="stable")
         bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
@@ -479,7 +484,8 @@ def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
             b1, b2 = s.to_bytes()
             vb.append(b1)
             wb.append(b2)
-        return pa.table({group_col: pa.array(uniq, type=gtype),
+        return pa.table({group_col: pa.array(uniq, type=gtype,
+                                             from_pandas=True),
                          "__v": pa.array(vb, pa.binary()),
                          "__w": pa.array(wb, pa.binary())})
 
@@ -495,16 +501,17 @@ def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
             cols.update({n: pa.array([], pa.float64()) for n in names})
             return pa.table(cols)
         keys = t[group_col].to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(keys)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         parts: list[list] = [[] for _ in range(len(uniq))]
         for gi, vb, wb in zip(codes, t["__v"].to_pylist(),
                               t["__w"].to_pylist()):
             parts[gi].append(QuantileSketch.from_bytes(vb, wb, capacity))
         merged = [QuantileSketch(capacity).merge_many(p) for p in parts]
-        cols = {group_col: pa.array(uniq, type=gtype)}
+        cols = {group_col: pa.array(uniq, type=gtype, from_pandas=True)}
         for q, n in zip(qs, names):
+            # empty sketch (all-NULL group) → NaN → NULL via from_pandas
             cols[n] = pa.array([s.quantile(q) for s in merged],
-                               pa.float64())
+                               pa.float64(), from_pandas=True)
         return pa.table(cols)
 
     return hash_exchange(pre, [group_col], num_buckets, reduce_bucket,

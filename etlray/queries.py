@@ -143,11 +143,11 @@ def pricing_summary(sf_dir: str):
              filter=(pc.field("l_shipdate") <= cutoff)).read()
 
     def scaled(t: pa.Table) -> pa.Table:
-        def add(name, arr):
+        def scale_int(arr):
             return pc.cast(pc.round(arr), pa.int64())
-        q = add("q", pc.multiply(t["l_quantity"], 100.0))
-        bp = add("bp", pc.multiply(t["l_extendedprice"], 100.0))
-        dp = add("dp", pc.multiply(
+        q = scale_int(pc.multiply(t["l_quantity"], 100.0))
+        bp = scale_int(pc.multiply(t["l_extendedprice"], 100.0))
+        dp = scale_int(pc.multiply(
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(1.0, t["l_discount"])), 10000.0))
         for name, arr in (("q_c", q), ("bp_c", bp), ("dp_c", dp)):

@@ -228,3 +228,47 @@ def test_approx_quantiles_per_group_exact_and_capped(ray_session):
         # merge_many folds all partials in ONE compress round: error
         # stays ~half a resample cell per round (2 rounds ≈ n/capacity)
         assert abs(rank - 0.5 * len(sv)) < 3 * len(sv) / 128
+
+
+def test_centroid_and_group_quantiles_null_groups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.functions.ann import centroid_per_group
+    from etlray.functions.sketch import approx_quantiles_per_group
+
+    t = pa.table({"g": ["a", None, "a", None],
+                  "embedding": [[1.0, 0.0], [4.0, 4.0], [3.0, 2.0],
+                                [6.0, 2.0]],
+                  "x": [1.0, 10.0, 3.0, None]})
+    ds = ray.data.from_arrow(t).repartition(2)
+
+    # SQL GROUP BY keeps NULL as a real group — so do we
+    cent = centroid_per_group(ds, "g").take_all()
+    got = {(r["g"], r["pos"]): (r["centroid_v"], r["n_vecs"]) for r in cent}
+    assert got[("a", 1)] == (2.0, 2) and got[("a", 2)] == (1.0, 2)
+    assert got[(None, 1)] == (5.0, 2) and got[(None, 2)] == (3.0, 2)
+
+    q = approx_quantiles_per_group(ray.data.from_arrow(t), "g", "x",
+                                   qs=[0.5]).take_all()
+    gq = {r["g"]: r["q50"] for r in q}
+    assert gq["a"] == 1.0      # quantile_disc(0.5) of [1, 3] → rank 1
+    assert gq[None] == 10.0    # NULL value dropped, group survives
+
+    # group whose values are ALL null → NULL quantile, not a vanished row
+    t2 = pa.table({"g": ["a", "b"], "x": [1.0, None]})
+    q2 = approx_quantiles_per_group(ray.data.from_arrow(t2), "g", "x",
+                                    qs=[0.5]).take_all()
+    gq2 = {r["g"]: r["q50"] for r in q2}
+    assert gq2 == {"a": 1.0, "b": None}
+
+
+def test_tfidf_string_doc_ids(ray_session):
+    from etlray.functions.curation import tfidf_top_terms
+    from etlray.sources import MemorySource
+
+    rows = [{"doc_id": "u-1", "text": "apple banana"},
+            {"doc_id": "u-2", "text": "banana cherry"}]
+    out = tfidf_top_terms(MemorySource(rows).read(), k=1).take_all()
+    assert sorted(r["doc_id"] for r in out) == ["u-1", "u-2"]
