@@ -611,18 +611,21 @@ class WindowLagTransform(Transform):
     Emits ``<value>_lag`` (previous row's value, NULL at each key's
     first row), ``rn`` (1-based row number per key) and, when
     ``ts_col`` is a timestamp, ``gap_us`` (microseconds since the
-    previous row, NULL at first rows)."""
+    previous row, NULL at first rows). ``with_lead=True`` adds
+    ``<value>_lead`` (next row's value, NULL at each key's last row —
+    SQL ``lead(v) OVER w``)."""
 
     def __init__(self, ts_col: str, by: str | Sequence[str],
                  value_col: str, order_tiebreak: str | None = None,
                  gap_col: str | None = "gap_us",
-                 rank_col: str = "rn") -> None:
+                 rank_col: str = "rn", with_lead: bool = False) -> None:
         self.ts_col = ts_col
         self.by = [by] if isinstance(by, str) else list(by)
         self.value_col = value_col
         self.order_tiebreak = order_tiebreak
         self.gap_col = gap_col
         self.rank_col = rank_col
+        self.with_lead = with_lead
 
     def apply(self, ds):
         import numpy as np
@@ -634,7 +637,8 @@ class WindowLagTransform(Transform):
         ts_col, by, vc = self.ts_col, self.by, self.value_col
         tie, gap_col, rank_col = (self.order_tiebreak, self.gap_col,
                                   self.rank_col)
-        lag_col = f"{vc}_lag"
+        lag_col, with_lead = f"{vc}_lag", self.with_lead
+        lead_col = f"{vc}_lead"
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
             if BUCKET_COL in t.column_names:
@@ -643,6 +647,8 @@ class WindowLagTransform(Transform):
             is_ts = pa.types.is_timestamp(t.schema.field(ts_col).type)
             if t.num_rows == 0:
                 t = t.append_column(lag_col, pa.array([], type=vtype))
+                if with_lead:
+                    t = t.append_column(lead_col, pa.array([], type=vtype))
                 if gap_col and is_ts:
                     t = t.append_column(gap_col, pa.array([], pa.int64()))
                 return t.append_column(rank_col, pa.array([], pa.int64()))
@@ -669,6 +675,20 @@ class WindowLagTransform(Transform):
             lag_arr = pc.if_else(pa.array(first), pa.scalar(None, vtype),
                                  lag_arr)
             t = t.append_column(lag_col, lag_arr)
+            if with_lead:
+                # lead(value): shift the other way, NULL where the NEXT
+                # row starts a new key (this row is its key's last)
+                last = np.empty(n, dtype=bool)
+                last[:-1] = first[1:]
+                last[-1] = True
+                nxt = t[vc].combine_chunks().slice(1, n - 1) \
+                    if n > 1 else pa.array([], type=vtype)
+                lead_arr = pa.concat_arrays(
+                    [nxt, pa.array([None], type=vtype)]) \
+                    if n > 1 else pa.array([None], type=vtype)
+                lead_arr = pc.if_else(pa.array(last),
+                                      pa.scalar(None, vtype), lead_arr)
+                t = t.append_column(lead_col, lead_arr)
             if gap_col and is_ts:
                 us = t[ts_col].combine_chunks().cast(pa.int64()) \
                     .to_numpy(zero_copy_only=False)

@@ -212,3 +212,23 @@ def test_window_lag_rank_and_gap(ray_session):
                    2: (10.0, 2_000_000, 2),
                    3: (None, 0, 3),
                    4: (None, None, 1)}
+
+
+def test_window_lead(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.stages import WindowLagTransform
+
+    def ts(s):
+        return dt.datetime(2020, 1, 1, 0, 0, s)
+
+    t = pa.table({"id": [1, 2, 3], "u": ["a", "a", "b"],
+                  "ts": [ts(1), ts(2), ts(3)], "v": [10.0, 20.0, 5.0]})
+    out = WindowLagTransform("ts", "u", "v", order_tiebreak="id",
+                             with_lead=True).apply(
+        ray.data.from_arrow(t)).take_all()
+    got = {r["id"]: (r["v_lag"], r["v_lead"]) for r in out}
+    assert got == {1: (None, 20.0), 2: (10.0, None), 3: (None, None)}
