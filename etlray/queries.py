@@ -1517,7 +1517,11 @@ WITH RECURSIVE d AS (
   SELECT ia AS a, ib AS b
   FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
   WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
-), edges AS (
+), edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: edges is referenced inside the
+  -- recursive member, and without it DuckDB re-executes the whole
+  -- quadratic shingle self-join at EVERY recursion step (>25 min at
+  -- sf0.1 vs ~20 s materialized; identical results)
   SELECT a, b FROM p UNION SELECT b, a FROM p
 ), reach(node, r) AS (
   SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
@@ -1562,7 +1566,11 @@ WITH RECURSIVE d AS (
   SELECT ia AS a, ib AS b
   FROM inter JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
   WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
-), edges AS (
+), edges AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: edges is referenced inside the
+  -- recursive member, and without it DuckDB re-executes the whole
+  -- quadratic shingle self-join at EVERY recursion step (>25 min at
+  -- sf0.1 vs ~20 s materialized; identical results)
   SELECT a, b FROM p UNION SELECT b, a FROM p
 ), reach(node, r) AS (
   SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
