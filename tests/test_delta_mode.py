@@ -192,3 +192,21 @@ def test_vacuum_keeps_referenced_delta_files(fixture_dir, tmp_path, ray_session)
     before = _state(eng)
     eng.vacuum(keep_last=1)
     assert _state(eng) == before  # referenced base + delta files survive
+
+
+def test_rebalance_folds_delta_stacks(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = _boot(tmp_path, "rebal", max_delta_depth=None)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        eng.apply_log(p, epoch_id=i, mode="delta")
+    assert eng.manifest.snapshot_deltas(), "delta stacks expected"
+    before = _state(eng)
+
+    r = eng.rebalance(16)
+    assert r["committed"] and eng.num_buckets == 16
+    # the rebalanced epoch reads THROUGH the stacks (merge-on-read)
+    # and commits plain base files — no deltas survive the rewrite
+    assert eng.manifest.snapshot_deltas() == {}
+    assert _state(eng) == before
