@@ -210,3 +210,22 @@ def test_rebalance_folds_delta_stacks(fixture_dir, tmp_path, ray_session):
     # and commits plain base files — no deltas survive the rewrite
     assert eng.manifest.snapshot_deltas() == {}
     assert _state(eng) == before
+
+
+def test_compact_preserves_delta_stacks(fixture_dir, tmp_path, ray_session):
+    import ray.data
+
+    eng = _boot(tmp_path, "cmpd", max_delta_depth=None)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        eng.apply_log(p, epoch_id=i, mode="delta")
+    before = _state(eng)
+    stacks = eng.manifest.snapshot_deltas()
+    assert stacks
+
+    r = eng.compact(group_size=4)
+    assert r["committed"]
+    # compaction merges BASE files only; the stacks carry through and
+    # merge-on-read still applies them over the new group files
+    assert eng.manifest.snapshot_deltas().keys() == stacks.keys()
+    assert _state(eng) == before
