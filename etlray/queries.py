@@ -924,6 +924,37 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "rollup_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_sum,
+           count(*) AS l_quantity_count
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_flags(sf_dir: str):
+    # quantity scaled to exact integer hundredths (see pricing_summary)
+    # so subtotal sums are associative at every rollup level
+    from etlray.stages import RollupTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"]).read()
+
+    def scaled(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        idx = t.column_names.index("l_quantity")
+        return t.set_column(
+            idx, "l_quantity",
+            q.combine_chunks() if isinstance(q, pa.ChunkedArray) else q)
+
+    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    return RollupTransform(
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_quantity", "count")]).apply(ds)
+
+
+@register(
     "heavy_hitters_event_type",
     """
     SELECT event_type AS value, count(*) AS cnt FROM events

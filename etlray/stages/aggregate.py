@@ -338,3 +338,85 @@ class QuantilePerGroupTransform(Transform):
             return pa.table(cols)
 
         return hash_exchange(pre, gb, 8, reduce_bucket, bucket_col=None)
+
+
+class RollupTransform(Transform):
+    """SQL ``GROUP BY ROLLUP (c1, c2, …)``: the finest-level aggregate
+    plus every prefix subtotal up to the grand total, with the rolled-
+    away key columns NULL (exactly DuckDB's row shape, so the SQL
+    oracle compares directly).
+
+    Scale shape: the RAW data is scanned ONCE — the finest aggregate.
+    Every coarser level re-aggregates the FINEST RESULT (|distinct
+    key combos| rows, ≪ input by definition of an aggregate), so
+    subtotals cost one tiny exchange each instead of a full pass per
+    level. Only decomposable aggregations are accepted (sum, count,
+    min, max — a subtotal is then sum-of-sums / sum-of-counts /
+    min-of-mins / max-of-maxes over the finest partials); avg is the
+    caller's ``sum/count`` division.
+    """
+
+    _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def __init__(self, group_by: Sequence[str],
+                 aggregations: Sequence[tuple[str, str]]) -> None:
+        if not group_by:
+            raise TransformError("rollup needs at least one group column")
+        bad = [f for _, f in aggregations if f not in self._REAGG]
+        if bad:
+            raise TransformError(
+                f"rollup supports decomposable aggs {sorted(self._REAGG)}, "
+                f"got {bad} (derive avg as sum/count)")
+        self.group_by = list(group_by)
+        self.aggregations = [(c, f) for c, f in aggregations]
+
+    def apply(self, ds):
+        from etlray.stages.common import UnionTransform
+
+        gb, aggs = self.group_by, self.aggregations
+        out_names = [f"{c}_{f}" for c, f in aggs]
+        # materialize: the finest aggregate is small (it IS an
+        # aggregate) and every coarser level re-consumes it — without
+        # this each level would re-execute the full raw-data scan
+        finest = AggregateTransform(gb, aggs).apply(ds).materialize()
+
+        # key column types (for typed NULLs on subtotal rows) and
+        # aggregate column types (Ray's Sum re-aggregation returns
+        # float64 even for int64 inputs — cast folded columns back so
+        # the union doesn't promote every level to float)
+        schema = finest.schema()
+        ktypes = {n: t for n, t in zip(schema.names, schema.types)}
+        atypes = {n: ktypes[n] for n in out_names}
+
+        levels = [finest]
+        for k in range(len(gb) - 1, -1, -1):
+            keep = gb[:k]
+            # re-aggregate the finest result: {col}_{func} columns fold
+            # with the level-up function (count folds by SUM)
+            re_aggs = [(n, self._REAGG[f])
+                       for n, (_, f) in zip(out_names, aggs)]
+            lvl = AggregateTransform(keep, re_aggs).apply(finest) if keep \
+                else GlobalAggregateTransform(re_aggs).apply(finest)
+
+            def finish(t: pa.Table, _keep=tuple(keep)) -> pa.Table:
+                # folded names come back as {name}_{fold}: restore the
+                # original {col}_{func} names, add NULL rolled-away keys
+                for n, (_, f) in zip(out_names, aggs):
+                    folded = f"{n}_{self._REAGG[f]}"
+                    if folded in t.column_names:
+                        idx = t.column_names.index(folded)
+                        col = pc.cast(t.column(idx), atypes[n])
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        t = t.set_column(idx, n, col)
+                for c in gb:
+                    if c not in _keep:
+                        t = t.append_column(
+                            c, pa.nulls(t.num_rows, type=ktypes[c]))
+                return t.select(gb + out_names)
+
+            levels.append(lvl.map_batches(finish, batch_format="pyarrow"))
+        out = levels[0]
+        for extra in levels[1:]:
+            out = UnionTransform(extra).apply(out)
+        return out

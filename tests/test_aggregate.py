@@ -127,3 +127,30 @@ def test_quantile_per_group_matches_disc_convention(ray_session):
     assert got["a"] == (1.0, 2.0, 4.0)
     # n=5 (null dropped): idx 1 -> 20; idx 2 -> 30; idx 4 -> 50
     assert got["b"] == (20.0, 30.0, 50.0)
+
+
+def test_rollup_levels_and_nulls(ray_session):
+    from etlray.sources import MemorySource
+    from etlray.stages import RollupTransform
+
+    rows = [{"a": "x", "b": "p", "v": 1},
+            {"a": "x", "b": "q", "v": 2},
+            {"a": "y", "b": "p", "v": 4}]
+    out = RollupTransform(["a", "b"], [("v", "sum"), ("v", "count")]) \
+        .apply(MemorySource(rows).read()).take_all()
+    got = {(r["a"], r["b"]): (r["v_sum"], r["v_count"]) for r in out}
+    assert got == {
+        ("x", "p"): (1, 1), ("x", "q"): (2, 1), ("y", "p"): (4, 1),
+        ("x", None): (3, 2), ("y", None): (4, 1),   # per-a subtotals
+        (None, None): (7, 3),                        # grand total
+    }
+
+
+def test_rollup_rejects_non_decomposable(ray_session):
+    import pytest as _pytest
+
+    from etlray.errors import TransformError
+    from etlray.stages import RollupTransform
+
+    with _pytest.raises(TransformError):
+        RollupTransform(["a"], [("v", "average")])
