@@ -955,6 +955,36 @@ def rollup_lineitem_flags(sf_dir: str):
 
 
 @register(
+    "cube_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_sum,
+           count(*) AS l_quantity_count
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(sf_dir: str):
+    from etlray.stages import RollupTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"]).read()
+
+    def scaled(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        idx = t.column_names.index("l_quantity")
+        return t.set_column(
+            idx, "l_quantity",
+            q.combine_chunks() if isinstance(q, pa.ChunkedArray) else q)
+
+    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    return RollupTransform(
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_quantity", "count")],
+        mode="cube").apply(ds)
+
+
+@register(
     "heavy_hitters_event_type",
     """
     SELECT event_type AS value, count(*) AS cnt FROM events

@@ -359,9 +359,12 @@ class RollupTransform(Transform):
     _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def __init__(self, group_by: Sequence[str],
-                 aggregations: Sequence[tuple[str, str]]) -> None:
+                 aggregations: Sequence[tuple[str, str]],
+                 mode: str = "rollup") -> None:
         if not group_by:
             raise TransformError("rollup needs at least one group column")
+        if mode not in ("rollup", "cube"):
+            raise TransformError("mode must be 'rollup' or 'cube'")
         bad = [f for _, f in aggregations if f not in self._REAGG]
         if bad:
             raise TransformError(
@@ -369,6 +372,21 @@ class RollupTransform(Transform):
                 f"got {bad} (derive avg as sum/count)")
         self.group_by = list(group_by)
         self.aggregations = [(c, f) for c, f in aggregations]
+        self.mode = mode
+
+    def _subtotal_key_sets(self) -> list[tuple[str, ...]]:
+        """ROLLUP: strict key prefixes, coarsest last. CUBE: every
+        proper subset of the key set (SQL ``GROUP BY CUBE``) — each
+        still derives from the same finest aggregate."""
+        gb = self.group_by
+        if self.mode == "rollup":
+            return [tuple(gb[:k]) for k in range(len(gb) - 1, -1, -1)]
+        from itertools import combinations
+
+        out: list[tuple[str, ...]] = []
+        for k in range(len(gb) - 1, -1, -1):
+            out.extend(combinations(gb, k))
+        return out
 
     def apply(self, ds):
         from etlray.stages.common import UnionTransform
@@ -389,8 +407,8 @@ class RollupTransform(Transform):
         atypes = {n: ktypes[n] for n in out_names}
 
         levels = [finest]
-        for k in range(len(gb) - 1, -1, -1):
-            keep = gb[:k]
+        for keep in self._subtotal_key_sets():
+            keep = list(keep)
             # re-aggregate the finest result: {col}_{func} columns fold
             # with the level-up function (count folds by SUM)
             re_aggs = [(n, self._REAGG[f])

@@ -154,3 +154,21 @@ def test_rollup_rejects_non_decomposable(ray_session):
 
     with _pytest.raises(TransformError):
         RollupTransform(["a"], [("v", "average")])
+
+
+def test_cube_all_subsets(ray_session):
+    from etlray.sources import MemorySource
+    from etlray.stages import RollupTransform
+
+    rows = [{"a": "x", "b": "p", "v": 1},
+            {"a": "x", "b": "q", "v": 2},
+            {"a": "y", "b": "p", "v": 4}]
+    out = RollupTransform(["a", "b"], [("v", "sum")], mode="cube") \
+        .apply(MemorySource(rows).read()).take_all()
+    got = {(r["a"], r["b"]): r["v_sum"] for r in out}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,
+        ("x", None): 3, ("y", None): 4,      # per-a
+        (None, "p"): 5, (None, "q"): 2,      # per-b (cube-only level)
+        (None, None): 7,
+    }
