@@ -158,3 +158,53 @@ def pack_token_shards(ds, token_col: str, budget: int,
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
     out = [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    salt: str = ""):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row gets key
+    ``u^(1/w)`` with ``u = md5(salt‖id) / 2^64`` uniform in (0,1) and
+    ``w`` the row's weight; the k largest keys are the sample —
+    inclusion probability ∝ weight, and the pure-function key makes
+    the draw stable across retries, partitionings and engines (SQL
+    recomputes the identical key via ``pow(md5_number_lower(..), 1/w)``
+    — the importance-sampling primitive behind data-mixture weighting).
+
+    Scale shape: keys are per-row arithmetic; the top-k runs through
+    ``TopKPerGroupTransform`` on a constant group, whose per-block
+    partial keeps ≤ k rows per block — the exchange never carries more
+    than k·blocks rows. Rows with weight ≤ 0 or NULL are excluded
+    (SQL: ``WHERE w > 0``)."""
+    from etlray.stages import TopKPerGroupTransform
+
+    key_col, grp = "__wskey", "__wsg"
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = np.asarray(pc.cast(t[weight_col], pa.float64())
+                       .to_numpy(zero_copy_only=False), dtype=np.float64)
+        pre = salt.encode("utf-8")
+        u = np.empty(len(ids), dtype=np.float64)
+        for i, v in enumerate(ids):
+            d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
+            u[i] = int.from_bytes(d[8:16], "little")
+        u /= 18446744073709551616.0     # / 2^64 → uniform (0,1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            key = np.power(u, 1.0 / w)
+        keep = np.isfinite(key) & (w > 0)
+        t = t.filter(pa.array(keep))
+        t = t.append_column(key_col, pa.array(key[keep]))
+        return t.append_column(
+            grp, pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    top = TopKPerGroupTransform(grp, [(key_col, True), (id_col, False)],
+                                k=k).apply(keyed_ds)
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in (key_col, grp)
+                               if c in t.column_names])
+
+    return top.map_batches(drop, batch_format="pyarrow")

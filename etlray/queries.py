@@ -924,6 +924,57 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars, row_number() OVER (
+        ORDER BY pow(md5_number_lower('ws1' || doc_id::VARCHAR)::DOUBLE
+                     / 18446744073709551616.0, 1.0 / n_chars) DESC,
+                 doc_id) AS rn
+      FROM documents WHERE n_chars > 0) WHERE rn <= 50
+    """,
+)
+def weighted_sample_docs(sf_dir: str):
+    # Efraimidis–Spirakis: inclusion probability ∝ n_chars — the
+    # importance-sampling primitive behind data-mixture weighting
+    from etlray.functions.sampling import weighted_sample
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"]).read()
+    return weighted_sample(ds, "doc_id", "n_chars", k=50, salt="ws1")
+
+
+@register(
+    "explode_text_records",
+    r"""
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\stable\s')) AS record
+    FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+    """,
+)
+def explode_text_records(sf_dir: str):
+    # delimiter-regex record splitting (log lines / multi-record blobs
+    # / sentence segmentation — the delimiter here is one that actually
+    # occurs in the synthetic corpus); RE2 on both engines → identical
+    # split points byte-for-byte, flat_map via ExplodeTransform
+    from etlray.stages import ExplodeTransform
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=(pc.field("doc_id") < 50) & pc.field("text").is_valid()
+             ).read()
+
+    def split(t: pa.Table) -> pa.Table:
+        s = pc.split_pattern_regex(
+            pc.cast(t["text"].combine_chunks(), pa.string()),
+            pattern=r"\stable\s")
+        return pa.table({"doc_id": t["doc_id"],
+                         "__recs": s if not isinstance(s, pa.ChunkedArray)
+                         else s.combine_chunks()})
+
+    ds = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return ExplodeTransform("__recs", out_col="record").apply(ds)
+
+
+@register(
     "rollup_lineitem_flags",
     """
     SELECT l_returnflag, l_linestatus,

@@ -70,3 +70,29 @@ def test_explode_with_ordinality(ray_session):
     rows = sorted((r["id"], r["ordinality"], r["x"]) for r in out)
     # empty and null lists vanish (unnest semantics)
     assert rows == [(1, 0, 10), (1, 1, 20), (4, 0, 30)]
+
+
+def test_weighted_sample_biased_and_deterministic(ray_session):
+    import numpy as np
+
+    from etlray.functions.sampling import weighted_sample
+    from etlray.sources import MemorySource
+
+    # 20 heavy docs (w=1000) vs 180 light (w=1): the sample should be
+    # dominated by heavy ids, and two runs must agree exactly
+    rows = [{"id": i, "w": 1000 if i < 20 else 1} for i in range(200)]
+    a = weighted_sample(MemorySource(rows).read(), "id", "w", k=20,
+                        salt="s").take_all()
+    b = weighted_sample(MemorySource(rows).read(), "id", "w", k=20,
+                        salt="s").take_all()
+    ids_a = sorted(r["id"] for r in a)
+    assert ids_a == sorted(r["id"] for r in b)
+    assert len(ids_a) == 20
+    heavy = sum(1 for i in ids_a if i < 20)
+    assert heavy >= 15  # inclusion probability ∝ weight
+
+    # zero/NULL weights are excluded
+    rows2 = [{"id": 1, "w": 0}, {"id": 2, "w": None}, {"id": 3, "w": 5}]
+    out = weighted_sample(MemorySource(rows2).read(), "id", "w",
+                          k=3).take_all()
+    assert [r["id"] for r in out] == [3]
