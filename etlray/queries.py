@@ -924,6 +924,26 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "trim_docs_above_p95",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE n_chars <= (SELECT quantile_disc(n_chars, 0.95) FROM documents)
+    """,
+)
+def trim_docs_above_p95(sf_dir: str):
+    # the sketch-driven outlier trim: one zero-shuffle quantile pass
+    # computes the cut (exact below sketch capacity — the oracle's
+    # regime; bounded-error at 100 TB), the scalar broadcasts into a
+    # parquet-pushdown filter on the second pass
+    from etlray.functions.sketch import approx_quantiles
+
+    stats = _pq(sf_dir, "documents", columns=["n_chars"]).read()
+    cut = approx_quantiles(stats, "n_chars", qs=[0.95])["q95"][0].as_py()
+    return _pq(sf_dir, "documents", columns=["doc_id", "n_chars"],
+               filter=(pc.field("n_chars") <= cut)).read()
+
+
+@register(
     "weighted_sample_docs",
     """
     SELECT doc_id, n_chars FROM (
