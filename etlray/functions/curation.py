@@ -486,3 +486,25 @@ def approx_top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
     top = m.top(k)
     return pa.table({"gram": pa.array([g for g, _ in top], pa.string()),
                      "cnt": pa.array([c for _, c in top], pa.int64())})
+
+
+def truncate_tokens(ds, max_tokens: int, text_col: str = "text",
+                    out_col: str = "text_trunc"):
+    """Token-budget truncation: keep each doc's first ``max_tokens``
+    normalized tokens (lower → whitespace-collapse → split — the same
+    normalization every other token operator here uses, so budgets
+    compose with token_count / pack_token_shards). All Arrow C kernels
+    (split → list_slice → binary_join), shuffle-free, output ∝ input.
+    NULL text normalizes to "" — pre-filter if SQL-NULL parity matters."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = norm_tokens_list(t[text_col])
+        joined = pc.binary_join(pc.list_slice(toks, 0, max_tokens), " ")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, joined)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -924,6 +924,25 @@ def moving_avg_user_value(sf_dir: str):
 
 
 @register(
+    "truncate_docs_tokens",
+    r"""
+    SELECT doc_id, array_to_string(
+      (string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' '))[1:32], ' ') AS text_trunc
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def truncate_docs_tokens(sf_dir: str):
+    from etlray.functions.curation import truncate_tokens
+    from etlray.stages import SelectColumnsTransform
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=pc.field("text").is_valid()).read()
+    out = truncate_tokens(ds, max_tokens=32)
+    return SelectColumnsTransform(["doc_id", "text_trunc"]).apply(out)
+
+
+@register(
     "trim_docs_above_p95",
     """
     SELECT doc_id, n_chars FROM documents
