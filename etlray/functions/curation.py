@@ -468,18 +468,14 @@ def approx_top_ngrams(ds, n: int = 5, k: int = 20, text_col: str = "text",
     exchange becomes the expensive step this sketch avoids. Ties at
     the k boundary break on the gram string, matching the exact
     operator."""
-    from etlray.functions.sketch import MisraGries, _mg_fold
+    from etlray.functions.sketch import (MisraGries, _mg_fold,
+                                         mg_summary_table)
 
     def part(t: pa.Table) -> pa.Table:
         grams, _doc = gram_array(norm_tokens_list(t[text_col]), n)
         s = MisraGries(capacity)
         s.add_array(grams.to_numpy(zero_copy_only=False))
-        vals = list(s.counts)
-        return pa.table({
-            "v": pa.array([[str(x) for x in vals]], pa.list_(pa.string())),
-            "c": pa.array([[s.counts[x] for x in vals]],
-                          pa.list_(pa.int64())),
-            "d": pa.array([s.decremented], pa.int64())})
+        return mg_summary_table(s)
 
     m = _mg_fold(ds.map_batches(part, batch_format="pyarrow",
                                 zero_copy_batch=True), capacity)

@@ -30,13 +30,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _md5_mod_10k(ids, salt: str) -> np.ndarray:
-    out = np.empty(len(ids), dtype=np.int64)
+def _md5_u64(ids, salt: str) -> np.ndarray:
+    """uint64 of md5(salt‖str(id)) — bytes [8:16] little-endian, the
+    EXACT value DuckDB's ``md5_number_lower`` computes. Every sampling
+    operator's SQL-parity contract routes through this ONE helper; do
+    not re-implement the byte layout elsewhere."""
+    out = np.empty(len(ids), dtype=np.uint64)
     pre = salt.encode("utf-8")
     for i, v in enumerate(ids):
         d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
-        out[i] = int.from_bytes(d[8:16], "little") % 10_000
+        out[i] = int.from_bytes(d[8:16], "little")
     return out
+
+
+def _md5_mod_10k(ids, salt: str) -> np.ndarray:
+    return (_md5_u64(ids, salt) % np.uint64(10_000)).astype(np.int64)
 
 
 def deterministic_sample(ds, id_col: str, rate: float, salt: str = "",
@@ -73,12 +81,7 @@ def sample_per_group(ds, group_by, id_col: str, k: int, salt: str = ""):
     h = "__sample_h"
 
     def add_h(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        pre = salt.encode("utf-8")
-        vals = np.empty(len(ids), dtype=np.uint64)
-        for i, v in enumerate(ids):
-            d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
-            vals[i] = int.from_bytes(d[8:16], "little")
+        vals = _md5_u64(t[id_col].to_pylist(), salt)
         return t.append_column(h, pa.array(vals.view(np.int64) ^ np.int64(-2**63),
                                            type=pa.int64()))
 
@@ -184,11 +187,7 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
         ids = t[id_col].to_numpy(zero_copy_only=False)
         w = np.asarray(pc.cast(t[weight_col], pa.float64())
                        .to_numpy(zero_copy_only=False), dtype=np.float64)
-        pre = salt.encode("utf-8")
-        u = np.empty(len(ids), dtype=np.float64)
-        for i, v in enumerate(ids):
-            d = hashlib.md5(pre + str(v).encode("utf-8")).digest()
-            u[i] = int.from_bytes(d[8:16], "little")
+        u = _md5_u64(ids, salt).astype(np.float64)
         u /= 18446744073709551616.0     # / 2^64 → uniform (0,1)
         with np.errstate(invalid="ignore", divide="ignore"):
             key = np.power(u, 1.0 / w)

@@ -273,13 +273,23 @@ def approx_quantiles(ds, col: str, qs, names=None,
         return pa.table({"v": pa.array([vb], pa.binary()),
                          "w": pa.array([wb], pa.binary())})
 
-    parts = []
+    # chunked fold: merge_many every `chunk` block sketches — driver
+    # memory stays ~chunk·capacity pairs instead of blocks·capacity,
+    # at the cost of one compress round per chunk (rank error grows
+    # with blocks/chunk instead of staying at 2 rounds — still ~64×
+    # tighter than per-block pairwise merging)
+    chunk = 64
+    merged = QuantileSketch(capacity)
+    parts: list[QuantileSketch] = []
     for b in ds.map_batches(sketch, batch_format="pyarrow",
                             zero_copy_batch=True).iter_batches(
             batch_format="pyarrow"):
         for vb, wb in zip(b["v"].to_pylist(), b["w"].to_pylist()):
             parts.append(QuantileSketch.from_bytes(vb, wb, capacity))
-    merged = QuantileSketch(capacity).merge_many(parts)
+            if len(parts) >= chunk:
+                merged.merge_many(parts)
+                parts = []
+    merged.merge_many(parts)
     return pa.table({n: pa.array([merged.quantile(q)], pa.float64())
                      for q, n in zip(qs, names)})
 
@@ -380,6 +390,19 @@ class MisraGries:
                       key=lambda uc: (-uc[1], uc[0]))[:k]
 
 
+def mg_summary_table(s: "MisraGries") -> pa.Table:
+    """ONE-row Arrow encoding of a block's MG summary (list<string>
+    values, list<int64> counts, int64 decremented) — the wire format
+    ``_mg_fold`` parses. Single definition: every map-side producer
+    (heavy_hitters, approx_top_ngrams) must build rows through this,
+    or a format change breaks a consumer silently."""
+    vals = list(s.counts)
+    return pa.table({
+        "v": pa.array([[str(x) for x in vals]], pa.list_(pa.string())),
+        "c": pa.array([[s.counts[x] for x in vals]], pa.list_(pa.int64())),
+        "d": pa.array([s.decremented], pa.int64())})
+
+
 def heavy_hitters(ds, col: str, k: int = 10,
                   capacity: int = 1024) -> pa.Table:
     """Approximate top-k most frequent values — one MisraGries summary
@@ -391,18 +414,12 @@ def heavy_hitters(ds, col: str, k: int = 10,
     Values are returned as strings (the summary stringifies keys so a
     block summary serializes as one Arrow list row)."""
     def part(t: pa.Table) -> pa.Table:
-        s = MisraGries(capacity)
-        s.add_array(t[col])
-        vals = list(s.counts)
         # ONE row per block summary (list-typed) — the consumer
         # re-batches rows across blocks, so flat (value, count) rows
         # from different blocks would interleave and lose identity
-        return pa.table({
-            "v": pa.array([[str(x) for x in vals]],
-                          pa.list_(pa.string())),
-            "c": pa.array([[s.counts[x] for x in vals]],
-                          pa.list_(pa.int64())),
-            "d": pa.array([s.decremented], pa.int64())})
+        s = MisraGries(capacity)
+        s.add_array(t[col])
+        return mg_summary_table(s)
 
     merged = _mg_fold(ds.map_batches(part, batch_format="pyarrow",
                                      zero_copy_batch=True), capacity)
@@ -411,30 +428,43 @@ def heavy_hitters(ds, col: str, k: int = 10,
                      "cnt": pa.array([c for _, c in top], pa.int64())})
 
 
-def _mg_fold(parts_ds, capacity: int) -> MisraGries:
-    """Vectorized driver fold of block MG summaries: ONE groupby-sum
-    over all entries plus a single compress — equivalent to (and with
-    the same error bound as) pairwise merging, but O(total entries) in
-    pandas C instead of Python dict loops, so vocabulary-scale
-    summaries (hundreds of thousands of entries per block) fold in
-    milliseconds."""
-    vs: list[np.ndarray] = []
-    cs: list[np.ndarray] = []
-    dec = 0
+def _mg_fold(parts_ds, capacity: int, chunk: int = 32) -> MisraGries:
+    """Vectorized CHUNKED driver fold of block MG summaries: every
+    ``chunk`` summaries are groupby-summed in one pandas C pass and
+    compressed once — the per-chunk single compress keeps the error
+    bound tight (≤ one decrement per chunk rather than one per block),
+    while driver memory stays bounded at ~chunk·capacity entries
+    instead of blocks·capacity (a 100 TB run has tens of thousands of
+    block summaries; holding them all would pin tens of GB)."""
+    m = MisraGries(capacity)
+    vs: list[np.ndarray] = [np.empty(0, dtype=object)]
+    cs: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
+
+    def collapse() -> None:
+        vals = list(m.counts)
+        vs.append(np.asarray(vals, dtype=object))
+        cs.append(np.asarray([m.counts[x] for x in vals], dtype=np.int64))
+        summed = pd.Series(np.concatenate(cs),
+                           index=np.concatenate(vs)).groupby(level=0).sum()
+        m.counts = dict(zip(summed.index,
+                            (int(x) for x in summed.to_numpy())))
+        m._compress()
+        vs.clear()
+        cs.clear()
+
+    pending = 0
     for b in parts_ds.iter_batches(batch_format="pyarrow"):
         for v, c, d in zip(b["v"].to_pylist(), b["c"].to_pylist(),
                            b["d"].to_pylist()):
             vs.append(np.asarray(v, dtype=object))
             cs.append(np.asarray(c, dtype=np.int64))
-            dec += int(d)
-    m = MisraGries(capacity)
-    if not vs:
-        return m
-    summed = pd.Series(np.concatenate(cs),
-                       index=np.concatenate(vs)).groupby(level=0).sum()
-    m.counts = dict(zip(summed.index, (int(x) for x in summed.to_numpy())))
-    m.decremented = dec
-    m._compress()
+            m.decremented += int(d)
+            pending += 1
+            if pending >= chunk:
+                collapse()
+                pending = 0
+    if pending:
+        collapse()
     return m
 
 

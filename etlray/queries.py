@@ -52,6 +52,33 @@ def _pq(sf_dir: str, table: str, columns=None, filter=None) -> ParquetSource:
     return ParquetSource(f"{sf_dir}/{table}.parquet", columns=columns, filter=filter)
 
 
+def _scale_int_cols(ds, factors: dict[str, float], rename: dict[str, str]
+                    | None = None):
+    """Replace decimal columns with exact int64 ``round(col·factor)``
+    (the scaled doubles sit within one ulp of integers, so the
+    pc.round / SQL round() mode difference can never matter) — int
+    sums are then associative: bit-deterministic at any block order
+    and exactly comparable to SQL's integer aggregates. One shared
+    helper so the scaling contract lives in ONE place (pricing /
+    rollup / cube all compare money columns this way)."""
+    rename = rename or {}
+
+    def scaled(t: pa.Table) -> pa.Table:
+        for col, factor in factors.items():
+            q = pc.cast(pc.round(pc.multiply(t[col], factor)), pa.int64())
+            if isinstance(q, pa.ChunkedArray):
+                q = q.combine_chunks()
+            out = rename.get(col, col)
+            if out == col:
+                t = t.set_column(t.column_names.index(col), col, q)
+            else:
+                t = t.append_column(out, q)
+        return t
+
+    return ds.map_batches(scaled, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # filter + projection + computed column (reference FilterTransform /
 # MapTransform / SelectColumns, src/transform/common.rs:10-60,428-453)
@@ -141,26 +168,26 @@ def pricing_summary(sf_dir: str):
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount", "l_shipdate"],
              filter=(pc.field("l_shipdate") <= cutoff)).read()
-
-    def scaled(t: pa.Table) -> pa.Table:
-        def scale_int(arr):
-            return pc.cast(pc.round(arr), pa.int64())
-        q = scale_int(pc.multiply(t["l_quantity"], 100.0))
-        bp = scale_int(pc.multiply(t["l_extendedprice"], 100.0))
-        dp = scale_int(pc.multiply(
-            pc.multiply(t["l_extendedprice"],
-                        pc.subtract(1.0, t["l_discount"])), 10000.0))
-        for name, arr in (("q_c", q), ("bp_c", bp), ("dp_c", dp)):
-            t = t.append_column(
-                name, arr.combine_chunks()
-                if isinstance(arr, pa.ChunkedArray) else arr)
-        return t
-
-    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ComputedColumnTransform(
+        "disc_price",
+        lambda t: pc.multiply(t["l_extendedprice"],
+                              pc.subtract(1.0, t["l_discount"])),
+    ).apply(ds)
+    ds = _scale_int_cols(ds, {"l_quantity": 100.0, "l_extendedprice": 100.0,
+                              "disc_price": 10000.0},
+                         rename={"l_quantity": "q_c",
+                                 "l_extendedprice": "bp_c",
+                                 "disc_price": "dp_c"})
+    # exact_int: the scaled int64 columns sum WITHOUT the reference's
+    # float coercion — integer addition is associative, so the parallel
+    # sum is bit-deterministic at any block order and exactly matches
+    # DuckDB's integer aggregate (avg stays float: quantities are
+    # integral, so its float64 sum is exact in any order too)
     agg = AggregateTransform(
         ["l_returnflag", "l_linestatus"],
         [("q_c", "sum"), ("bp_c", "sum"), ("dp_c", "sum"),
          ("l_quantity", "average"), ("l_quantity", "count")],
+        exact_int=True,
     ).apply(ds)
 
     def unscale(t: pa.Table) -> pa.Table:
@@ -1017,7 +1044,8 @@ def explode_text_records(sf_dir: str):
     "rollup_lineitem_flags",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_sum,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS l_quantity_sum,
            count(*) AS l_quantity_count
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -1030,25 +1058,19 @@ def rollup_lineitem_flags(sf_dir: str):
 
     ds = _pq(sf_dir, "lineitem",
              columns=["l_returnflag", "l_linestatus", "l_quantity"]).read()
-
-    def scaled(t: pa.Table) -> pa.Table:
-        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
-        idx = t.column_names.index("l_quantity")
-        return t.set_column(
-            idx, "l_quantity",
-            q.combine_chunks() if isinstance(q, pa.ChunkedArray) else q)
-
-    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _scale_int_cols(ds, {"l_quantity": 100.0})
     return RollupTransform(
         ["l_returnflag", "l_linestatus"],
-        [("l_quantity", "sum"), ("l_quantity", "count")]).apply(ds)
+        [("l_quantity", "sum"), ("l_quantity", "count")],
+        exact_int=True).apply(ds)
 
 
 @register(
     "cube_lineitem_flags",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS l_quantity_sum,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS l_quantity_sum,
            count(*) AS l_quantity_count
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -1059,19 +1081,11 @@ def cube_lineitem_flags(sf_dir: str):
 
     ds = _pq(sf_dir, "lineitem",
              columns=["l_returnflag", "l_linestatus", "l_quantity"]).read()
-
-    def scaled(t: pa.Table) -> pa.Table:
-        q = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
-        idx = t.column_names.index("l_quantity")
-        return t.set_column(
-            idx, "l_quantity",
-            q.combine_chunks() if isinstance(q, pa.ChunkedArray) else q)
-
-    ds = ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _scale_int_cols(ds, {"l_quantity": 100.0})
     return RollupTransform(
         ["l_returnflag", "l_linestatus"],
         [("l_quantity", "sum"), ("l_quantity", "count")],
-        mode="cube").apply(ds)
+        mode="cube", exact_int=True).apply(ds)
 
 
 @register(

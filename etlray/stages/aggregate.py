@@ -66,10 +66,18 @@ class AggregateTransform(Transform):
         aggregations: Mapping[str, str] | Sequence[tuple[str, str]],
         order_by: str | None = None,
         deterministic: bool = False,
+        exact_int: bool = False,
     ) -> None:
         self.group_by = list(group_by)
         self.aggregations = _normalize(aggregations)
         self.order_by = order_by
+        # exact_int=True skips the reference's as_float coercion and
+        # aggregates the RAW columns: integer sums then stay int64 end
+        # to end — associative, so bit-deterministic at any block order
+        # and exactly comparable to SQL's integer aggregates. Caller
+        # contract: the aggregated columns are already numeric (ints
+        # for sums that must be exact).
+        self.exact_int = exact_int
         # deterministic=True routes numeric aggs through the bucketed
         # exchange: each group is summed ONCE with numpy's pairwise
         # summation over a deterministically-ordered table, so float
@@ -95,6 +103,9 @@ class AggregateTransform(Transform):
         numeric_cols = sorted({c for c, f in self.aggregations if f in _NUMERIC_FUNCS})
         if not numeric_cols:
             return ds, {}
+        if self.exact_int:
+            # aggregate raw columns — no float shadow (see __init__)
+            return ds, {c: c for c in numeric_cols}
         shadow = {c: f"__f_{c}" for c in numeric_cols}
 
         def coerce(t: pa.Table) -> pa.Table:
@@ -127,12 +138,20 @@ class AggregateTransform(Transform):
                 aggs.append(Max(shadow[col], alias_name=name, ignore_nulls=True))
         out = ds.groupby(self.group_by).aggregate(*aggs)
         if sum_names:
+            keep_type = self.exact_int
+
             def fix_sum(t: pa.Table) -> pa.Table:
-                # reference: Sum over empty/all-null group is 0.0, not null
+                # reference: Sum over empty/all-null group is 0.0, not
+                # null (exact_int keeps the column's own type and fills
+                # with integer 0 instead of casting to float)
                 import pyarrow.compute as pc
                 for name in sum_names:
                     idx = t.column_names.index(name)
-                    col = pc.fill_null(pc.cast(t.column(idx), pa.float64()), 0.0)
+                    col = t.column(idx)
+                    if not keep_type:
+                        col = pc.cast(col, pa.float64())
+                    col = pc.fill_null(col, pa.scalar(0).cast(col.type)
+                                       if keep_type else 0.0)
                     t = t.set_column(idx, name, col.combine_chunks()
                                      if isinstance(col, pa.ChunkedArray) else col)
                 return t
@@ -216,9 +235,11 @@ class GlobalAggregateTransform(Transform):
         self,
         aggregations: Mapping[str, str] | Sequence[tuple[str, str]],
         order_by: str | None = None,
+        exact_int: bool = False,
     ) -> None:
         self.aggregations = _normalize(aggregations)
         self.order_by = order_by
+        self.exact_int = exact_int
 
     def apply(self, ds):
         import ray.data
@@ -230,7 +251,8 @@ class GlobalAggregateTransform(Transform):
                                  "synthetic constant key and order_by instead")
         from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-        agg = AggregateTransform(["__k"], self.aggregations)
+        agg = AggregateTransform(["__k"], self.aggregations,
+                                 exact_int=self.exact_int)
         ds2, shadow = agg._coerce_stage(ds)
         aggs = []
         sum_names = []
@@ -250,7 +272,7 @@ class GlobalAggregateTransform(Transform):
         res = ds2.aggregate(*aggs)  # dict
         for name in sum_names:
             if res.get(name) is None:
-                res[name] = 0.0
+                res[name] = 0 if self.exact_int else 0.0
         return ray.data.from_items([res])
 
 
@@ -360,7 +382,7 @@ class RollupTransform(Transform):
 
     def __init__(self, group_by: Sequence[str],
                  aggregations: Sequence[tuple[str, str]],
-                 mode: str = "rollup") -> None:
+                 mode: str = "rollup", exact_int: bool = False) -> None:
         if not group_by:
             raise TransformError("rollup needs at least one group column")
         if mode not in ("rollup", "cube"):
@@ -373,6 +395,9 @@ class RollupTransform(Transform):
         self.group_by = list(group_by)
         self.aggregations = [(c, f) for c, f in aggregations]
         self.mode = mode
+        # exact_int: integer inputs stay int64 through BOTH the finest
+        # aggregate and every subtotal fold (see AggregateTransform)
+        self.exact_int = exact_int
 
     def _subtotal_key_sets(self) -> list[tuple[str, ...]]:
         """ROLLUP: strict key prefixes, coarsest last. CUBE: every
@@ -396,7 +421,8 @@ class RollupTransform(Transform):
         # materialize: the finest aggregate is small (it IS an
         # aggregate) and every coarser level re-consumes it — without
         # this each level would re-execute the full raw-data scan
-        finest = AggregateTransform(gb, aggs).apply(ds).materialize()
+        finest = AggregateTransform(gb, aggs, exact_int=self.exact_int) \
+            .apply(ds).materialize()
 
         # key column types (for typed NULLs on subtotal rows) and
         # aggregate column types (Ray's Sum re-aggregation returns
@@ -413,8 +439,11 @@ class RollupTransform(Transform):
             # with the level-up function (count folds by SUM)
             re_aggs = [(n, self._REAGG[f])
                        for n, (_, f) in zip(out_names, aggs)]
-            lvl = AggregateTransform(keep, re_aggs).apply(finest) if keep \
-                else GlobalAggregateTransform(re_aggs).apply(finest)
+            ei = self.exact_int
+            lvl = AggregateTransform(keep, re_aggs, exact_int=ei) \
+                .apply(finest) if keep \
+                else GlobalAggregateTransform(re_aggs, exact_int=ei) \
+                .apply(finest)
 
             def finish(t: pa.Table, _keep=tuple(keep)) -> pa.Table:
                 # folded names come back as {name}_{fold}: restore the
