@@ -432,38 +432,42 @@ class RollupTransform(Transform):
         ktypes = {n: t for n, t in zip(schema.names, schema.types)}
         atypes = {n: ktypes[n] for n in out_names}
 
-        levels = [finest]
+        # subtotals fold ON THE DRIVER over the materialized finest
+        # table: its row count is the distinct key-combo count — small
+        # by definition of an aggregate (same justification as the
+        # sketch folds) — and each Arrow group_by is microseconds,
+        # where a Ray groupby job costs ~1 s of setup PER LEVEL. For a
+        # pathological combo cardinality, aggregate the finest Dataset
+        # with AggregateTransform per level instead (the fold functions
+        # are the _REAGG mapping above).
+        import ray.data
+
+        fin = pa.concat_tables(
+            [b for b in finest.iter_batches(batch_format="pyarrow")],
+            promote_options="permissive") if finest.count() else None
+        sub_tables: list[pa.Table] = []
         for keep in self._subtotal_key_sets():
             keep = list(keep)
-            # re-aggregate the finest result: {col}_{func} columns fold
-            # with the level-up function (count folds by SUM)
-            re_aggs = [(n, self._REAGG[f])
-                       for n, (_, f) in zip(out_names, aggs)]
-            ei = self.exact_int
-            lvl = AggregateTransform(keep, re_aggs, exact_int=ei) \
-                .apply(finest) if keep \
-                else GlobalAggregateTransform(re_aggs, exact_int=ei) \
-                .apply(finest)
-
-            def finish(t: pa.Table, _keep=tuple(keep)) -> pa.Table:
-                # folded names come back as {name}_{fold}: restore the
-                # original {col}_{func} names, add NULL rolled-away keys
-                for n, (_, f) in zip(out_names, aggs):
-                    folded = f"{n}_{self._REAGG[f]}"
-                    if folded in t.column_names:
-                        idx = t.column_names.index(folded)
-                        col = pc.cast(t.column(idx), atypes[n])
-                        if isinstance(col, pa.ChunkedArray):
-                            col = col.combine_chunks()
-                        t = t.set_column(idx, n, col)
-                for c in gb:
-                    if c not in _keep:
-                        t = t.append_column(
-                            c, pa.nulls(t.num_rows, type=ktypes[c]))
-                return t.select(gb + out_names)
-
-            levels.append(lvl.map_batches(finish, batch_format="pyarrow"))
-        out = levels[0]
-        for extra in levels[1:]:
-            out = UnionTransform(extra).apply(out)
-        return out
+            if fin is None:
+                continue
+            # fold the finest: {col}_{func} columns re-aggregate with
+            # the level-up function (count folds by SUM)
+            g = fin.group_by(keep).aggregate(
+                [(n, self._REAGG[f])
+                 for n, (_, f) in zip(out_names, aggs)])
+            for n, (_, f) in zip(out_names, aggs):
+                folded = f"{n}_{self._REAGG[f]}"
+                idx = g.column_names.index(folded)
+                col = pc.cast(g.column(idx), atypes[n])
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                g = g.set_column(idx, n, col)
+            for c in gb:
+                if c not in keep:
+                    g = g.append_column(c, pa.nulls(g.num_rows,
+                                                    type=ktypes[c]))
+            sub_tables.append(g.select(gb + out_names))
+        if not sub_tables:
+            return finest
+        subs = ray.data.from_arrow(pa.concat_tables(sub_tables))
+        return UnionTransform(subs).apply(finest)
