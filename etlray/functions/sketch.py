@@ -546,3 +546,68 @@ def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
 
     return hash_exchange(pre, [group_col], num_buckets, reduce_bucket,
                          bucket_col=None)
+
+
+def approx_distinct_per_group(ds, group_col: str, value_col: str,
+                              p: int = 12, num_buckets: int = 8,
+                              out_col: str = "approx_distinct"):
+    """Per-group approximate count-distinct — HyperLogLog as a
+    MAP-SIDE COMBINER through the exchange, mirroring
+    ``approx_quantiles_per_group``: each batch reduces to one 2^p-byte
+    register array per group it contains, the exchange carries
+    registers (never values), each bucket folds its groups' registers
+    by elementwise max. The scale companion to the exact
+    ``CountDistinctTransform``, whose shuffle carries one row per
+    distinct (group, value) per block — prohibitive when values are
+    near-unique; this path's shuffle volume is groups × 2^p bytes,
+    independent of the value cardinality. Error ≈ 1.04/sqrt(2^p)
+    (~1.6 % at p=12) — accuracy-gated by pytest, no hash oracle (the
+    estimate is approximate by design). NULL groups are real groups;
+    NULL values are not counted (SQL count(DISTINCT ..) semantics)."""
+    from etlray.cdc.apply import BUCKET_COL
+    from etlray.exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "__regs": pa.array([], pa.binary())})
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        regs = []
+        for gi in range(len(uniq)):
+            h = HyperLogLog(p)
+            seg = vals[order[bounds[gi]:bounds[gi + 1]]]
+            h.add_array(seg[~pd.isna(seg)])
+            regs.append(h.registers.tobytes())
+        return pa.table({group_col: pa.array(uniq, type=gtype,
+                                             from_pandas=True),
+                         "__regs": pa.array(regs, pa.binary())})
+
+    pre = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if BUCKET_COL in t.column_names:
+            t = t.drop_columns([BUCKET_COL])
+        gtype = t.schema.field(group_col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             out_col: pa.array([], pa.int64())})
+        keys = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
+        merged = [HyperLogLog(p) for _ in range(len(uniq))]
+        for gi, rb in zip(codes, t["__regs"].to_pylist()):
+            o = HyperLogLog(p)
+            o.registers = np.frombuffer(rb, dtype=np.uint8).copy()
+            merged[gi].merge(o)
+        return pa.table({
+            group_col: pa.array(uniq, type=gtype, from_pandas=True),
+            out_col: pa.array([int(round(h.cardinality()))
+                               for h in merged], pa.int64())})
+
+    return hash_exchange(pre, [group_col], num_buckets, reduce_bucket,
+                         bucket_col=None)

@@ -272,3 +272,23 @@ def test_tfidf_string_doc_ids(ray_session):
             {"doc_id": "u-2", "text": "banana cherry"}]
     out = tfidf_top_terms(MemorySource(rows).read(), k=1).take_all()
     assert sorted(r["doc_id"] for r in out) == ["u-1", "u-2"]
+
+
+def test_approx_distinct_per_group_accuracy(ray_session):
+    import ray.data
+
+    from etlray.functions.sketch import approx_distinct_per_group
+
+    # group 'a': 1000 distinct users; 'b': 50; NULL group: 10; one NULL
+    # value must not count
+    rows = ([{"g": "a", "u": f"u{i}"} for i in range(3000)]  # 1000 distinct
+            and [{"g": "a", "u": f"u{i % 1000}"} for i in range(3000)])
+    rows += [{"g": "b", "u": f"v{i % 50}"} for i in range(500)]
+    rows += [{"g": None, "u": f"w{i}"} for i in range(10)]
+    rows += [{"g": "b", "u": None}]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = approx_distinct_per_group(ds, "g", "u", p=12).take_all()
+    got = {r["g"]: r["approx_distinct"] for r in out}
+    assert abs(got["a"] - 1000) / 1000 < 0.05
+    assert abs(got["b"] - 50) <= 3
+    assert abs(got[None] - 10) <= 2
