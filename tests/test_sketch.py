@@ -281,8 +281,7 @@ def test_approx_distinct_per_group_accuracy(ray_session):
 
     # group 'a': 1000 distinct users; 'b': 50; NULL group: 10; one NULL
     # value must not count
-    rows = ([{"g": "a", "u": f"u{i}"} for i in range(3000)]  # 1000 distinct
-            and [{"g": "a", "u": f"u{i % 1000}"} for i in range(3000)])
+    rows = [{"g": "a", "u": f"u{i % 1000}"} for i in range(3000)]
     rows += [{"g": "b", "u": f"v{i % 50}"} for i in range(500)]
     rows += [{"g": None, "u": f"w{i}"} for i in range(10)]
     rows += [{"g": "b", "u": None}]
