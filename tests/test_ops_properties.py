@@ -180,3 +180,43 @@ def test_centroid_matches_numpy_mean(ray_session, rows):
             cv, nv = got[(k, pos)]
             assert nv == len(g)
             assert abs(cv - m[pos - 1]) < 1e-9
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_rollup_matches_pandas(ray_session, rows):
+    from etlray.stages import RollupTransform
+
+    ds = MemorySource(rows).read()
+    out = RollupTransform(["k"], [("t", "sum"), ("t", "count")]) \
+        .apply(ds).take_all()
+    got = {r["k"]: (r["t_sum"], r["t_count"]) for r in out}
+    df = pd.DataFrame(rows)
+    want = {k: (g["t"].sum(), len(g)) for k, g in df.groupby("k")}
+    want[None] = (df["t"].sum(), len(df))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+
+
+@given(rows=keyed_rows())
+@settings(**_SETTINGS)
+def test_weighted_sample_is_topk_by_key(ray_session, rows):
+    import hashlib
+
+    from etlray.functions.sampling import weighted_sample
+
+    for r in rows:
+        r["w"] = r["t"] + 1  # strictly positive weights
+    ds = MemorySource(rows).read()
+    out = weighted_sample(ds, "id", "w", k=5, salt="p").take_all()
+    got = sorted(r["id"] for r in out)
+
+    def key(r):
+        d = hashlib.md5(("p" + str(r["id"])).encode()).digest()
+        u = int.from_bytes(d[8:16], "little") / 2**64
+        return (u ** (1.0 / r["w"]), -r["id"])
+
+    want = sorted(r["id"] for r in
+                  sorted(rows, key=key, reverse=True)[:5])
+    assert got == want
