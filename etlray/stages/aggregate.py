@@ -382,7 +382,8 @@ class RollupTransform(Transform):
 
     def __init__(self, group_by: Sequence[str],
                  aggregations: Sequence[tuple[str, str]],
-                 mode: str = "rollup", exact_int: bool = False) -> None:
+                 mode: str = "rollup", exact_int: bool = False,
+                 subtotals: str = "driver") -> None:
         if not group_by:
             raise TransformError("rollup needs at least one group column")
         if mode not in ("rollup", "cube"):
@@ -392,12 +393,23 @@ class RollupTransform(Transform):
             raise TransformError(
                 f"rollup supports decomposable aggs {sorted(self._REAGG)}, "
                 f"got {bad} (derive avg as sum/count)")
+        if subtotals not in ("driver", "distributed"):
+            raise TransformError("subtotals must be 'driver' or "
+                                 "'distributed'")
         self.group_by = list(group_by)
         self.aggregations = [(c, f) for c, f in aggregations]
         self.mode = mode
         # exact_int: integer inputs stay int64 through BOTH the finest
         # aggregate and every subtotal fold (see AggregateTransform)
         self.exact_int = exact_int
+        # subtotals="driver" (default) folds levels with Arrow group_by
+        # on the driver — the finest table's row count is the distinct
+        # key-combo count, small by definition of an aggregate, and a
+        # Ray groupby job costs ~1 s of setup per level. "distributed"
+        # re-aggregates the finest Dataset per level through Ray — the
+        # escape hatch when the combo cardinality itself is too large
+        # to hold on the driver.
+        self.subtotals = subtotals
 
     def _subtotal_key_sets(self) -> list[tuple[str, ...]]:
         """ROLLUP: strict key prefixes, coarsest last. CUBE: every
@@ -432,14 +444,11 @@ class RollupTransform(Transform):
         ktypes = {n: t for n, t in zip(schema.names, schema.types)}
         atypes = {n: ktypes[n] for n in out_names}
 
-        # subtotals fold ON THE DRIVER over the materialized finest
-        # table: its row count is the distinct key-combo count — small
-        # by definition of an aggregate (same justification as the
-        # sketch folds) — and each Arrow group_by is microseconds,
-        # where a Ray groupby job costs ~1 s of setup PER LEVEL. For a
-        # pathological combo cardinality, aggregate the finest Dataset
-        # with AggregateTransform per level instead (the fold functions
-        # are the _REAGG mapping above).
+        if self.subtotals == "distributed":
+            return self._subtotals_distributed(finest, gb, aggs,
+                                               out_names, ktypes, atypes)
+        # default: subtotals fold ON THE DRIVER over the materialized
+        # finest table (see __init__ for the trade)
         import ray.data
 
         fin = pa.concat_tables(
@@ -471,3 +480,43 @@ class RollupTransform(Transform):
             return finest
         subs = ray.data.from_arrow(pa.concat_tables(sub_tables))
         return UnionTransform(subs).apply(finest)
+
+    def _subtotals_distributed(self, finest, gb, aggs, out_names,
+                               ktypes, atypes):
+        """Per-level Ray re-aggregation of the finest Dataset — the
+        ``subtotals="distributed"`` path for combo cardinalities too large
+        to fold on the driver. Identical output to the driver fold (the
+        equality pytest enforces it); costs one Ray groupby job per level."""
+        from etlray.stages.common import UnionTransform
+
+        levels = []
+        for keep in self._subtotal_key_sets():
+            keep = list(keep)
+            re_aggs = [(n, self._REAGG[f])
+                       for n, (_, f) in zip(out_names, aggs)]
+            ei = self.exact_int
+            lvl = AggregateTransform(keep, re_aggs, exact_int=ei) \
+                .apply(finest) if keep \
+                else GlobalAggregateTransform(re_aggs, exact_int=ei) \
+                .apply(finest)
+
+            def finish(t: pa.Table, _keep=tuple(keep)) -> pa.Table:
+                for n, (_, f) in zip(out_names, aggs):
+                    folded = f"{n}_{self._REAGG[f]}"
+                    if folded in t.column_names:
+                        idx = t.column_names.index(folded)
+                        col = pc.cast(t.column(idx), atypes[n])
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        t = t.set_column(idx, n, col)
+                for c in gb:
+                    if c not in _keep:
+                        t = t.append_column(c, pa.nulls(t.num_rows,
+                                                        type=ktypes[c]))
+                return t.select(gb + out_names)
+
+            levels.append(lvl.map_batches(finish, batch_format="pyarrow"))
+        out = finest
+        for extra in levels:
+            out = UnionTransform(extra).apply(out)
+        return out

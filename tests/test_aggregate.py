@@ -172,3 +172,23 @@ def test_cube_all_subsets(ray_session):
         (None, "p"): 5, (None, "q"): 2,      # per-b (cube-only level)
         (None, None): 7,
     }
+
+
+def test_rollup_distributed_subtotals_match_driver(ray_session):
+    from etlray.sources import MemorySource
+    from etlray.stages import RollupTransform
+
+    rows = [{"a": "x", "b": "p", "v": 1},
+            {"a": "x", "b": "q", "v": 2},
+            {"a": "y", "b": "p", "v": 4}]
+
+    def run(subtotals):
+        out = RollupTransform(["a", "b"], [("v", "sum"), ("v", "count")],
+                              mode="cube", subtotals=subtotals,
+                              exact_int=True) \
+            .apply(MemorySource(rows).read()).take_all()
+        return sorted(((r["a"], r["b"], r["v_sum"], r["v_count"])
+                       for r in out),
+                      key=lambda x: (x[0] or "", x[1] or "", x[2], x[3]))
+
+    assert run("driver") == run("distributed")
