@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -286,9 +287,11 @@ def run_follow(num_cpus: int) -> dict:
         "batch": batch, "mode": mode,
         "applied_files": sum(e.get("files", 1) for e in res["epochs"]),
         "applied_epochs": len(res["epochs"]),
-        "catchup_sec": round(catchup_sec, 3) if catchup_sec else None,
+        "catchup_sec":
+            round(catchup_sec, 3) if catchup_sec is not None else None,
         "catchup_events_per_sec":
-            round(backlog_rows / catchup_sec, 1) if catchup_sec else None,
+            round(backlog_rows / catchup_sec, 1)
+            if catchup_sec is not None and catchup_sec > 0 else None,
         "tail_interval_sec": interval,
         "tail_lag_mean_sec": round(sum(lags) / len(lags), 3) if lags else None,
         "tail_lag_max_sec": round(max(lags), 3) if lags else None,
@@ -428,15 +431,36 @@ def main() -> None:
 
     hl = run_headline(NUM_CPUS)
     queries = run_queries()
+    # Two lines by contract: a verbose detail line first (3-dp timings, full
+    # sf path) for humans, then the driver contract line LAST and COMPACT
+    # (no-space separators, 2-dp per-query timings, numeric sf). The driver
+    # captures only the tail of stdout (~2.6 KB) and json-parses its last
+    # line — round 3's single ~2.9 KB line got front-truncated and recorded
+    # ``"parsed": null``; the compact line is ~1.9 KB with 66 queries.
     print(json.dumps({
-        "metric": "cdc_replay_sec",
+        "metric": "cdc_replay_sec_detail",
         "value": round(hl["sec"], 3),
-        "unit": "sec",
         "events_per_sec": round(hl["events_per_sec"], 1),
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))
+    sf_num = None
+    m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
+    if m:
+        try:
+            sf_num = float(m.group(1))
+        except ValueError:
+            pass
+    print(json.dumps({
+        "metric": "cdc_replay_sec",
+        "value": round(hl["sec"], 3),
+        "unit": "sec",
+        "events_per_sec": round(hl["events_per_sec"], 1),
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": sf_num if sf_num is not None else SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }, separators=(",", ":")))
     import ray
 
     ray.shutdown()

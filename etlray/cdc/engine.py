@@ -96,6 +96,15 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
                 if name in schema.names and name not in got:
                     got.append(name)
                 else:
+                    # correctness-safe but silently un-prunes the read;
+                    # log it so a pyarrow upgrade that rewords the
+                    # FieldRef error text is visible (pinned by
+                    # tests/test_delta_mode.py::test_predicate_probe_*)
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "predicate-column probe could not attribute %r; "
+                        "falling back to reading all %d columns",
+                        str(ex)[:120], len(schema.names))
                     out = list(schema.names)
                     break
         if out is None:

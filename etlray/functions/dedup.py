@@ -543,28 +543,41 @@ def _exact_verify_pairs(cand, docs_ds, text_col: str, id_col: str,
             return empty
         lookup = dict(zip(text_t["__doc"].to_pylist(),
                           text_t[text_col].to_pylist()))
-        shingle_cache: dict = {}
-
-        def sh(i):
-            s = shingle_cache.get(i)
-            if s is None:
-                s = shingle_cache[i] = shingle_fn(lookup.get(i) or "",
-                                                  shingle_k)
-            return s
-
-        out_id, out_dup, out_j = [], [], []
-        for a, b in zip(pair_t[id_col].to_pylist(),
-                        pair_t["dup_of"].to_pylist()):
-            sa, sb = sh(a), sh(b)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / max(len(sa) + len(sb) - inter, 1)
-            if j >= jaccard_threshold:
-                out_id.append(a)
-                out_dup.append(b)
-                out_j.append(j)
-        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
-                         "dup_of": pa.array(out_dup, type=pa.int64()),
-                         "jaccard": pa.array(out_j, type=pa.float64())})
+        a = pair_t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pair_t["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # shingle each UNIQUE doc once (O(docs), not O(pairs)), then
+        # batch ALL pair intersections through one lexsort: tag every
+        # shingle with its pair index, sort by (pair, value) — a value
+        # present in both docs of a pair becomes an adjacent duplicate
+        # (per-doc shingle sets are unique), so the intersection size
+        # is a bincount of adjacent-equal positions. Replaces the
+        # per-pair ``np.intersect1d`` Python loop (round-3 VERDICT #4).
+        uids = np.unique(np.concatenate([a, b]))
+        arrays = [shingle_fn(lookup.get(int(i)) or "", shingle_k)
+                  for i in uids]
+        lens = np.fromiter((len(x) for x in arrays), dtype=np.int64,
+                           count=len(arrays))
+        ai = np.searchsorted(uids, a)
+        bi = np.searchsorted(uids, b)
+        pair_sizes = lens[ai] + lens[bi]
+        n_pairs = len(a)
+        if int(pair_sizes.sum()):
+            vals = np.concatenate(
+                [arr for i, j in zip(ai, bi)
+                 for arr in (arrays[i], arrays[j])])
+            pid = np.repeat(np.arange(n_pairs), pair_sizes)
+            order = np.lexsort((vals, pid))
+            sv, sp = vals[order], pid[order]
+            dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+            inter = np.bincount(sp[1:][dup], minlength=n_pairs)
+        else:
+            inter = np.zeros(n_pairs, dtype=np.int64)
+        jac = inter / np.maximum(pair_sizes - inter, 1)
+        keep = jac >= jaccard_threshold
+        return pa.table({id_col: pa.array(a[keep], type=pa.int64()),
+                         "dup_of": pa.array(b[keep], type=pa.int64()),
+                         "jaccard": pa.array(jac[keep],
+                                             type=pa.float64())})
 
     return hash_exchange([pairs_ds, routed], [BUCKET_COL], num_buckets,
                          verify_bucket, bucket_col=BUCKET_COL,

@@ -290,7 +290,11 @@ def approx_quantiles(ds, col: str, qs, names=None,
                 merged.merge_many(parts)
                 parts = []
     merged.merge_many(parts)
-    return pa.table({n: pa.array([merged.quantile(q)], pa.float64())
+    # from_pandas=True: an empty/all-NULL column makes quantile()
+    # return NaN — map it to the SQL NULL that quantile_disc yields
+    # (the per-group variant already does; keep the global row equal)
+    return pa.table({n: pa.array([merged.quantile(q)], pa.float64(),
+                                 from_pandas=True)
                      for q, n in zip(qs, names)})
 
 

@@ -411,6 +411,27 @@ class RollupTransform(Transform):
         # to hold on the driver.
         self.subtotals = subtotals
 
+    def _empty_grand_total(self, ds, gb, aggs, out_names) -> pa.Table:
+        """One grand-total row for an empty input: key columns NULL
+        (typed from the INPUT schema — an empty groupby result has no
+        usable output schema), count 0, sum 0 (int64 under exact_int,
+        else float64), min/max NULL float64 (the non-exact aggregate
+        path coerces numerics to float; exact_int keeps the raw type)."""
+        s = ds.schema()
+        in_types = dict(zip(s.names, s.types))
+        cols: dict[str, pa.Array] = {
+            c: pa.nulls(1, type=in_types.get(c, pa.null())) for c in gb}
+        for n, (c, f) in zip(out_names, aggs):
+            vtype = (in_types.get(c, pa.int64()) if self.exact_int
+                     else pa.float64())
+            if f == "count":
+                cols[n] = pa.array([0], type=pa.int64())
+            elif f == "sum":
+                cols[n] = pa.array([0], type=vtype)
+            else:  # min / max over nothing
+                cols[n] = pa.nulls(1, type=vtype)
+        return pa.table(cols).select(gb + out_names)
+
     def _subtotal_key_sets(self) -> list[tuple[str, ...]]:
         """ROLLUP: strict key prefixes, coarsest last. CUBE: every
         proper subset of the key set (SQL ``GROUP BY CUBE``) — each
@@ -435,6 +456,18 @@ class RollupTransform(Transform):
         # this each level would re-execute the full raw-data scan
         finest = AggregateTransform(gb, aggs, exact_int=self.exact_int) \
             .apply(ds).materialize()
+        if finest.count() == 0:
+            # SQL GROUP BY ROLLUP/CUBE over an empty relation still
+            # emits the grand-total row (grouping set ()): count 0,
+            # sum per the engine's Sum-empty convention (0 int64 under
+            # exact_int, else 0.0 — GlobalAggregateTransform parity),
+            # min/max NULL. Without this the transform returned 0 rows
+            # and diverged from the oracle on empty inputs. Checked
+            # before the subtotal fold because neither fold path can
+            # derive output types from an empty groupby result.
+            import ray.data
+            return ray.data.from_arrow(
+                self._empty_grand_total(ds, gb, aggs, out_names))
 
         # key column types (for typed NULLs on subtotal rows) and
         # aggregate column types (Ray's Sum re-aggregation returns
@@ -453,12 +486,10 @@ class RollupTransform(Transform):
 
         fin = pa.concat_tables(
             [b for b in finest.iter_batches(batch_format="pyarrow")],
-            promote_options="permissive") if finest.count() else None
+            promote_options="permissive")
         sub_tables: list[pa.Table] = []
         for keep in self._subtotal_key_sets():
             keep = list(keep)
-            if fin is None:
-                continue
             # fold the finest: {col}_{func} columns re-aggregate with
             # the level-up function (count folds by SUM)
             g = fin.group_by(keep).aggregate(

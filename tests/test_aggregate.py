@@ -192,3 +192,50 @@ def test_rollup_distributed_subtotals_match_driver(ray_session):
                       key=lambda x: (x[0] or "", x[1] or "", x[2], x[3]))
 
     assert run("driver") == run("distributed")
+
+
+def test_rollup_empty_input_emits_grand_total(ray_session):
+    """SQL GROUP BY ROLLUP/CUBE over an empty relation still yields
+    the grand-total row: count 0, sum 0 (engine Sum-empty convention),
+    min/max NULL, every key column NULL (ADVICE r3)."""
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.stages import RollupTransform
+
+    empty = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.string()),
+        "b": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64()),
+    }))
+    for mode in ("rollup", "cube"):
+        out = RollupTransform(
+            ["a", "b"],
+            [("v", "sum"), ("v", "count"), ("v", "min")],
+            mode=mode).apply(empty).take_all()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["a"], r["b"]) == (None, None)
+        assert r["v_count"] == 0
+        assert r["v_sum"] == 0.0
+        assert r["v_min"] is None
+    # exact_int keeps the raw int64 sum type
+    out = RollupTransform(["a"], [("v", "sum")], exact_int=True) \
+        .apply(empty).take_all()
+    assert out == [{"a": None, "v_sum": 0}]
+
+
+def test_approx_quantiles_empty_is_null(ray_session):
+    """quantile over an empty/all-NULL column is SQL NULL, not NaN
+    (ADVICE r3 — the global variant lacked from_pandas)."""
+    import pyarrow as pa
+    import ray.data
+
+    from etlray.functions.sketch import approx_quantiles
+
+    empty = ray.data.from_arrow(pa.table({
+        "v": pa.array([None, None], pa.float64())}))
+    t = approx_quantiles(empty, "v", [0.5, 0.9])
+    assert t.num_rows == 1
+    assert t["q50"][0].as_py() is None
+    assert t["q90"][0].as_py() is None

@@ -229,3 +229,27 @@ def test_compact_preserves_delta_stacks(fixture_dir, tmp_path, ray_session):
     # merge-on-read still applies them over the new group files
     assert eng.manifest.snapshot_deltas().keys() == stacks.keys()
     assert _state(eng) == before
+
+
+def test_predicate_probe_error_text_pinned():
+    """The merge-on-read predicate-column probe (etlray/cdc/engine.py
+    predicate_cols) regex-parses pyarrow's ``No match for
+    FieldRef.Name(...)`` error text to discover filter columns. A
+    pyarrow upgrade that rewords the message would silently degrade
+    every pruned merge-on-read to all-columns (correctness-safe, perf
+    loss) — pin the installed pyarrow's wording so the upgrade fails
+    HERE instead."""
+    import re
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    schema = pa.schema([pa.field("other", pa.int64())])
+    with pytest.raises(Exception) as ei:
+        pads.InMemoryDataset(schema.empty_table()).to_table(
+            filter=pc.field("some_col") > 1)
+    m = re.search(r"No match for FieldRef\.Name\(([^)]*)\)", str(ei.value))
+    assert m is not None, (
+        "pyarrow reworded the FieldRef error — update the probe regex "
+        f"in etlray/cdc/engine.py. Got: {ei.value}")
+    assert m.group(1) == "some_col"
