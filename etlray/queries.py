@@ -168,16 +168,30 @@ def pricing_summary(sf_dir: str):
              columns=["l_returnflag", "l_linestatus", "l_quantity",
                       "l_extendedprice", "l_discount", "l_shipdate"],
              filter=(pc.field("l_shipdate") <= cutoff)).read()
-    ds = ComputedColumnTransform(
-        "disc_price",
-        lambda t: pc.multiply(t["l_extendedprice"],
-                              pc.subtract(1.0, t["l_discount"])),
-    ).apply(ds)
-    ds = _scale_int_cols(ds, {"l_quantity": 100.0, "l_extendedprice": 100.0,
-                              "disc_price": 10000.0},
-                         rename={"l_quantity": "q_c",
-                                 "l_extendedprice": "bp_c",
-                                 "disc_price": "dp_c"})
+
+    def prep(t: pa.Table) -> pa.Table:
+        # one fused pass: disc_price compute + the three ×100/×10000
+        # int64 scalings (same contract as _scale_int_cols — the scaled
+        # doubles sit within one ulp of integers, so round-mode can't
+        # matter), projected down to exactly the aggregate's inputs so
+        # no float intermediate or pruned column reaches the shuffle
+        def q(col, factor):
+            v = pc.cast(pc.round(pc.multiply(col, factor)), pa.int64())
+            return v.combine_chunks() if isinstance(v, pa.ChunkedArray) \
+                else v
+
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(1.0, t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "q_c": q(t["l_quantity"], 100.0),
+            "bp_c": q(t["l_extendedprice"], 100.0),
+            "dp_c": q(disc, 10000.0),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     # exact_int: the scaled int64 columns sum WITHOUT the reference's
     # float coercion — integer addition is associative, so the parallel
     # sum is bit-deterministic at any block order and exactly matches

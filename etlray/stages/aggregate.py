@@ -383,7 +383,8 @@ class RollupTransform(Transform):
     def __init__(self, group_by: Sequence[str],
                  aggregations: Sequence[tuple[str, str]],
                  mode: str = "rollup", exact_int: bool = False,
-                 subtotals: str = "driver") -> None:
+                 subtotals: str = "auto",
+                 driver_row_limit: int = 2_000_000) -> None:
         if not group_by:
             raise TransformError("rollup needs at least one group column")
         if mode not in ("rollup", "cube"):
@@ -393,8 +394,8 @@ class RollupTransform(Transform):
             raise TransformError(
                 f"rollup supports decomposable aggs {sorted(self._REAGG)}, "
                 f"got {bad} (derive avg as sum/count)")
-        if subtotals not in ("driver", "distributed"):
-            raise TransformError("subtotals must be 'driver' or "
+        if subtotals not in ("auto", "driver", "distributed"):
+            raise TransformError("subtotals must be 'auto', 'driver' or "
                                  "'distributed'")
         self.group_by = list(group_by)
         self.aggregations = [(c, f) for c, f in aggregations]
@@ -402,14 +403,18 @@ class RollupTransform(Transform):
         # exact_int: integer inputs stay int64 through BOTH the finest
         # aggregate and every subtotal fold (see AggregateTransform)
         self.exact_int = exact_int
-        # subtotals="driver" (default) folds levels with Arrow group_by
-        # on the driver — the finest table's row count is the distinct
+        # subtotals="driver" folds levels with Arrow group_by on the
+        # driver — the finest table's row count is the distinct
         # key-combo count, small by definition of an aggregate, and a
         # Ray groupby job costs ~1 s of setup per level. "distributed"
-        # re-aggregates the finest Dataset per level through Ray — the
-        # escape hatch when the combo cardinality itself is too large
-        # to hold on the driver.
+        # re-aggregates the finest Dataset per level through Ray — for
+        # combo cardinalities too large to hold on the driver. "auto"
+        # (default) picks per run on the measured finest row count vs
+        # driver_row_limit, so a pathological cardinality can never
+        # silently land on the driver path (same auto-cutover shape as
+        # dup_clusters(driver_pair_limit=...)).
         self.subtotals = subtotals
+        self.driver_row_limit = int(driver_row_limit)
 
     def _empty_grand_total(self, ds, gb, aggs, out_names) -> pa.Table:
         """One grand-total row for an empty input: key columns NULL
@@ -456,7 +461,8 @@ class RollupTransform(Transform):
         # this each level would re-execute the full raw-data scan
         finest = AggregateTransform(gb, aggs, exact_int=self.exact_int) \
             .apply(ds).materialize()
-        if finest.count() == 0:
+        n_finest = finest.count()
+        if n_finest == 0:
             # SQL GROUP BY ROLLUP/CUBE over an empty relation still
             # emits the grand-total row (grouping set ()): count 0,
             # sum per the engine's Sum-empty convention (0 int64 under
@@ -477,11 +483,15 @@ class RollupTransform(Transform):
         ktypes = {n: t for n, t in zip(schema.names, schema.types)}
         atypes = {n: ktypes[n] for n in out_names}
 
-        if self.subtotals == "distributed":
+        subtotals = self.subtotals
+        if subtotals == "auto":
+            subtotals = ("driver" if n_finest <= self.driver_row_limit
+                         else "distributed")
+        if subtotals == "distributed":
             return self._subtotals_distributed(finest, gb, aggs,
                                                out_names, ktypes, atypes)
-        # default: subtotals fold ON THE DRIVER over the materialized
-        # finest table (see __init__ for the trade)
+        # subtotals fold ON THE DRIVER over the materialized finest
+        # table (see __init__ for the trade)
         import ray.data
 
         fin = pa.concat_tables(
