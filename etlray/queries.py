@@ -729,6 +729,36 @@ def embedding_near_dups_q(sf_dir: str):
     return pa.concat_tables(parts, promote_options="permissive")
 
 
+# the wide-vector routing (code-only candidate rows + distributed
+# vector-fetch verify) against the SAME brute-force oracle — the two
+# paths must emit identical pair sets on any fixture
+@register(
+    "embedding_near_dups_code_only",
+    f"""
+    WITH {_AUG_EMB_SQL}
+    SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+           round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
+def embedding_near_dups_code_only_q(sf_dir: str):
+    import ray
+
+    from etlray.functions.dedup import embedding_near_dups
+
+    ds = _augmented_embeddings(sf_dir)
+    out = embedding_near_dups(ds, cosine_threshold=0.95,
+                              candidates="code_only")
+
+    def round3(t: pa.Table) -> pa.Table:
+        idx = t.column_names.index("cosine")
+        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
+
+    parts = [round3(t) for t in ray.get(out.to_arrow_refs())]
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
 # language-ID heuristic: Arrow's regex engine is RE2 and so is DuckDB's,
 # so the EXACT stopword-ratio argmax is SQL-replicable — ratio counts are
 # identical integers divided in float64 on both sides
@@ -1801,6 +1831,8 @@ _GATE_TAIL = [
     "zip_docs_with_index",       # sampling family: per_lang/weighted/pack in-window
     "sample_docs_deterministic", # same md5-threshold kernel as sample_docs_per_lang
     "trim_docs_above_p95",       # truncate_docs_tokens covers truncation
+    "embedding_near_dups_code_only",  # wide-vector routing of in-window
+                                      # embedding_near_dups, same oracle
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

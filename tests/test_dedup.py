@@ -214,3 +214,66 @@ def test_embedding_near_dups_multiband_recall(ray_session):
     sim = u @ u.T
     idx = {int(v): k for k, v in enumerate(ids)}
     assert all(sim[idx[a], idx[b]] >= 0.95 - 1e-6 for a, b in got)
+
+
+def _planted_pairs(n, d, seed=42):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    target = rng.uniform(0.951, 0.97, size=n).astype(np.float32)
+    w = rng.standard_normal((n, d)).astype(np.float32)
+    w -= (w * base).sum(axis=1, keepdims=True) * base
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    partner = target[:, None] * base + \
+        np.sqrt(1 - target[:, None] ** 2) * w
+    vecs = np.concatenate([base, partner])
+    ids = np.concatenate([np.arange(n), np.arange(n) + 10_000])
+    return ids, vecs
+
+
+def test_embedding_code_only_matches_inline(ray_session):
+    """candidates="code_only" (4-exchange vector-fetch verify) must
+    emit the SAME pair set as "inline" with cosines equal to float32
+    rounding — only the routing differs (round-3 VERDICT #5)."""
+    import ray.data
+
+    ids, vecs = _planted_pairs(60, 32, seed=7)
+    ds = ray.data.from_items([
+        {"vec_id": int(i), "embedding": v.tolist()}
+        for i, v in zip(ids, vecs)])
+
+    def run(mode):
+        out = D.embedding_near_dups(ds, cosine_threshold=0.95,
+                                    candidates=mode).take_all()
+        return {(r["vec_id"], r["dup_of"]): r["cosine"] for r in out}
+
+    inline, code_only = run("inline"), run("code_only")
+    assert set(inline) == set(code_only)
+    for k in inline:
+        assert abs(inline[k] - code_only[k]) < 1e-5
+
+
+def test_embedding_code_only_recall_dim512(ray_session):
+    """Wide vectors: auto mode must dispatch to code_only
+    (512·4·16 = 32 KiB/row > 16 KiB limit) and keep the multi-band
+    recall bar at dim-512."""
+    import ray.data
+
+    n = 80
+    ids, vecs = _planted_pairs(n, 512)
+    ds = ray.data.from_items([
+        {"vec_id": int(i), "embedding": v.tolist()}
+        for i, v in zip(ids, vecs)])
+    assert D._peek_vector_dim(ds, "embedding") == 512
+    out = D.embedding_near_dups(ds, cosine_threshold=0.95).take_all()
+    got = {(min(r["vec_id"], r["dup_of"]), max(r["vec_id"], r["dup_of"]))
+           for r in out}
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    planted_cos = (u[:n] * u[n:]).sum(axis=1)
+    qualifying = {(i, i + 10_000)
+                  for i in np.flatnonzero(planted_cos >= 0.95)}
+    assert len(qualifying & got) / max(len(qualifying), 1) >= 0.95
+    # precision: every emitted pair's true cosine clears the threshold
+    sim = u @ u.T
+    idx = {int(v): k for k, v in enumerate(ids)}
+    assert all(sim[idx[a], idx[b]] >= 0.95 - 1e-5 for a, b in got)
