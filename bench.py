@@ -76,7 +76,13 @@ def run_cdc(fx: dict, table_dir: str, num_buckets: int) -> tuple[float, float]:
     from etlray.cdc.fixture import RENAME_MAP
 
     shutil.rmtree(table_dir, ignore_errors=True)
-    eng = CDCEngine(table_dir, num_buckets=num_buckets, rename_map=RENAME_MAP)
+    # ETLRAY_PRUNE_PAYLOAD: 1 forces the payload-pruned exchange, 0
+    # forces inline contents; unset = the engine's per-epoch auto
+    # (footer-stats) decision — the production default
+    prune = {"1": True, "0": False}.get(
+        os.environ.get("ETLRAY_PRUNE_PAYLOAD", ""), "auto")
+    eng = CDCEngine(table_dir, num_buckets=num_buckets,
+                    rename_map=RENAME_MAP, prune_payload=prune)
     _warmup()
     t0 = time.perf_counter()
     eng.bootstrap(ray.data.read_parquet(fx["base"]))
@@ -282,6 +288,20 @@ def run_follow(num_cpus: int) -> dict:
         catchup_sec = None
     lags = [by_file[name]["committed_wall"] - w
             for name, w in write_times.items() if name in by_file]
+    # soak evidence (100+ epoch runs): percentiles plus a first-half /
+    # second-half mean split in arrival order — a steady-state tail has
+    # second ≈ first; a growing second half means delta depth,
+    # checkpoint folds or retention never reached equilibrium
+    srt = sorted(lags)
+
+    def _pct(p: float):
+        return round(srt[min(int(p * len(srt)), len(srt) - 1)], 3) \
+            if srt else None
+
+    ordered = [by_file[n]["committed_wall"] - w
+               for n, w in sorted(write_times.items(),
+                                  key=lambda kv: kv[1]) if n in by_file]
+    half = len(ordered) // 2
     return {
         "n_events": n_events, "n_files": n_files, "backlog_files": n_backlog,
         "batch": batch, "mode": mode,
@@ -295,6 +315,14 @@ def run_follow(num_cpus: int) -> dict:
         "tail_interval_sec": interval,
         "tail_lag_mean_sec": round(sum(lags) / len(lags), 3) if lags else None,
         "tail_lag_max_sec": round(max(lags), 3) if lags else None,
+        "tail_lag_p50_sec": _pct(0.50),
+        "tail_lag_p90_sec": _pct(0.90),
+        "tail_lag_p99_sec": _pct(0.99),
+        "tail_lag_first_half_mean_sec":
+            round(sum(ordered[:half]) / half, 3) if half else None,
+        "tail_lag_second_half_mean_sec":
+            round(sum(ordered[half:]) / (len(ordered) - half), 3)
+            if len(ordered) - half > 0 else None,
         "overall_sec": round(t1 - t0, 3),
         "overall_events_per_sec": round(n_events / (t1 - t0), 1),
         "num_cpus": num_cpus,
@@ -409,6 +437,9 @@ def main() -> None:
             f"sec_{hi}cpu": round(results[hi]["sec"], 3),
             "scaling_efficiency": round(eff, 3),
             "pinned": use_pin,
+            "n_events": n_events,
+            "pad_levels": pad_levels,
+            "prune_payload": os.environ.get("ETLRAY_PRUNE_PAYLOAD", "auto"),
         }))
         return
 

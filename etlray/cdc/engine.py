@@ -44,6 +44,172 @@ from etlray.cdc.evolve import conform_table, conformer, unify_schemas
 from etlray.cdc.manifest import Manifest, write_lineage_jsonl
 
 
+# payload-pruned exchange (SURVEY §7.3): mean payload bytes/row above
+# which "auto" nulls out the content column at the map side and ships
+# only (keys, lsn, op, content_sha, 12-byte source locator) through the
+# shuffle, late-materializing winners' contents at the bucket writer.
+# Threshold set from measurement (BASELINE.md, 8M events × ~0.9 KB
+# contents, pinned): pruning costs a SECOND content decode at the fetch
+# layer, so on intra-node exchanges it only pays once per-row payloads
+# reach blob scale (the inline path measured both faster and ≥0.8
+# scaling at 0.9 KB); on a real cluster the exchange crosses the NIC
+# while the fetch hits node-local object storage, shifting the
+# break-even far lower — tune per deployment, or force with
+# prune_payload=True.
+PRUNE_PAYLOAD_AUTO_BYTES = 16384
+
+
+def _mean_payload_bytes(paths, col_names) -> float:
+    """Mean uncompressed bytes/row of the first matching payload column
+    across ``paths`` — footer metadata only, no data read."""
+    import pyarrow.parquet as pq
+
+    total_b = total_r = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        arrow_names = md.schema.to_arrow_schema().names
+        ci = next((arrow_names.index(c) for c in col_names
+                   if c in arrow_names), None)
+        if ci is None:
+            continue
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            total_r += rgm.num_rows
+            total_b += rgm.column(ci).total_uncompressed_size
+    return total_b / total_r if total_r else 0.0
+
+
+def _fetch_payload_rows(path: str, rows_needed: "np.ndarray", col: str):
+    """Read ONLY the row groups containing ``rows_needed`` (global row
+    ordinals, ascending) from ``path`` and return the payload column
+    aligned to that order. Cost ∝ row groups touched, not file size."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    sizes = np.array([md.row_group(i).num_rows
+                      for i in range(md.num_row_groups)], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    gids = np.searchsorted(starts, rows_needed, side="right") - 1
+    need = np.unique(gids)
+    tbl = pf.read_row_groups([int(g) for g in need], columns=[col])
+    read_starts = np.concatenate(([0], np.cumsum(sizes[need])))
+    local = read_starts[np.searchsorted(need, gids)] \
+        + (rows_needed - starts[gids])
+    v = tbl.column(col)
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    return v.take(pa.array(local))
+
+
+_LOC_KEY_SHIFT = 40  # (file_idx << 40) | row_ordinal — rows/file < 2^40
+
+
+def _loc_key(sf: "np.ndarray", rows: "np.ndarray") -> "np.ndarray":
+    return (sf.astype(np.int64) << _LOC_KEY_SHIFT) | rows.astype(np.int64)
+
+
+def _fetch_file_payloads(path: str, file_idx: int, content_col: str,
+                         rename, num_buckets: int, *need_tables):
+    """Fetch task for ONE source epoch file (payload-pruned exchange):
+    union every bucket's needed row ordinals for this file, read each
+    containing row group EXACTLY ONCE, and return one
+    (__src_file, __src_row, content) table per bucket. Total source
+    bytes decoded per epoch ≈ the row groups holding winning rows —
+    independent of bucket count (the naive per-bucket-writer fetch
+    re-decoded every group once per bucket: a num_buckets× read
+    amplification, measured 3× wall at 200k events / 32 buckets)."""
+    import pyarrow.parquet as pq
+
+    from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+
+    per_bucket = []
+    for bt in need_tables:
+        if bt.num_rows == 0:
+            per_bucket.append(np.array([], dtype=np.int64))
+            continue
+        sf = bt[SRC_FILE_COL].to_numpy(zero_copy_only=False)
+        rows = bt[SRC_ROW_COL].to_numpy(zero_copy_only=False)
+        per_bucket.append(rows[sf == file_idx].astype(np.int64))
+    combined = np.unique(np.concatenate(per_bucket)) if per_bucket \
+        else np.array([], dtype=np.int64)
+    names = pq.ParquetFile(path).schema_arrow.names
+    reverse = {v: k for k, v in (rename or {}).items()}
+    src_col = content_col if content_col in names \
+        else reverse.get(content_col)
+    ctype = pa.string()
+    if combined.size and src_col in names:
+        vals = _fetch_payload_rows(path, combined, src_col)
+        ctype = vals.type
+    else:
+        vals = pa.nulls(combined.size, type=ctype)
+    outs = []
+    for rows_b in per_bucket:
+        pos = np.searchsorted(combined, rows_b)
+        outs.append(pa.table({
+            SRC_FILE_COL: pa.array(np.full(len(rows_b), file_idx,
+                                           dtype=np.int32)),
+            SRC_ROW_COL: pa.array(rows_b),
+            content_col: vals.take(pa.array(pos)) if len(rows_b)
+            else pa.nulls(0, type=ctype),
+        }))
+    return outs if num_buckets > 1 else outs[0]
+
+
+def _attach_contents(t: pa.Table, contents: pa.Table | None,
+                     content_col: str) -> pa.Table:
+    """Writer-side completion of the payload-pruned exchange: scatter
+    the prefetched (locator → content) rows into ``t``'s nulled-out
+    content column, keyed on (__src_file, __src_row); locator columns
+    are dropped so on-disk snapshots never carry them. No-op for
+    tables without locators (inline path)."""
+    from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+
+    if SRC_FILE_COL not in t.column_names:
+        return t
+    import pyarrow.compute as pc
+
+    drop = [SRC_FILE_COL, SRC_ROW_COL]
+    if contents is None or contents.num_rows == 0 or t.num_rows == 0:
+        return t.drop_columns(drop)
+    sf = pc.fill_null(t[SRC_FILE_COL], -1).combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = pc.fill_null(t[SRC_ROW_COL], -1).combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    key_t = _loc_key(sf, np.maximum(rows, 0))
+    key_t[sf < 0] = -1
+    c_sf = contents[SRC_FILE_COL].to_numpy(zero_copy_only=False)
+    c_rows = contents[SRC_ROW_COL].to_numpy(zero_copy_only=False)
+    key_c = _loc_key(c_sf, c_rows)
+    order = np.argsort(key_c)
+    key_c_s = key_c[order]
+    pos = np.searchsorted(key_c_s, key_t)
+    pos_c = np.minimum(pos, max(len(key_c_s) - 1, 0))
+    hit = (key_t >= 0) & (pos < len(key_c_s)) & (key_c_s[pos_c] == key_t)
+    if hit.any():
+        n = t.num_rows
+        cvals = contents[content_col]
+        cvals = cvals.combine_chunks() if isinstance(cvals, pa.ChunkedArray) \
+            else cvals
+        if content_col in t.column_names:
+            orig = t[content_col]
+            orig = orig.combine_chunks() \
+                if isinstance(orig, pa.ChunkedArray) else orig
+        else:
+            orig = pa.nulls(n, type=cvals.type)
+        fetched = cvals.take(pa.array(order[pos_c[hit]]))
+        fetched = pc.cast(fetched, orig.type)
+        take_idx = np.arange(n, dtype=np.int64)
+        take_idx[np.flatnonzero(hit)] = n + np.arange(int(hit.sum()))
+        newcol = pa.concat_arrays([orig, fetched]).take(pa.array(take_idx))
+        if content_col in t.column_names:
+            t = t.set_column(t.column_names.index(content_col),
+                             content_col, newcol)
+        else:
+            t = t.append_column(content_col, newcol)
+    return t.drop_columns(drop)
+
+
 def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
                        rename, columns, predicate):
     """Read-side fold of one bucket's base file + delta stack (runs as
@@ -162,6 +328,7 @@ class CDCEngine:
         rows_per_task: int | None = None,
         wave_tasks: int | None = None,
         max_delta_depth: int | None = 8,
+        prune_payload: bool | str = "auto",
     ) -> None:
         self.table_dir = table_dir
         self.keys = list(keys)
@@ -178,6 +345,16 @@ class CDCEngine:
         # also lets tests force the multi-wave pipeline on tiny inputs
         self.rows_per_task = rows_per_task
         self.wave_tasks = wave_tasks
+        # payload-pruned exchange (SURVEY §7.3): True ships only
+        # (keys, lsn, op, content_sha, 12 B locator) through the
+        # shuffle and late-materializes winners' contents at the
+        # bucket writer; "auto" (default) engages per epoch when the
+        # source files' footer stats show mean content width above
+        # PRUNE_PAYLOAD_AUTO_BYTES. Only file-path sources can prune
+        # (a Dataset has no stable row locator to re-read from).
+        if prune_payload not in (True, False, "auto"):
+            raise ValueError("prune_payload must be True, False or 'auto'")
+        self.prune_payload = prune_payload
         self.manifest = Manifest(table_dir)
         # bucket count is part of the table's on-disk identity: the
         # per-bucket watermarks are meaningless under a different
@@ -683,6 +860,22 @@ class CDCEngine:
             idle += poll_interval
 
     # ------------------------------------------------------------------
+    def _decide_prune(self, kind: str, items) -> bool:
+        """Per-epoch payload-pruning decision. Only file-path sources
+        can prune (late materialization re-reads the source parquet by
+        row locator); "auto" engages when footer stats show mean
+        content width > PRUNE_PAYLOAD_AUTO_BYTES — narrow contents ship
+        cheaper inline than a 12 B locator plus a re-read."""
+        if kind != "files" or self.prune_payload is False:
+            return False
+        if self.prune_payload is True:
+            return True
+        reverse = {v: k for k, v in self.rename_map.items()}
+        cands = [self.content_col]
+        if reverse.get(self.content_col):
+            cands.append(reverse[self.content_col])
+        return _mean_payload_bytes(items, cands) > PRUNE_PAYLOAD_AUTO_BYTES
+
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
         """Read every epoch-file/Dataset, conform to the unified schema
         (schema evolution), union into one event Dataset. Blocks whose
@@ -786,10 +979,15 @@ class CDCEngine:
         from etlray.cdc.lww import drop_deletes, lww_reduce
         from etlray.exchange import hash_exchange
 
+        from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+
         keys, lsn_col, op_col = self.keys, self.lsn_col, self.op_col
         content_col, nb, rename = self.content_col, self.num_buckets, self.rename_map
         snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
         os.makedirs(snap_dir, exist_ok=True)
+
+        kind, items = source
+        prune = self._decide_prune(kind, items)
 
         prev_files = self.manifest.snapshot_files() or {}
         prev_lineage = self.manifest.lineage()
@@ -809,9 +1007,27 @@ class CDCEngine:
             sha256 stamp. One object-store round trip per block total.
             Hashing here (on the already-combined NEW events) keeps the
             writer's cost ∝ new data instead of re-walking the whole
-            merged bucket every rewrite."""
+            merged bucket every rewrite.
+
+            Payload-pruned mode additionally NULLS OUT the content
+            column after the sha stamp (an all-null Arrow column ships
+            as ~1 bit/row, and keeping the column preserves schema and
+            column order across bucket files): the shuffle then carries
+            only (keys, lsn, op, content_sha, 12 B source locator); the
+            bucket writer late-materializes winners via
+            _late_materialize."""
+            loc = None
+            if prune and SRC_FILE_COL in t.column_names:
+                # conformer projects to the unified event schema, which
+                # doesn't know the locator columns — detach/re-attach
+                # around it (row order and count are preserved)
+                loc = (t.column(SRC_FILE_COL), t.column(SRC_ROW_COL))
+                t = t.drop_columns([SRC_FILE_COL, SRC_ROW_COL])
             if prepare_fn is not None:
                 t = prepare_fn(t)
+            if loc is not None:
+                t = t.append_column(SRC_FILE_COL, loc[0])
+                t = t.append_column(SRC_ROW_COL, loc[1])
             if t.num_rows == 0:
                 return t.append_column(BUCKET_COL, pa.array([], type=pa.int32()))
             buckets = stable_bucket(t, keys, nb)
@@ -822,12 +1038,16 @@ class CDCEngine:
                 return t
             t = lww_reduce(t, keys, lsn_col)
             if content_col in t.column_names:
+                ci = t.column_names.index(content_col)
                 sha = sha256_column(t.column(content_col))
                 if "content_sha" in t.column_names:
                     t = t.set_column(t.column_names.index("content_sha"),
                                      "content_sha", sha)
                 else:
                     t = t.append_column("content_sha", sha)
+                if prune:
+                    t = t.set_column(ci, content_col, pa.nulls(
+                        t.num_rows, type=t.column(ci).type))
             return t
 
         def combine(t: pa.Table) -> pa.Table:
@@ -836,9 +1056,12 @@ class CDCEngine:
             shrinks to ≤ unique keys per bucket."""
             return lww_reduce(t, keys, lsn_col)
 
-        def merge_write(t: pa.Table, bucket: int, applied: int) -> pa.Table:
+        def merge_write(t: pa.Table, bucket: int, applied: int,
+                        contents: pa.Table | None = None) -> pa.Table:
             """Writer task for one bucket: merge previous bucket file +
-            new events (shas already stamped map-side), reduce, write."""
+            new events (shas already stamped map-side), reduce, write.
+            ``contents`` (payload-pruned mode): prefetched winning-row
+            payloads to scatter back before the merge."""
             if applied == 0:  # untouched bucket → carry forward (no IO)
                 return pa.table({
                     "bucket": pa.array([bucket], type=pa.int32()),
@@ -846,6 +1069,7 @@ class CDCEngine:
                     "max_lsn": pa.array([-1], type=pa.int64()),
                     "applied_events": pa.array([0], type=pa.int64()),
                 })
+            t = _attach_contents(t, contents, content_col)
             tables = [t]
             if bucket in prev_files:
                 prev = pq.read_table(prev_files[bucket])
@@ -903,11 +1127,15 @@ class CDCEngine:
                 "applied_events": pa.array([applied], type=pa.int64()),
             })
 
-        def delta_write(t: pa.Table, bucket: int, applied: int) -> pa.Table:
+        def delta_write(t: pa.Table, bucket: int, applied: int,
+                        contents: pa.Table | None = None) -> pa.Table:
             """Delta-mode writer for one bucket: the epoch's net per-key
             effect only — no base read, no base rewrite. Tombstones
             (op='delete') are RETAINED so the read-side merge drops the
-            base row; cost ∝ new events in this bucket."""
+            base row; cost ∝ new events in this bucket. ``contents``
+            (payload-pruned mode): prefetched payloads scattered back
+            before the delta file is written (tombstones keep null
+            content — the source row is null too)."""
             if applied == 0:  # untouched bucket
                 return pa.table({
                     "bucket": pa.array([bucket], type=pa.int32()),
@@ -916,6 +1144,7 @@ class CDCEngine:
                     "applied_events": pa.array([0], type=pa.int64()),
                 })
             t = lww_reduce(t, keys, lsn_col)  # final cross-wave reduce
+            t = _attach_contents(t, contents, content_col)
             if BUCKET_COL in t.column_names:
                 t = t.drop_columns([BUCKET_COL])
             t = t.append_column(
@@ -935,7 +1164,6 @@ class CDCEngine:
 
         import ray as _ray
 
-        kind, items = source
         if kind == "files":
             import pyarrow.parquet as pq
 
@@ -949,11 +1177,72 @@ class CDCEngine:
             # size — the wave pipeline's backpressure depends on it
             rows_per_task = self.rows_per_task or min(
                 max(total_rows // (3 * ncpu) + 1, 20_000), 500_000)
-            stat_refs = hash_exchange_files(
-                items, keys, nb, writer, bucket_col=BUCKET_COL,
-                pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
-                rows_per_task=rows_per_task, combine_fn=combine,
-                pass_applied=True, wave_tasks=self.wave_tasks)
+            if prune:
+                # payload-pruned plan: the exchange reduces WITHOUT
+                # writing; per-FILE fetch tasks then read each winning
+                # row group exactly once and route contents to bucket
+                # writers (one extra task layer, bounded per-row
+                # exchange volume regardless of content width)
+                def reduce_prep(t: pa.Table, bucket: int,
+                                applied: int):
+                    if applied and t.num_rows:
+                        t = lww_reduce(t, keys, lsn_col)
+                    return (t, applied)
+
+                red_refs = hash_exchange_files(
+                    items, keys, nb, reduce_prep, bucket_col=BUCKET_COL,
+                    pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
+                    rows_per_task=rows_per_task, combine_fn=combine,
+                    pass_applied=True, wave_tasks=self.wave_tasks,
+                    stamp_locator=True)
+
+                from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+
+                @_ray.remote
+                def need_rows(red):
+                    """(file, row) locators of this bucket's winning
+                    non-delete rows — tombstones never fetch (a CDC
+                    delete carries no payload)."""
+                    t, applied = red
+                    empty = pa.table({
+                        SRC_FILE_COL: pa.array([], type=pa.int32()),
+                        SRC_ROW_COL: pa.array([], type=pa.int64())})
+                    if not applied or t.num_rows == 0 \
+                            or SRC_FILE_COL not in t.column_names:
+                        return empty
+                    if op_col in t.column_names:
+                        t = t.filter(pc.not_equal(
+                            pc.fill_null(t[op_col], ""), "delete"))
+                    t = t.filter(pc.is_valid(t[SRC_FILE_COL]))
+                    return t.select([SRC_FILE_COL, SRC_ROW_COL])
+
+                need_refs = [need_rows.remote(r) for r in red_refs]
+                fetch = _ray.remote(num_returns=nb)(_fetch_file_payloads)
+                parts_by_file = []
+                for fi, path in enumerate(items):
+                    out = fetch.remote(path, fi, content_col, rename,
+                                       nb, *need_refs)
+                    parts_by_file.append([out] if nb == 1 else list(out))
+
+                @_ray.remote
+                def write_bucket(red, bucket, *content_parts):
+                    t, applied = red
+                    cp = [p for p in content_parts if p.num_rows]
+                    contents = pa.concat_tables(cp) if cp else None
+                    return writer(t, bucket, applied, contents)
+
+                stat_refs = [
+                    write_bucket.remote(
+                        red_refs[b], b,
+                        *[parts_by_file[f][b]
+                          for f in range(len(items))])
+                    for b in range(nb)]
+            else:
+                stat_refs = hash_exchange_files(
+                    items, keys, nb, writer, bucket_col=BUCKET_COL,
+                    pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
+                    rows_per_task=rows_per_task, combine_fn=combine,
+                    pass_applied=True, wave_tasks=self.wave_tasks)
         else:
             stat_refs = hash_exchange(items, keys, nb, writer,
                                       bucket_col=BUCKET_COL, pass_bucket_id=True,

@@ -39,9 +39,12 @@ RENAME_MAP = {"lang": "language"}  # epoch-2 rename, applied at read
 
 _PAD_POOL = np.array([
     ("    # deterministic filler line %02d\n" % i) * (1 + i)
-    for i in range(16)
-], dtype=object)  # lengths ~35..560 chars; object dtype: a U-dtype
-# pool would materialize max-width (8.7 KB) copies on fancy indexing
+    for i in range(48)
+], dtype=object)  # lengths ~35..1680 chars (levels 0..15 identical to
+# the original 16-entry pool, so pad_levels<=16 fixtures are unchanged;
+# levels up to 48 give the KB-scale "full-size source file" shape the
+# payload-pruned scaling run uses). object dtype: a U-dtype pool would
+# materialize max-width copies on fancy indexing
 
 
 def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray,

@@ -78,15 +78,39 @@ def _split_block(table: pa.Table, keys: list[str], num_buckets: int,
             for b in range(num_buckets)]
 
 
+SRC_FILE_COL = "__src_file"
+SRC_ROW_COL = "__src_row"
+
+
 def _split_file(path: str, row_groups: list[int], keys: list[str],
                 num_buckets: int, bucket_col: str | None,
-                pre_fn) -> list[pa.Table]:
+                pre_fn, file_index: int | None = None) -> list[pa.Table]:
     """Split task that READS its own parquet row groups — no Ray Data
     pipeline, no driver streaming: the driver only lists footer
-    metadata and submits one task per row-group chunk."""
+    metadata and submits one task per row-group chunk.
+
+    ``file_index`` (payload-pruned exchange): stamp every row with its
+    source locator — ``__src_file`` (the caller's index into its path
+    list, int32) and ``__src_row`` (global row ordinal within the file,
+    int64) — BEFORE ``pre_fn``, so a downstream consumer can drop a
+    wide payload column at the map side and late-materialize only the
+    winning rows' payloads from the source file (12 B/row through the
+    shuffle instead of the payload)."""
+    import numpy as np
     import pyarrow.parquet as pq
 
-    table = pq.ParquetFile(path).read_row_groups(row_groups)
+    pf = pq.ParquetFile(path)
+    table = pf.read_row_groups(row_groups)
+    if file_index is not None:
+        md = pf.metadata
+        sizes = np.array([md.row_group(i).num_rows
+                          for i in range(md.num_row_groups)], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)))
+        idx = (np.concatenate([starts[g] + np.arange(sizes[g]) for g in row_groups])
+               if row_groups else np.array([], dtype=np.int64))
+        table = table.append_column(SRC_FILE_COL, pa.array(
+            np.full(table.num_rows, file_index, dtype=np.int32)))
+        table = table.append_column(SRC_ROW_COL, pa.array(idx))
     return _split_block(table, keys, num_buckets, bucket_col, pre_fn)
 
 
@@ -281,12 +305,15 @@ def hash_exchange_files(
     combine_fn=None,
     pass_applied: bool = False,
     wave_tasks: int | None = None,
+    stamp_locator: bool = False,
 ):
     """File-direct variant of hash_exchange: for each parquet file the
     driver reads ONLY the footer, chunks row groups into ~rows_per_task
     units, and submits self-reading split tasks. Removes the Ray Data
     executor + driver ref-streaming from the critical path entirely
-    (the measured ~severals-of-seconds serial floor per epoch)."""
+    (the measured ~severals-of-seconds serial floor per epoch).
+    ``stamp_locator=True`` adds (__src_file, __src_row) source locators
+    to every row before ``pre_fn`` — see ``_split_file``."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -295,7 +322,7 @@ def hash_exchange_files(
     split = ray.remote(num_returns=num_buckets)(_split_file)
 
     def units():
-        for path in paths:
+        for fi, path in enumerate(paths):
             md = pq.ParquetFile(path).metadata
             chunk: list[int] = []
             rows = 0
@@ -309,9 +336,10 @@ def hash_exchange_files(
             if chunk:
                 chunks.append(chunk)
             for rgs in chunks:
-                def submit(p=path, r=rgs):
+                def submit(p=path, r=rgs, fi=fi):
                     out = split.remote(p, r, keys, num_buckets, bucket_col,
-                                       pre_fn)
+                                       pre_fn,
+                                       fi if stamp_locator else None)
                     return [out] if num_buckets == 1 else out
                 yield submit
 

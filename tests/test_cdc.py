@@ -149,3 +149,84 @@ def test_hot_key_skew_correct_and_bounded(tmp_path, ray_session):
     lin = eng.manifest.lineage()
     rows = [v["rows"] for v in lin.values() if v["rows"] > 0]
     assert max(rows) <= 10 * max(1, min(rows) or 1) or len(rows) > 1
+
+
+# ---------------------------------------------------------------------------
+# payload-pruned exchange (SURVEY §7.3 / round-3 VERDICT #2)
+# ---------------------------------------------------------------------------
+def _assert_contents_exact(state: dict, oracle: dict) -> None:
+    from etlray.cdc.fixture import sha256_hex
+
+    for k, orow in oracle.items():
+        row = state[k]
+        assert row["content"] == orow["content"], f"content mismatch at {k}"
+        if row["content"] is not None:
+            assert sha256_hex(row["content"]) == row["content_sha"]
+
+
+def test_full_replay_payload_pruned(fixture_dir, tmp_path, ray_session):
+    """prune_payload=True ships (keys, lsn, op, content_sha, 12 B
+    locator) through the exchange — never the content — and the bucket
+    writer late-materializes winners from the source epoch files. The
+    final state must be byte-identical, content column included."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP, prune_payload=True)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        assert eng.apply_log(p, epoch_id=i)["committed"]
+    oracle = oracle_apply(fixture_dir["base"], fixture_dir["epochs"])
+    state = _final_state(eng)
+    _assert_matches_oracle(state, oracle)
+    _assert_contents_exact(state, oracle)
+    # locator columns must never reach disk
+    import glob
+
+    for f in glob.glob(os.path.join(str(tmp_path / "table"),
+                                    "snap-*", "**", "*.parquet"),
+                       recursive=True):
+        names = pq.ParquetFile(f).schema_arrow.names
+        assert "__src_file" not in names and "__src_row" not in names, f
+
+
+def test_delta_replay_payload_pruned(fixture_dir, tmp_path, ray_session):
+    """Pruned delta tier: tombstones keep null content; checkpoint
+    folds see real contents (delta files are written post-fetch)."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP, prune_payload=True,
+                    max_delta_depth=None)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    for i, p in enumerate(fixture_dir["epochs"]):
+        assert eng.apply_log(p, epoch_id=i, mode="delta")["committed"]
+    oracle = oracle_apply(fixture_dir["base"], fixture_dir["epochs"])
+    state = _final_state(eng)
+    _assert_matches_oracle(state, oracle)
+    _assert_contents_exact(state, oracle)
+    # and after a checkpoint fold the state is unchanged
+    eng.checkpoint("ckpt")
+    state2 = _final_state(eng)
+    _assert_matches_oracle(state2, oracle)
+    _assert_contents_exact(state2, oracle)
+
+
+def test_prune_auto_dispatch(fixture_dir, tmp_path, ray_session):
+    """"auto" engages on footer stats: the default fixture's ~300 B
+    contents stay inline; a True/False override always wins."""
+    eng = CDCEngine(str(tmp_path / "t1"), rename_map=RENAME_MAP)
+    files = list(fixture_dir["epochs"])
+    auto = eng._decide_prune("files", files)
+    from etlray.cdc.engine import PRUNE_PAYLOAD_AUTO_BYTES, \
+        _mean_payload_bytes
+
+    mean = _mean_payload_bytes(files, ["content"])
+    assert auto == (mean > PRUNE_PAYLOAD_AUTO_BYTES)
+    assert CDCEngine(str(tmp_path / "t2"), prune_payload=True) \
+        ._decide_prune("files", files) is True
+    assert CDCEngine(str(tmp_path / "t3"), prune_payload=False) \
+        ._decide_prune("files", files) is False
+    # dataset sources can never prune (no stable row locator)
+    assert CDCEngine(str(tmp_path / "t4"), prune_payload=True) \
+        ._decide_prune("datasets", []) is False
