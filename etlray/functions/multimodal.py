@@ -250,12 +250,21 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[yi[:, None], xi[None, :]]
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Dependency-free image decode: 24-bit BMP, then 8-bit truecolor
-    PNG. Returns (h, w, 3) uint8 RGB or None."""
+    """Dependency-free image decode: 24-bit BMP, 8-bit truecolor PNG,
+    then baseline JPEG (``etlray/functions/jpeg.py`` — sequential DCT
+    SOF0, sampling factors ≤ 2×2). Returns (h, w, 3) uint8 RGB or
+    None."""
     img = decode_bmp(payload)
     if img is not None:
         return img
-    return decode_png(payload)
+    img = decode_png(payload)
+    if img is not None:
+        return img
+    if len(payload) >= 2 and payload[0] == 0xFF and payload[1] == 0xD8:
+        from etlray.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    return None
 
 
 IMAGE_SCHEMA = pa.schema([
@@ -318,8 +327,9 @@ class ImageDecodeStage:
                     continue
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not BMP/PNG and PIL is not installed; "
-                    "run with strict=False for the deterministic stub")
+                    "payload is not BMP/PNG/baseline-JPEG and PIL is "
+                    "not installed; run with strict=False for the "
+                    "deterministic stub")
             # STUB: deterministic fake dims from payload hash
             hsh = int.from_bytes(
                 hashlib.blake2b(p or b"", digest_size=4).digest(), "little")
@@ -515,6 +525,33 @@ def synth_png_table(n: int = 32, seed: int = 6,
         "media_id": pa.array(range(n), type=pa.int64()),
         "payload": pa.array(payloads, type=pa.binary()),
         "mime": pa.array(["image/png"] * n),
+        "width": pa.array(ws, type=pa.int32()),
+        "height": pa.array(hs, type=pa.int32()),
+    })
+
+
+def synth_jpeg_table(n: int = 32, seed: int = 9,
+                     max_side: int = 48) -> pa.Table:
+    """Deterministic REAL-JPEG media table: every payload is a valid
+    baseline JPEG (alternating 4:4:4 / 4:2:0 so the decode path
+    exercises both the flat and the subsampled MCU layouts) — matches
+    IMAGE_SCHEMA."""
+    from etlray.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        h = int(rng.integers(8, max_side))
+        w = int(rng.integers(8, max_side))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payloads.append(encode_jpeg(
+            img, subsampling="4:2:0" if i % 2 else "4:4:4"))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/jpeg"] * n),
         "width": pa.array(ws, type=pa.int32()),
         "height": pa.array(hs, type=pa.int32()),
     })

@@ -1658,6 +1658,24 @@ def multimodal_decode_png(sf_dir: str):
         .select_columns(["media_id", "decoded_width", "decoded_height"])
 
 
+@register("multimodal_decode_jpeg")
+def multimodal_decode_jpeg(sf_dir: str):
+    """Strict-mode decode of REAL baseline-JPEG payloads (alternating
+    4:4:4 / 4:2:0) by the dependency-free huffman+IDCT codec
+    (etlray/functions/jpeg.py) — stub fallback would raise."""
+    import ray.data
+
+    from etlray.functions.multimodal import (ImageDecodeStage,
+                                             synth_jpeg_table)
+
+    ds = ray.data.from_arrow(synth_jpeg_table(128))
+    return ds.map_batches(ImageDecodeStage,
+                          fn_constructor_kwargs={"strict": True},
+                          batch_format="pyarrow",
+                          batch_size=16, concurrency=2) \
+        .select_columns(["media_id", "decoded_width", "decoded_height"])
+
+
 @register("multimodal_features")
 def multimodal_features(sf_dir: str):
     import ray.data
@@ -1836,6 +1854,7 @@ _GATE_TAIL = [
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
     "multimodal_features",
     "multimodal_audio_features",
     "cdc_replay_flagship",

@@ -177,3 +177,77 @@ def test_resize_stage_reencodes_png_as_png(ray_session):
     for r in out:
         img = decode_png(r["resized_payload"])
         assert img is not None and img.shape == (9, 12, 3)
+
+
+def test_jpeg_roundtrip_both_subsamplings():
+    import numpy as np
+
+    from etlray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    for shape in [(8, 8), (16, 16), (24, 17), (33, 41)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        y_in = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+        for sub in ("4:4:4", "4:2:0"):
+            out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            assert out is not None and out.shape == img.shape
+            if sub == "4:4:4":
+                # flat quant 4/6: full round-trip stays within the
+                # quantization bound even on noise
+                assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+            # luma is preserved under BOTH samplings (chroma is
+            # genuinely lossy at 4:2:0 on noise — that's the codec
+            # working, not a bug). Bound is loose because luma here is
+            # recomputed from the CLIPPED RGB: a pixel whose averaged
+            # chroma drives a channel past [0,255] shifts its apparent
+            # luma after the clamp (standard JPEG behavior).
+            y_out = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                     + 0.114 * out[..., 2])
+            assert np.abs(y_in - y_out).max() <= 40
+            assert np.abs(y_in - y_out).mean() <= 3
+
+
+def test_jpeg_smooth_near_lossless():
+    import numpy as np
+
+    from etlray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 64)
+    img = np.repeat(np.repeat(x[None, :, None], 64, 0), 3, 2) \
+        .astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        out = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_garbage_and_non_baseline():
+    from etlray.functions.jpeg import decode_jpeg
+    from etlray.functions.multimodal import encode_bmp
+
+    import numpy as np
+
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+    bmp = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert decode_jpeg(bmp) is None
+
+
+def test_jpeg_query_strict_decodes_real_dims(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etlray.queries import QUERIES
+
+    out = QUERIES["multimodal_decode_jpeg"]("/root/testdata/sf0.001") \
+        .take_all()
+    from etlray.functions.multimodal import synth_jpeg_table
+
+    t = synth_jpeg_table(128)
+    want = {(m, w, h) for m, w, h in zip(t["media_id"].to_pylist(),
+                                         t["width"].to_pylist(),
+                                         t["height"].to_pylist())}
+    got = {(r["media_id"], r["decoded_width"], r["decoded_height"])
+           for r in out}
+    assert got == want
