@@ -1668,11 +1668,15 @@ def multimodal_decode_jpeg(sf_dir: str):
     from etlray.functions.multimodal import (ImageDecodeStage,
                                              synth_jpeg_table)
 
+    # concurrency 4 / batch 8: the bit-serial huffman loop is the cost
+    # (a real deployment swaps PIL/turbojpeg into the same stage) —
+    # spread the 128 payloads across more actors so the query stays in
+    # the same wall-time band as the other strict decodes
     ds = ray.data.from_arrow(synth_jpeg_table(128))
     return ds.map_batches(ImageDecodeStage,
                           fn_constructor_kwargs={"strict": True},
                           batch_format="pyarrow",
-                          batch_size=16, concurrency=2) \
+                          batch_size=8, concurrency=4) \
         .select_columns(["media_id", "decoded_width", "decoded_height"])
 
 
