@@ -59,14 +59,16 @@ from etlray.cdc.manifest import Manifest, write_lineage_jsonl
 PRUNE_PAYLOAD_AUTO_BYTES = 16384
 
 
-def _mean_payload_bytes(paths, col_names) -> float:
+def _mean_payload_bytes(sources, col_names) -> float:
     """Mean uncompressed bytes/row of the first matching payload column
-    across ``paths`` — footer metadata only, no data read."""
+    across ``sources`` (paths or already-read FileMetaData) — footer
+    metadata only, no data read."""
     import pyarrow.parquet as pq
 
     total_b = total_r = 0
-    for p in paths:
-        md = pq.ParquetFile(p).metadata
+    for p in sources:
+        md = p if hasattr(p, "num_row_groups") else \
+            pq.ParquetFile(p).metadata
         arrow_names = md.schema.to_arrow_schema().names
         ci = next((arrow_names.index(c) for c in col_names
                    if c in arrow_names), None)
@@ -79,17 +81,15 @@ def _mean_payload_bytes(paths, col_names) -> float:
     return total_b / total_r if total_r else 0.0
 
 
-def _fetch_payload_rows(path: str, rows_needed: "np.ndarray", col: str):
+def _fetch_payload_rows(pf, rows_needed: "np.ndarray", col: str):
     """Read ONLY the row groups containing ``rows_needed`` (global row
-    ordinals, ascending) from ``path`` and return the payload column
-    aligned to that order. Cost ∝ row groups touched, not file size."""
-    import pyarrow.parquet as pq
+    ordinals, ascending) from an opened ``pq.ParquetFile`` and return
+    the payload column aligned to that order. Cost ∝ row groups
+    touched, not file size. Takes the open file (not a path) so the
+    caller's footer read is reused instead of paying a second one."""
+    from etlray.exchange import row_group_offsets
 
-    pf = pq.ParquetFile(path)
-    md = pf.metadata
-    sizes = np.array([md.row_group(i).num_rows
-                      for i in range(md.num_row_groups)], dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(sizes)))
+    sizes, starts = row_group_offsets(pf.metadata)
     gids = np.searchsorted(starts, rows_needed, side="right") - 1
     need = np.unique(gids)
     tbl = pf.read_row_groups([int(g) for g in need], columns=[col])
@@ -133,13 +133,17 @@ def _fetch_file_payloads(path: str, file_idx: int, content_col: str,
         per_bucket.append(rows[sf == file_idx].astype(np.int64))
     combined = np.unique(np.concatenate(per_bucket)) if per_bucket \
         else np.array([], dtype=np.int64)
-    names = pq.ParquetFile(path).schema_arrow.names
+    pf = pq.ParquetFile(path)  # ONE footer read: schema + fetch share it
+    names = pf.schema_arrow.names
     reverse = {v: k for k, v in (rename or {}).items()}
     src_col = content_col if content_col in names \
         else reverse.get(content_col)
-    ctype = pa.string()
+    # empty/columnless parts carry a NULL-typed payload so the writer's
+    # permissive concat promotes them to whatever type the real parts
+    # have (string/large_string/binary) instead of pinning pa.string()
+    ctype = pa.null()
     if combined.size and src_col in names:
-        vals = _fetch_payload_rows(path, combined, src_col)
+        vals = _fetch_payload_rows(pf, combined, src_col)
         ctype = vals.type
     else:
         vals = pa.nulls(combined.size, type=ctype)
@@ -860,12 +864,14 @@ class CDCEngine:
             idle += poll_interval
 
     # ------------------------------------------------------------------
-    def _decide_prune(self, kind: str, items) -> bool:
+    def _decide_prune(self, kind: str, items, metas=None) -> bool:
         """Per-epoch payload-pruning decision. Only file-path sources
         can prune (late materialization re-reads the source parquet by
         row locator); "auto" engages when footer stats show mean
         content width > PRUNE_PAYLOAD_AUTO_BYTES — narrow contents ship
-        cheaper inline than a 12 B locator plus a re-read."""
+        cheaper inline than a 12 B locator plus a re-read. ``metas``:
+        already-read FileMetaData for ``items`` so the decision shares
+        the caller's one footer pass instead of re-opening every file."""
         if kind != "files" or self.prune_payload is False:
             return False
         if self.prune_payload is True:
@@ -874,7 +880,8 @@ class CDCEngine:
         cands = [self.content_col]
         if reverse.get(self.content_col):
             cands.append(reverse[self.content_col])
-        return _mean_payload_bytes(items, cands) > PRUNE_PAYLOAD_AUTO_BYTES
+        return _mean_payload_bytes(metas or items, cands) \
+            > PRUNE_PAYLOAD_AUTO_BYTES
 
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
         """Read every epoch-file/Dataset, conform to the unified schema
@@ -987,7 +994,10 @@ class CDCEngine:
         os.makedirs(snap_dir, exist_ok=True)
 
         kind, items = source
-        prune = self._decide_prune(kind, items)
+        # one footer pass serves the prune decision AND total_rows below
+        metas = [pq.ParquetFile(p).metadata for p in items] \
+            if kind == "files" else None
+        prune = self._decide_prune(kind, items, metas)
 
         prev_files = self.manifest.snapshot_files() or {}
         prev_lineage = self.manifest.lineage()
@@ -1014,8 +1024,9 @@ class CDCEngine:
             as ~1 bit/row, and keeping the column preserves schema and
             column order across bucket files): the shuffle then carries
             only (keys, lsn, op, content_sha, 12 B source locator); the
-            bucket writer late-materializes winners via
-            _late_materialize."""
+            per-file fetch tasks (_fetch_file_payloads) read winners'
+            row groups once and the bucket writer scatters them back
+            via _attach_contents."""
             loc = None
             if prune and SRC_FILE_COL in t.column_names:
                 # conformer projects to the unified event schema, which
@@ -1165,11 +1176,9 @@ class CDCEngine:
         import ray as _ray
 
         if kind == "files":
-            import pyarrow.parquet as pq
-
             from etlray.exchange import hash_exchange_files
 
-            total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in items)
+            total_rows = sum(m.num_rows for m in metas)
             ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
                 if _ray.is_initialized() else 8
             # cap the per-task chunk so one WAVE (ncpu tasks) of split
@@ -1228,7 +1237,13 @@ class CDCEngine:
                 def write_bucket(red, bucket, *content_parts):
                     t, applied = red
                     cp = [p for p in content_parts if p.num_rows]
-                    contents = pa.concat_tables(cp) if cp else None
+                    # permissive: per-file payload types may differ
+                    # across a schema-evolving batched epoch (null for
+                    # pre-content files, string vs large_string);
+                    # _attach_contents casts to the bucket's own
+                    # content type afterwards
+                    contents = pa.concat_tables(
+                        cp, promote_options="permissive") if cp else None
                     return writer(t, bucket, applied, contents)
 
                 stat_refs = [

@@ -82,6 +82,20 @@ SRC_FILE_COL = "__src_file"
 SRC_ROW_COL = "__src_row"
 
 
+def row_group_offsets(md) -> "tuple":
+    """(sizes, starts) arrays for a parquet FileMetaData: sizes[g] =
+    rows in row group g, starts[g] = global ordinal of its first row
+    (starts has num_row_groups+1 entries; the last is the row count).
+    One shared definition for every locator computation — _split_file's
+    stamping and the payload fetch must agree bit-for-bit."""
+    import numpy as np
+
+    sizes = np.array([md.row_group(i).num_rows
+                      for i in range(md.num_row_groups)], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    return sizes, starts
+
+
 def _split_file(path: str, row_groups: list[int], keys: list[str],
                 num_buckets: int, bucket_col: str | None,
                 pre_fn, file_index: int | None = None) -> list[pa.Table]:
@@ -102,10 +116,7 @@ def _split_file(path: str, row_groups: list[int], keys: list[str],
     pf = pq.ParquetFile(path)
     table = pf.read_row_groups(row_groups)
     if file_index is not None:
-        md = pf.metadata
-        sizes = np.array([md.row_group(i).num_rows
-                          for i in range(md.num_row_groups)], dtype=np.int64)
-        starts = np.concatenate(([0], np.cumsum(sizes)))
+        sizes, starts = row_group_offsets(pf.metadata)
         idx = (np.concatenate([starts[g] + np.arange(sizes[g]) for g in row_groups])
                if row_groups else np.array([], dtype=np.int64))
         table = table.append_column(SRC_FILE_COL, pa.array(

@@ -647,8 +647,18 @@ def _cosine_verify_pairs(cand, vecs_ds, vec_col: str, id_col: str,
             return np.zeros(len(a), dtype=np.float64)
         unit = np.zeros((len(uids), dim), dtype=np.float32)
         for k, x in enumerate(bufs):
-            if x and len(x) == dim * 4:
-                unit[k] = np.frombuffer(x, dtype=np.float32)
+            if not x:
+                continue  # doc absent from corpus → zero vector
+            if len(x) != dim * 4:
+                # fail LOUDLY like the inline path does on ragged
+                # vectors (vectors_to_numpy raises) — silently zeroing
+                # a mismatched row would drop its pairs as false
+                # negatives with no diagnostic
+                raise ValueError(
+                    f"embedding width mismatch in cosine verify: doc "
+                    f"{int(uids[k])} has {len(x)} payload bytes, "
+                    f"expected {dim * 4} (dim {dim})")
+            unit[k] = np.frombuffer(x, dtype=np.float32)
         ai = np.searchsorted(uids, a)
         bi = np.searchsorted(uids, b)
         return np.einsum("ij,ij->i", unit[ai], unit[bi]) \
@@ -1029,6 +1039,7 @@ def embedding_near_dups(
     seed: int = 11,
     candidates: str = "auto",
     inline_band_bytes: int = 16384,
+    dim: int | None = None,
 ):
     """Multi-band random-hyperplane LSH near-dup detection over an
     embedding column: every vector gets ``num_bands`` INDEPENDENT sign
@@ -1058,12 +1069,16 @@ def embedding_near_dups(
       ``dim``.
     * ``"auto"`` (default): ``"inline"`` while the per-row shipping
       cost ``dim · 4 B · num_bands`` stays ≤ ``inline_band_bytes``
-      (16 KiB ≈ dim-256 at B=16), else ``"code_only"``."""
+      (16 KiB ≈ dim-256 at B=16), else ``"code_only"``. Pass ``dim``
+      when known: without it (and without a fixed_size_list schema)
+      auto has to peek one row, which executes the upstream pipeline's
+      first block once just for the dispatch."""
     if candidates not in ("auto", "inline", "code_only"):
         raise ValueError("candidates must be 'auto', 'inline' or "
                          "'code_only'")
     if candidates == "auto":
-        dim = _peek_vector_dim(ds, vec_col)
+        if dim is None:
+            dim = _peek_vector_dim(ds, vec_col)
         candidates = ("inline"
                       if dim * 4 * num_bands <= inline_band_bytes
                       else "code_only")

@@ -397,6 +397,12 @@ def _decode_jpeg(d: bytes) -> np.ndarray | None:
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes
+        while pos + 4 <= len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(d):
+            return None
         marker = d[pos + 1]
         if marker == 0xD9:
             return None  # EOI before SOS
@@ -505,7 +511,12 @@ def _decode_scan(d, pos, h, w, comps, quant, restart):
                             return None
                         coef[k] = _extend(bits, size)
                         k += 1
-                    dq = (coef * q).astype(np.float64)
+                    # coef is in ZIGZAG order, q in natural order —
+                    # reindex q to zigzag for the multiply (with a
+                    # non-flat table, e.g. Annex K, the unaligned
+                    # multiply decodes to garbage; regression-tested
+                    # with a planted non-flat table)
+                    dq = (coef * q[_ZIGZAG]).astype(np.float64)
                     blk = np.empty(64)
                     blk[_ZIGZAG] = dq
                     px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0

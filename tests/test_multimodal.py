@@ -251,3 +251,44 @@ def test_jpeg_query_strict_decodes_real_dims(ray_session):
     got = {(r["media_id"], r["decoded_width"], r["decoded_height"])
            for r in out}
     assert got == want
+
+
+def test_jpeg_nonflat_quant_table_decodes(monkeypatch):
+    """Regression: the decoder must dequantize ZIGZAG-ordered
+    coefficients with the quant table in zigzag order too — with a
+    non-flat table (every real-world JPEG) a natural-order multiply
+    decodes to garbage (max error 247 observed before the fix)."""
+    import numpy as np
+
+    from etlray.functions import jpeg as J
+
+    q_l = np.full(64, 2, dtype=np.int64)
+    q_l[8] = 40            # natural-order position (1,0): non-flat
+    q_l[1] = 24
+    q_c = np.full(64, 3, dtype=np.int64)
+    q_c[9] = 30
+    monkeypatch.setattr(J, "_QUANT_LUMA", q_l)
+    monkeypatch.setattr(J, "_QUANT_CHROMA", q_c)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    assert out is not None
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 60 and err.mean() <= 12  # quant-bounded, not garbage
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — inject some between segments and decode."""
+    import numpy as np
+
+    from etlray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    # insert fill bytes before the DQT marker (first 0xFF 0xDB)
+    i = bytes(enc).index(b"\xff\xdb")
+    padded = bytes(enc[:i]) + b"\xff\xff\xff" + bytes(enc[i:])
+    out = decode_jpeg(padded)
+    assert out is not None and out.shape == img.shape
