@@ -1,0 +1,108 @@
+"""Property tests for the payload-pruned exchange's locator math:
+_split_file's (__src_file, __src_row) stamping, _fetch_file_payloads'
+row-group-pruned reads, and _attach_contents' keyed scatter must agree
+bit-for-bit for ANY row-group layout and need pattern."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etlray.cdc.engine import _attach_contents, _fetch_file_payloads
+from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL, row_group_offsets
+
+
+def _write_file(path: str, n_rows: int, rg_size: int, salt: int) -> list:
+    contents = [f"content-{salt}-{i}" if i % 7 else None
+                for i in range(n_rows)]
+    t = pa.table({"content": pa.array(contents, type=pa.string())})
+    pq.write_table(t, path, row_group_size=rg_size)
+    return contents
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_fetch_and_attach_reconstruct_exactly(tmp_path_factory, data):
+    tmp = tmp_path_factory.mktemp("prune_math")
+    n_files = data.draw(st.integers(1, 3))
+    layouts = []
+    for fi in range(n_files):
+        n_rows = data.draw(st.integers(1, 120))
+        rg_size = data.draw(st.integers(1, 50))
+        p = os.path.join(str(tmp), f"f{fi}.parquet")
+        layouts.append((p, _write_file(p, n_rows, rg_size, fi)))
+
+    nb = data.draw(st.integers(1, 4))
+    # random need pattern: each bucket wants a random subset of rows
+    # from random files
+    need_tables = []
+    expected = {}  # (file, row) -> content
+    for b in range(nb):
+        fs, rs = [], []
+        for fi, (p, contents) in enumerate(layouts):
+            k = data.draw(st.integers(0, len(contents)))
+            rows = sorted(data.draw(st.sets(
+                st.integers(0, len(contents) - 1),
+                min_size=0, max_size=k)))
+            for r in rows:
+                fs.append(fi)
+                rs.append(r)
+                expected[(fi, r)] = contents[r]
+        need_tables.append(pa.table({
+            SRC_FILE_COL: pa.array(fs, type=pa.int32()),
+            SRC_ROW_COL: pa.array(rs, type=pa.int64())}))
+
+    # per-file fetch (exactly what the epoch orchestration submits)
+    parts_by_bucket: list[list] = [[] for _ in range(nb)]
+    for fi, (p, _c) in enumerate(layouts):
+        outs = _fetch_file_payloads(p, fi, "content", None, nb,
+                                    *need_tables)
+        outs = outs if nb > 1 else [outs]
+        for b, part in enumerate(outs):
+            parts_by_bucket[b].append(part)
+
+    for b in range(nb):
+        parts = [p for p in parts_by_bucket[b] if p.num_rows]
+        contents = pa.concat_tables(
+            parts, promote_options="permissive") if parts else None
+        nt = need_tables[b]
+        # writer-side table: the bucket's rows with nulled content
+        t = pa.table({
+            SRC_FILE_COL: nt[SRC_FILE_COL],
+            SRC_ROW_COL: nt[SRC_ROW_COL],
+            "content": pa.nulls(nt.num_rows, type=pa.string()),
+        })
+        got = _attach_contents(t, contents, "content")
+        assert SRC_FILE_COL not in got.column_names
+        fs = nt[SRC_FILE_COL].to_pylist()
+        rs = nt[SRC_ROW_COL].to_pylist()
+        for fi, r, c in zip(fs, rs, got["content"].to_pylist()):
+            assert c == expected[(fi, r)], (fi, r)
+
+
+def test_row_group_offsets_matches_split_stamp(tmp_path, ray_session):
+    """_split_file's locator stamping and row_group_offsets must agree:
+    reading stamped chunks back in row-group order reproduces 0..n-1."""
+    import ray
+
+    from etlray.exchange import _split_file
+
+    p = os.path.join(str(tmp_path), "f.parquet")
+    n = 97
+    pq.write_table(pa.table({"k": pa.array(range(n))}), p,
+                   row_group_size=10)
+    md = pq.ParquetFile(p).metadata
+    sizes, starts = row_group_offsets(md)
+    assert int(starts[-1]) == n and int(sizes.sum()) == n
+    # stamp via the real split task, one chunk of all row groups
+    parts = _split_file(p, list(range(md.num_row_groups)), ["k"], 1,
+                        None, None, file_index=3)
+    t = parts[0]
+    assert t[SRC_FILE_COL].to_pylist() == [3] * n
+    assert t[SRC_ROW_COL].to_pylist() == list(range(n))
+    assert t["k"].to_pylist() == list(range(n))
