@@ -66,9 +66,12 @@ def with_bucket(table: pa.Table, keys: Sequence[str], num_buckets: int) -> pa.Ta
 
 
 def sha256_column(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Per-row sha256(content) — the BASELINE.json invariant column."""
-    out = [None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
-           for v in arr.to_pylist()]
+    """Per-row sha256(content) — the BASELINE.json invariant column.
+    Accepts string OR binary content columns (blob payloads hash their
+    raw bytes; strings hash their utf-8 encoding)."""
+    out = [None if v is None else hashlib.sha256(
+        v if isinstance(v, bytes) else v.encode("utf-8")).hexdigest()
+        for v in arr.to_pylist()]
     return pa.array(out, type=pa.string())
 
 

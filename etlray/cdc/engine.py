@@ -69,9 +69,13 @@ def _mean_payload_bytes(sources, col_names) -> float:
     for p in sources:
         md = p if hasattr(p, "num_row_groups") else \
             pq.ParquetFile(p).metadata
-        arrow_names = md.schema.to_arrow_schema().names
-        ci = next((arrow_names.index(c) for c in col_names
-                   if c in arrow_names), None)
+        # row-group column indices are parquet LEAF indices, not arrow
+        # top-level field indices — with a struct/list column ahead of
+        # the payload the arrow index points at the wrong leaf's byte
+        # stats (verified empirically); match by leaf path instead
+        # (top-level flat columns have path == name)
+        ci = next((i for i in range(len(md.schema))
+                   if md.schema.column(i).path in col_names), None)
         if ci is None:
             continue
         for rg in range(md.num_row_groups):
@@ -212,6 +216,18 @@ def _attach_contents(t: pa.Table, contents: pa.Table | None,
         else:
             t = t.append_column(content_col, newcol)
     return t.drop_columns(drop)
+
+
+def _stat_row(bucket: int, rows: int, max_lsn: int,
+              applied: int) -> pa.Table:
+    """One writer-stats row; rows=-1 marks an untouched carry-forward
+    bucket. Single definition for merge/delta writers."""
+    return pa.table({
+        "bucket": pa.array([bucket], type=pa.int32()),
+        "rows": pa.array([rows], type=pa.int64()),
+        "max_lsn": pa.array([max_lsn], type=pa.int64()),
+        "applied_events": pa.array([applied], type=pa.int64()),
+    })
 
 
 def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
@@ -365,8 +381,8 @@ class CDCEngine:
         # hash(key)->bucket mapping, so resuming an existing table with
         # a mismatched count would silently skip or re-apply events.
         # The committed count wins; pass num_buckets=None to adopt it.
-        committed_nb = self._committed_num_buckets()
-        if committed_nb is not None:
+        committed_nb, exact = self._committed_num_buckets()
+        if committed_nb is not None and exact:
             if num_buckets is not None and num_buckets != committed_nb:
                 raise ValueError(
                     f"table at {table_dir} was committed with "
@@ -375,20 +391,46 @@ class CDCEngine:
                     "Pass num_buckets=None to adopt the committed count, "
                     "or run rebalance() to change it.")
             self.num_buckets = committed_nb
+        elif committed_nb is not None:
+            # legacy table (no num_buckets metric): the derived count is
+            # only a LOWER bound — files/watermarks record touched
+            # buckets, so a sparse table under-reports. Accept a caller
+            # count that covers the bound (the caller knows the true
+            # count; rejecting it forced exactly the wrong adoption),
+            # adopt the bound as best effort otherwise.
+            if num_buckets is not None:
+                if num_buckets < committed_nb:
+                    raise ValueError(
+                        f"table at {table_dir} references bucket ids up "
+                        f"to {committed_nb - 1}; num_buckets="
+                        f"{num_buckets} cannot be its committed count")
+                self.num_buckets = num_buckets
+            else:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "table at %s predates the num_buckets metric; "
+                    "adopting derived lower bound %d — pass the true "
+                    "count explicitly if the table is sparse",
+                    table_dir, committed_nb)
+                self.num_buckets = committed_nb
         else:
             self.num_buckets = 32 if num_buckets is None else num_buckets
 
-    def _committed_num_buckets(self) -> int | None:
+    def _committed_num_buckets(self) -> tuple[int | None, bool]:
+        """(count, exact): exact=True when the commit metric recorded
+        it; otherwise the count is max(referenced bucket id)+1 — a
+        LOWER bound only, since files/watermarks hold touched buckets
+        (len(files) under-reported sparse legacy tables and made the
+        init guard reject the CORRECT caller count)."""
         cur = self.manifest.current_epoch()
         if cur is None:
-            return None
+            return None, False
         nb = (cur.get("metrics") or {}).get("num_buckets")
         if nb is not None:
-            return int(nb)
-        files = cur.get("files") or {}
-        # tables committed before the count was recorded: every bucket
-        # has a files entry, so the mapping's size IS the count
-        return len(files) or None
+            return int(nb), True
+        ids = [int(b) for b in (cur.get("files") or {})]
+        ids += [int(b) for b in (cur.get("watermarks") or {})]
+        return (max(ids) + 1 if ids else None), False
 
     # ------------------------------------------------------------------
     def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False,
@@ -864,7 +906,8 @@ class CDCEngine:
             idle += poll_interval
 
     # ------------------------------------------------------------------
-    def _decide_prune(self, kind: str, items, metas=None) -> bool:
+    def _decide_prune(self, kind: str, items, metas=None,
+                      rename=None) -> bool:
         """Per-epoch payload-pruning decision. Only file-path sources
         can prune (late materialization re-reads the source parquet by
         row locator); "auto" engages when footer stats show mean
@@ -876,7 +919,8 @@ class CDCEngine:
             return False
         if self.prune_payload is True:
             return True
-        reverse = {v: k for k, v in self.rename_map.items()}
+        reverse = {v: k for k, v in
+                   (self.rename_map if rename is None else rename).items()}
         cands = [self.content_col]
         if reverse.get(self.content_col):
             cands.append(reverse[self.content_col])
@@ -886,7 +930,12 @@ class CDCEngine:
     def _normalize_events(self, changes, rename_map: Mapping[str, str] | None):
         """Read every epoch-file/Dataset, conform to the unified schema
         (schema evolution), union into one event Dataset. Blocks whose
-        schema already matches pass through zero-copy."""
+        schema already matches pass through zero-copy. Returns
+        (source, target, metas): for file sources ``metas`` carries the
+        parquet FileMetaData read here, so the schema unify, the prune
+        decision, total_rows and the exchange's row-group chunking all
+        share ONE driver-side footer pass per epoch (three separate
+        opens per file before — pure tail-lag tax in follow mode)."""
         import ray.data
 
         if isinstance(changes, (str, list, tuple)):
@@ -896,16 +945,17 @@ class CDCEngine:
             import pyarrow.parquet as pq
 
             paths = [changes] if isinstance(changes, str) else list(changes)
-            schemas = [pq.ParquetFile(p).schema_arrow for p in paths]
+            metas = [pq.ParquetFile(p).metadata for p in paths]
+            schemas = [m.schema.to_arrow_schema() for m in metas]
             target = unify_schemas(schemas, rename_map)
-            return ("files", paths), target
+            return ("files", paths), target, metas
         d = changes
         s = d.schema()
         schemas = [pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])]
         target = unify_schemas(schemas, rename_map)
         # conformance runs map-side-fused inside the exchange's split
         # tasks (pre_fn) — no map/union stages
-        return ("datasets", [d]), target
+        return ("datasets", [d]), target, None
 
     # ------------------------------------------------------------------
     def bootstrap(self, base_ds, epoch_id="bootstrap"):
@@ -963,10 +1013,11 @@ class CDCEngine:
             return {"epoch": epoch_id, "committed": False, "reason": "already committed"}
         rename = dict(self.rename_map)
         rename.update(rename_map or {})
-        source, target = self._normalize_events(changes, rename)
+        source, target, metas = self._normalize_events(changes, rename)
         res = self._apply_and_commit(source, epoch_id,
                                      prepare_fn=conformer(target, rename),
-                                     extra_metrics=extra_metrics, mode=mode)
+                                     extra_metrics=extra_metrics, mode=mode,
+                                     rename_map=rename, metas=metas)
         if (mode == "delta" and res.get("committed")
                 and self.max_delta_depth is not None
                 and res.get("max_delta_depth", 0) >= self.max_delta_depth):
@@ -976,28 +1027,36 @@ class CDCEngine:
     # ------------------------------------------------------------------
     def _apply_and_commit(self, source, epoch_id, prepare_fn=None,
                           extra_metrics: Mapping | None = None,
-                          mode: str = "merge") -> dict:
+                          mode: str = "merge", rename_map=None,
+                          metas=None) -> dict:
         """``source`` is ("files", [paths]) — file-direct split tasks,
-        zero Ray Data stages — or ("datasets", [Dataset])."""
+        zero Ray Data stages — or ("datasets", [Dataset]).
+        ``rename_map``: the EFFECTIVE rename for this epoch (engine map
+        merged with the caller's per-call override) — the writer's
+        schema unify and the pruned fetch's reverse column lookup must
+        use the same mapping the conformer used, or a per-call rename
+        would resolve the wrong source column."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from etlray.cdc.apply import sha256_column
         from etlray.cdc.lww import drop_deletes, lww_reduce
-        from etlray.exchange import hash_exchange
-
-        from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+        from etlray.exchange import (SRC_FILE_COL, SRC_ROW_COL,
+                                     hash_exchange)
 
         keys, lsn_col, op_col = self.keys, self.lsn_col, self.op_col
-        content_col, nb, rename = self.content_col, self.num_buckets, self.rename_map
+        content_col, nb = self.content_col, self.num_buckets
+        rename = dict(self.rename_map if rename_map is None else rename_map)
         snap_dir = os.path.join(self.table_dir, f"snap-{epoch_id}")
         os.makedirs(snap_dir, exist_ok=True)
 
         kind, items = source
-        # one footer pass serves the prune decision AND total_rows below
-        metas = [pq.ParquetFile(p).metadata for p in items] \
-            if kind == "files" else None
-        prune = self._decide_prune(kind, items, metas)
+        # ONE footer pass per epoch: _normalize_events' metas serve the
+        # prune decision, total_rows AND the exchange's chunking below
+        # (only read here when a caller bypassed _normalize_events)
+        if metas is None and kind == "files":
+            metas = [pq.ParquetFile(p).metadata for p in items]
+        prune = self._decide_prune(kind, items, metas, rename)
 
         prev_files = self.manifest.snapshot_files() or {}
         prev_lineage = self.manifest.lineage()
@@ -1074,12 +1133,7 @@ class CDCEngine:
             ``contents`` (payload-pruned mode): prefetched winning-row
             payloads to scatter back before the merge."""
             if applied == 0:  # untouched bucket → carry forward (no IO)
-                return pa.table({
-                    "bucket": pa.array([bucket], type=pa.int32()),
-                    "rows": pa.array([-1], type=pa.int64()),
-                    "max_lsn": pa.array([-1], type=pa.int64()),
-                    "applied_events": pa.array([0], type=pa.int64()),
-                })
+                return _stat_row(bucket, -1, -1, 0)
             t = _attach_contents(t, contents, content_col)
             tables = [t]
             if bucket in prev_files:
@@ -1131,12 +1185,7 @@ class CDCEngine:
             d = os.path.join(snap_dir, f"{BUCKET_COL}={bucket}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(merged, os.path.join(d, "part-0.parquet"))
-            return pa.table({
-                "bucket": pa.array([bucket], type=pa.int32()),
-                "rows": pa.array([merged.num_rows], type=pa.int64()),
-                "max_lsn": pa.array([max_lsn], type=pa.int64()),
-                "applied_events": pa.array([applied], type=pa.int64()),
-            })
+            return _stat_row(bucket, merged.num_rows, max_lsn, applied)
 
         def delta_write(t: pa.Table, bucket: int, applied: int,
                         contents: pa.Table | None = None) -> pa.Table:
@@ -1148,12 +1197,7 @@ class CDCEngine:
             before the delta file is written (tombstones keep null
             content — the source row is null too)."""
             if applied == 0:  # untouched bucket
-                return pa.table({
-                    "bucket": pa.array([bucket], type=pa.int32()),
-                    "rows": pa.array([-1], type=pa.int64()),
-                    "max_lsn": pa.array([-1], type=pa.int64()),
-                    "applied_events": pa.array([0], type=pa.int64()),
-                })
+                return _stat_row(bucket, -1, -1, 0)
             t = lww_reduce(t, keys, lsn_col)  # final cross-wave reduce
             t = _attach_contents(t, contents, content_col)
             if BUCKET_COL in t.column_names:
@@ -1164,12 +1208,7 @@ class CDCEngine:
             d = os.path.join(snap_dir, f"{BUCKET_COL}={bucket}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(t, os.path.join(d, "delta-0.parquet"))
-            return pa.table({
-                "bucket": pa.array([bucket], type=pa.int32()),
-                "rows": pa.array([t.num_rows], type=pa.int64()),
-                "max_lsn": pa.array([max_lsn], type=pa.int64()),
-                "applied_events": pa.array([applied], type=pa.int64()),
-            })
+            return _stat_row(bucket, t.num_rows, max_lsn, applied)
 
         writer = merge_write if mode == "merge" else delta_write
 
@@ -1203,9 +1242,7 @@ class CDCEngine:
                     pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
                     rows_per_task=rows_per_task, combine_fn=combine,
                     pass_applied=True, wave_tasks=self.wave_tasks,
-                    stamp_locator=True)
-
-                from etlray.exchange import SRC_FILE_COL, SRC_ROW_COL
+                    stamp_locator=True, metas=metas)
 
                 @_ray.remote
                 def need_rows(red):
@@ -1228,7 +1265,7 @@ class CDCEngine:
                 need_refs = [need_rows.remote(r) for r in red_refs]
                 fetch = _ray.remote(num_returns=nb)(_fetch_file_payloads)
                 parts_by_file = []
-                for fi, path in enumerate(items):
+                for fi, path in enumerate(items if red_refs else []):
                     out = fetch.remote(path, fi, content_col, rename,
                                        nb, *need_refs)
                     parts_by_file.append([out] if nb == 1 else list(out))
@@ -1246,18 +1283,25 @@ class CDCEngine:
                         cp, promote_options="permissive") if cp else None
                     return writer(t, bucket, applied, contents)
 
+                # zero split units (e.g. a published log file with no
+                # row groups): red_refs is [] — commit the epoch as
+                # all-carry-forward instead of indexing into the empty
+                # ref list (a poison-pill crash on every follow()
+                # retry otherwise; the inline path already behaves
+                # this way because its exchange returns no stat refs)
                 stat_refs = [
                     write_bucket.remote(
                         red_refs[b], b,
                         *[parts_by_file[f][b]
                           for f in range(len(items))])
-                    for b in range(nb)]
+                    for b in range(nb)] if red_refs else []
             else:
                 stat_refs = hash_exchange_files(
                     items, keys, nb, writer, bucket_col=BUCKET_COL,
                     pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
                     rows_per_task=rows_per_task, combine_fn=combine,
-                    pass_applied=True, wave_tasks=self.wave_tasks)
+                    pass_applied=True, wave_tasks=self.wave_tasks,
+                    metas=metas)
         else:
             stat_refs = hash_exchange(items, keys, nb, writer,
                                       bucket_col=BUCKET_COL, pass_bucket_id=True,

@@ -9,7 +9,8 @@ per-epoch latency at any size).
 Plan (bounded-memory wave pipeline)::
 
     input units (Dataset blocks, or parquet row-group chunks)
-      └─ WAVES of ≤ wave_tasks split tasks (≤2 waves in flight)
+      └─ WAVES of ≤ wave_tasks split tasks (≤3 waves in flight:
+           2 awaiting their combines + 1 accumulating)
            └─ split task per unit: bucket rows by stable hash → nb sub-tables
                 └─ per-wave per-bucket PARTIAL COMBINE task:
                      concat wave's sub-tables (+ combine_fn, e.g. LWW) →
@@ -19,10 +20,13 @@ Plan (bounded-memory wave pipeline)::
                      └─ ray.data.from_arrow_refs(blocks)
 
 Properties:
-* in-flight split output is bounded to ~2 waves regardless of input
-  size (round 1 held ``num_blocks × num_buckets`` sub-tables until the
-  last split finished — at 32M events ≈ the whole epoch live in the
-  object store at once, which collapsed throughput at every CPU count);
+* in-flight split output is bounded to ~3 waves regardless of input
+  size — two flushed waves whose combines may still be running plus
+  the wave currently accumulating; the backpressure wait fires at >2
+  pending (round 1 held ``num_blocks × num_buckets`` sub-tables until
+  the last split finished — at 32M events ≈ the whole epoch live in
+  the object store at once, which collapsed throughput at every CPU
+  count);
 * with an associative ``combine_fn`` (the CDC LWW reduce) each wave's
   partials shrink to ≤ unique-keys-per-bucket, so the live footprint is
   ~final-table-sized even for a 10^10-event log;
@@ -219,7 +223,8 @@ def _wave_exchange(
             # a second wave exists → the combine layer is on
             flush_wave(wave_outs)
             wave_outs = []
-            # backpressure: at most 2 waves of split output in flight
+            # backpressure: ≤2 flushed waves pending (plus the wave now
+            # accumulating → ≤3 waves of split output alive at peak)
             while len(pending_waves) > 2:
                 ray.wait(pending_waves[0], num_returns=len(pending_waves[0]),
                          fetch_local=False)
@@ -317,6 +322,7 @@ def hash_exchange_files(
     pass_applied: bool = False,
     wave_tasks: int | None = None,
     stamp_locator: bool = False,
+    metas: Sequence | None = None,
 ):
     """File-direct variant of hash_exchange: for each parquet file the
     driver reads ONLY the footer, chunks row groups into ~rows_per_task
@@ -324,7 +330,9 @@ def hash_exchange_files(
     executor + driver ref-streaming from the critical path entirely
     (the measured ~severals-of-seconds serial floor per epoch).
     ``stamp_locator=True`` adds (__src_file, __src_row) source locators
-    to every row before ``pre_fn`` — see ``_split_file``."""
+    to every row before ``pre_fn`` — see ``_split_file``. ``metas``:
+    already-read FileMetaData aligned with ``paths`` so the chunking
+    reuses the caller's footer pass instead of re-opening every file."""
     import pyarrow.parquet as pq
     import ray
     import ray.data
@@ -334,7 +342,8 @@ def hash_exchange_files(
 
     def units():
         for fi, path in enumerate(paths):
-            md = pq.ParquetFile(path).metadata
+            md = metas[fi] if metas is not None \
+                else pq.ParquetFile(path).metadata
             chunk: list[int] = []
             rows = 0
             chunks: list[list[int]] = []

@@ -230,3 +230,106 @@ def test_prune_auto_dispatch(fixture_dir, tmp_path, ray_session):
     # dataset sources can never prune (no stable row locator)
     assert CDCEngine(str(tmp_path / "t4"), prune_payload=True) \
         ._decide_prune("datasets", []) is False
+
+
+def test_pruned_fetch_honors_per_call_rename(tmp_path, ray_session):
+    """Regression: a per-call apply_log(rename_map=...) must reach the
+    pruned fetch layer — before the fix the fetch used only the
+    engine-level map, missed the source column, and silently committed
+    NULL contents under valid content_shas."""
+    import numpy as np
+    import ray.data
+
+    from etlray.cdc.fixture import sha256_hex
+
+    src = tmp_path / "ev.parquet"
+    texts = [f"text-{i}" * 10 for i in range(40)]
+    pq.write_table(pa.table({
+        "repo": pa.array([f"r{i % 4}" for i in range(40)]),
+        "path": pa.array([f"p{i}" for i in range(40)]),
+        "lsn": pa.array(range(1, 41), type=pa.int64()),
+        "op": pa.array(["insert"] * 40),
+        "payload": pa.array(texts),          # source-side column name
+    }), src, row_group_size=8)
+    eng = CDCEngine(str(tmp_path / "t"), num_buckets=4,
+                    prune_payload=True)      # engine map EMPTY
+    assert eng.apply_log(str(src), epoch_id=0,
+                         rename_map={"payload": "content"})["committed"]
+    rows = pa.concat_tables(
+        [b for b in eng.read_snapshot().iter_batches(batch_format="pyarrow")],
+        promote_options="permissive").to_pylist()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["content"] is not None
+        assert sha256_hex(r["content"]) == r["content_sha"]
+
+
+def test_binary_content_sha_and_prune(tmp_path, ray_session):
+    """sha256_column must hash binary payloads (the blob case the
+    prune threshold targets) — bytes.encode crashed before."""
+    import hashlib
+
+    src = tmp_path / "ev.parquet"
+    blobs = [bytes([i]) * 50 for i in range(20)]
+    pq.write_table(pa.table({
+        "repo": pa.array(["r"] * 20),
+        "path": pa.array([f"p{i}" for i in range(20)]),
+        "lsn": pa.array(range(1, 21), type=pa.int64()),
+        "op": pa.array(["insert"] * 20),
+        "content": pa.array(blobs, type=pa.binary()),
+    }), src)
+    eng = CDCEngine(str(tmp_path / "t"), num_buckets=2,
+                    prune_payload=True)
+    assert eng.apply_log(str(src), epoch_id=0)["committed"]
+    rows = pa.concat_tables(
+        [b for b in eng.read_snapshot().iter_batches(batch_format="pyarrow")],
+        promote_options="permissive").to_pylist()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["content"] is not None
+        assert hashlib.sha256(r["content"]).hexdigest() == r["content_sha"]
+
+
+def test_pruned_zero_rowgroup_file_is_noop(tmp_path, ray_session):
+    """A published log file with zero row groups must commit as an
+    all-carry-forward epoch in pruned mode (it crashed with IndexError
+    on the empty ref list before — a follow() poison pill)."""
+    schema = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                        ("lsn", pa.int64()), ("op", pa.string()),
+                        ("content", pa.string())])
+    src = tmp_path / "empty.parquet"
+    with pq.ParquetWriter(str(src), schema):
+        pass  # no writes → 0 row groups
+    eng = CDCEngine(str(tmp_path / "t"), num_buckets=4,
+                    prune_payload=True)
+    res = eng.apply_log(str(src), epoch_id=0)
+    assert res["committed"] and res["touched_buckets"] == 0
+
+
+def test_legacy_sparse_bucket_count_adoption(tmp_path, fixture_dir,
+                                             ray_session):
+    """Legacy tables (no num_buckets metric) record only TOUCHED
+    buckets; the derived count is a lower bound. A caller count ≥ the
+    bound must be accepted (it was rejected before), below it raises."""
+    import json
+
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "t"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    # simulate a pre-metric manifest: strip num_buckets from metrics
+    mpath = os.path.join(str(tmp_path / "t"), "epochs.d")
+    for fn in os.listdir(mpath):
+        p = os.path.join(mpath, fn)
+        rec = json.load(open(p))
+        (rec.get("metrics") or {}).pop("num_buckets", None)
+        json.dump(rec, open(p, "w"))
+    # correct caller count ≥ derived bound → accepted
+    eng2 = CDCEngine(str(tmp_path / "t"), num_buckets=8,
+                     rename_map=RENAME_MAP)
+    assert eng2.num_buckets == 8
+    # count below the bound (bucket ids up to 7 exist) → rejected
+    with pytest.raises(ValueError):
+        CDCEngine(str(tmp_path / "t"), num_buckets=2,
+                  rename_map=RENAME_MAP)
