@@ -145,7 +145,14 @@ class _SimJoiner:
             return empty
         bids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
         bv = _unit(vectors_to_numpy(t[self.vec_col]).astype(np.float64))
-        sims = np.round(bv @ self.mat.T, 3)   # round → stable threshold edge
+        # round BEFORE thresholding, deliberately: the DuckDB oracle for
+        # embedding_sim_join filters on round(cosine, 3) >= threshold,
+        # and matching its predicate exactly keeps threshold-edge pairs
+        # identical on both engines. Consequence (documented): this
+        # operator's edge behavior differs from embedding_near_dups'
+        # un-rounded verify by up to 5e-4 of cosine — callers comparing
+        # the two must round both or widen the threshold.
+        sims = np.round(bv @ self.mat.T, 3)
         mask = (sims >= self.threshold) & (bids[:, None] < self.ids[None, :])
         rr, cc = np.where(mask)
         if len(rr) == 0:
@@ -169,6 +176,12 @@ def cosine_sim_join(ds, threshold: float = 0.5, vec_col: str = "embedding",
     import ray
     import ray.data
 
+    # materialize: the input is consumed TWICE (broadcast-side gather +
+    # probe pass) — without this an expensive/nondeterministic upstream
+    # pipeline would re-execute, and the two passes could even disagree.
+    # Fine to pin: this operator's validity contract already requires
+    # the (id, vector) side to fit in memory.
+    ds = ds.materialize()
     side = ds.select_columns([id_col, vec_col])
     tables = [t for t in ray.get(side.to_arrow_refs()) if t.num_rows]
     if not tables:

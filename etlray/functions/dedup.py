@@ -70,21 +70,32 @@ def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Unique k-char shingle hashes of the whitespace-normalized text
-    as a uint64 array. Vectorized: sliding-window view over the utf-8
-    bytes dotted with a power vector (deterministic across processes —
-    python hash() is salted per process and would give every Ray
-    worker different signatures)."""
+def _windowed_shingles(text: str, k: int, encoding: str, dtype,
+                       multiplier: int) -> np.ndarray:
+    """Shared shingle kernel: whitespace-normalize + lowercase, window
+    the encoded text, dot each window with a ``multiplier``-power
+    vector (wraps mod 2^64 — deterministic across processes, unlike
+    salted python hash()), return the unique uint64 hashes. Texts
+    shorter than ``k`` produce exactly one (zero-padded) shingle.
+    ``char_shingles``/``codepoint_shingles`` differ ONLY in the
+    (encoding, dtype, multiplier) triple — keep any change here so the
+    two variants can't drift apart."""
     norm = " ".join(text.lower().split())
-    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    data = np.frombuffer(norm.encode(encoding), dtype=dtype)
     if len(data) < k:
-        pad = np.zeros(k, dtype=np.uint8)
+        pad = np.zeros(k, dtype=dtype)
         pad[:len(data)] = data
         data = pad
     win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    powers = np.uint64(1000003) ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    powers = np.uint64(multiplier) ** np.arange(k, dtype=np.uint64)
     return np.unique(win @ powers)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Unique k-char shingle hashes of the whitespace-normalized text
+    as a uint64 array — windows over utf-8 BYTES (see
+    ``_windowed_shingles``)."""
+    return _windowed_shingles(text, k, "utf-8", np.uint8, 1000003)
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -235,9 +246,13 @@ def minhash_lsh_candidates(
         shingle_fn = codepoint_shingles
 
     def sigs(t: pa.Table) -> pa.Table:
-        ids = [i for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist())
+        # ONE to_pylist per column: the text column is the wide one and
+        # materializing it twice doubled the per-batch Python-object
+        # tax on the hottest MinHash path
+        all_texts = t[text_col].to_pylist()
+        ids = [i for i, txt in zip(t[id_col].to_pylist(), all_texts)
                if txt is not None]
-        texts = [txt for txt in t[text_col].to_pylist() if txt is not None]
+        texts = [txt for txt in all_texts if txt is not None]
         if not ids:
             return pa.table({
                 "band": pa.array([], type=pa.int32()),
@@ -631,12 +646,21 @@ def _cosine_verify_pairs(cand, vecs_ds, vec_col: str, id_col: str,
         norms = np.linalg.norm(unit, axis=1, keepdims=True)
         unit = unit / np.maximum(norms, 1e-12)
         row_bytes = unit.shape[1] * 4
-        offsets = pa.py_buffer(
-            (np.arange(n + 1, dtype=np.int32) * row_bytes).tobytes())
-        payload = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, offsets, pa.py_buffer(np.ascontiguousarray(unit)
-                                         .tobytes())])
+        if n * row_bytes < (1 << 31):
+            # zero-copy construction: pa.binary() offsets are int32
+            offsets = pa.py_buffer(
+                (np.arange(n + 1, dtype=np.int64) * row_bytes)
+                .astype(np.int32).tobytes())
+            payload = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, offsets, pa.py_buffer(np.ascontiguousarray(unit)
+                                             .tobytes())])
+        else:
+            # >2 GiB of vector bytes in one batch: int32 offsets would
+            # wrap (from_buffers does NOT validate — silent corruption);
+            # fall back to the row loop, which Arrow chunks safely
+            payload = pa.array([row.tobytes() for row in unit],
+                               type=pa.binary())
         return pa.table({id_col: ids, vec_col: payload})
 
     def cosine_verify(a: np.ndarray, b: np.ndarray, lookup) -> np.ndarray:
@@ -676,15 +700,8 @@ def codepoint_shingles(text: str, k: int = 5) -> np.ndarray:
     windows over characters, matching SQL ``substring`` semantics so a
     DuckDB oracle can recompute the same shingle sets). Texts shorter
     than ``k`` produce exactly one (padded) shingle."""
-    norm = " ".join(text.lower().split())
-    data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
-    if len(data) < k:
-        pad = np.zeros(k, dtype=np.uint32)
-        pad[:len(data)] = data
-        data = pad
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    powers = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
-    return np.unique(win @ powers)
+    return _windowed_shingles(text, k, "utf-32-le", np.uint32,
+                              1099511628211)
 
 
 def ngram_jaccard_pairs(

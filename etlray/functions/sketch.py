@@ -265,6 +265,11 @@ def approx_quantiles(ds, col: str, qs, names=None,
     qs = [float(q) for q in qs]
     names = (list(names) if names is not None
              else [f"q{int(round(q * 100))}" for q in qs])
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile output names collide: {names} — the default "
+            "q{percent} naming rounds to whole percents; pass explicit "
+            "`names` for finer-grained quantiles")
 
     def sketch(t: pa.Table) -> pa.Table:
         s = QuantileSketch(capacity)
@@ -357,7 +362,13 @@ class MisraGries:
 
     def add_array(self, values) -> "MisraGries":
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
-            values = values.to_numpy(zero_copy_only=False)
+            # to_pylist, NOT to_numpy: an int column batch containing a
+            # null gets promoted to float64 by to_numpy, so the same
+            # value keys as '5' in null-free blocks and '5.0' in
+            # null-carrying ones — splitting one heavy hitter's count
+            # across two keys (verified). Python objects keep ints ints
+            # regardless of the batch's null pattern.
+            values = values.to_pylist()
         v = np.asarray(values, dtype=object)
         v = v[~pd.isna(v)]
         if len(v) == 0:
@@ -492,6 +503,11 @@ def approx_quantiles_per_group(ds, group_col: str, value_col: str, qs,
     qs = [float(q) for q in qs]
     names = (list(names) if names is not None
              else [f"q{int(round(q * 100))}" for q in qs])
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile output names collide: {names} — the default "
+            "q{percent} naming rounds to whole percents; pass explicit "
+            "`names` for finer-grained quantiles")
 
     def partial(t: pa.Table) -> pa.Table:
         gtype = t.schema.field(group_col).type
@@ -577,7 +593,13 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str,
             return pa.table({group_col: pa.array([], gtype),
                              "__regs": pa.array([], pa.binary())})
         keys = t[group_col].to_numpy(zero_copy_only=False)
-        vals = t[value_col].to_numpy(zero_copy_only=False)
+        # python objects, NOT to_numpy: a null anywhere in an int batch
+        # promotes to_numpy to float64, making the same value hash as
+        # '5.0' there and '5' in null-free batches — each such value
+        # then lands in TWO HLL registers and the estimate doubles
+        # (verified). to_pylist keeps ints ints in every batch, matching
+        # the global approx_distinct path.
+        vals = np.asarray(t[value_col].to_pylist(), dtype=object)
         codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         order = np.argsort(codes, kind="stable")
         bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))

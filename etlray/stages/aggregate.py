@@ -296,6 +296,10 @@ class QuantilePerGroupTransform(Transform):
         self.qs = [float(q) for q in qs]
         self.names = (list(names) if names is not None
                       else [f"q{int(round(q * 100))}" for q in self.qs])
+        if len(set(self.names)) != len(self.names):
+            raise TransformError(
+                f"quantile output names collide: {self.names} — pass "
+                "explicit `names` for finer-grained quantiles")
 
     def apply(self, ds):
         import math

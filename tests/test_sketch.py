@@ -291,3 +291,45 @@ def test_approx_distinct_per_group_accuracy(ray_session):
     assert abs(got["a"] - 1000) / 1000 < 0.05
     assert abs(got["b"] - 50) <= 3
     assert abs(got[None] - 10) <= 2
+
+
+def test_hll_per_group_int_with_nulls_not_doubled(ray_session):
+    """Regression: a null anywhere in an int batch made to_numpy
+    promote to float64, so the same value hashed as '5' in null-free
+    blocks and '5.0' in null-carrying ones — every shared value was
+    counted TWICE by the per-group HLL (verified 5 -> ~10)."""
+    import ray.data
+
+    from etlray.functions.sketch import approx_distinct_per_group
+
+    rows_a = [{"g": "x", "v": i % 5} for i in range(50)]       # no nulls
+    rows_b = [{"g": "x", "v": (i % 5) if i else None}          # one null
+              for i in range(50)]
+    ds = ray.data.from_items(rows_a).union(ray.data.from_items(rows_b))
+    out = approx_distinct_per_group(ds, "g", "v").take_all()
+    est = {r["g"]: r["approx_distinct"] for r in out}["x"]
+    assert abs(est - 5) <= 1  # was ~10 before the fix
+
+
+def test_misra_gries_int_with_nulls_single_key():
+    """Regression: MisraGries keyed '5' and '5.0' separately when one
+    block had nulls — a heavy hitter's count split across two keys."""
+    import pyarrow as pa
+
+    from etlray.functions.sketch import MisraGries
+
+    mg = MisraGries(capacity=8)
+    mg.add_array(pa.array([5, 5, 5], type=pa.int64()))          # no nulls
+    mg.add_array(pa.array([5, None], type=pa.int64()))          # one null
+    assert mg.counts == {5: 4}
+
+
+def test_approx_quantiles_name_collision_raises(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from etlray.functions.sketch import approx_quantiles
+
+    ds = ray.data.from_items([{"v": float(i)} for i in range(10)])
+    with _pytest.raises(ValueError, match="collide"):
+        approx_quantiles(ds, "v", [0.5, 0.504])
