@@ -158,18 +158,23 @@ class _ContaminationStage:
             hit = self.bench_index.get_indexer_for(gnp) >= 0
         if self.mode == "hits":
             # count DISTINCT hitting grams per doc: hits are rare, so
-            # dedupe only the hit subset
+            # dedupe only the hit subset. The id column keeps the
+            # CALLER's type (hardcoded int64 crashed string/uuid ids
+            # and skewed the empty-batch schema — same contract as
+            # _TfidfStage)
+            idtype = t.schema.field(self.id_col).type
+            ida = t[self.id_col]
+            if isinstance(ida, pa.ChunkedArray):
+                ida = ida.combine_chunks()
             if not hit.any():
-                return pa.table({self.id_col: pa.array([], pa.int64()),
+                return pa.table({self.id_col: pa.array([], idtype),
                                  "n_hits": pa.array([], pa.int64())})
             import pandas as pd
 
             hd = pd.DataFrame({"d": doc_of[hit], "g": gnp[hit]})
             per_doc = hd.drop_duplicates().groupby("d", sort=True).size()
-            ids = t[self.id_col].to_numpy(zero_copy_only=False)
             return pa.table({
-                self.id_col: pa.array(ids[per_doc.index.to_numpy()],
-                                      pa.int64()),
+                self.id_col: ida.take(pa.array(per_doc.index.to_numpy())),
                 "n_hits": pa.array(per_doc.to_numpy(), pa.int64())})
         contam = np.zeros(n_docs, dtype=bool)
         if hit.any():
@@ -208,6 +213,9 @@ def chunk_documents(ds, size: int = 500, stride: int = 400,
     ``generate_series(1, greatest(length(text),1), stride)``). Work and
     output are ∝ batch size — no shuffle, no state."""
     def chunks(t: pa.Table) -> pa.Table:
+        # id column keeps the caller's type (string/uuid ids crashed
+        # on the previous hardcoded int64)
+        idtype = t.schema.field(id_col).type
         ids_out, idx_out, chunk_out = [], [], []
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             s = txt or ""
@@ -215,7 +223,7 @@ def chunk_documents(ds, size: int = 500, stride: int = 400,
                 ids_out.append(did)
                 idx_out.append(ci)
                 chunk_out.append(s[start:start + size])
-        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+        return pa.table({id_col: pa.array(ids_out, idtype),
                          "chunk_idx": pa.array(idx_out, pa.int64()),
                          "chunk": pa.array(chunk_out, pa.string())})
 

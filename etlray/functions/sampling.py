@@ -149,7 +149,12 @@ def pack_token_shards(ds, token_col: str, budget: int,
     def stamp(t: pa.Table, offset: int) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], type=pa.int64()))
-        toks = pc.cast(t[token_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # fill_null(0): a NULL token count contributes nothing to the
+        # running sum — matching block_sum's null-skipping pc.sum; a
+        # bare cast->to_numpy yields float64 NaN that poisons cumsum
+        # and crashes the int64 conversion only in phase 2
+        toks = pc.fill_null(pc.cast(t[token_col], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
         excl = offset + np.concatenate(([0], np.cumsum(toks)[:-1]))
         return t.append_column(out_col, pa.array(excl // budget,
                                                  type=pa.int64()))

@@ -159,10 +159,13 @@ class AggregateTransform(Transform):
         return out
 
     # ----- general path: bucketed exchange (first/last) ----------------
-    def _apply_map_groups(self, ds, num_buckets: int = 8):
+    def _apply_map_groups(self, ds, num_buckets: int | None = None):
         """One hash_exchange on the group keys; the per-group python
         work runs inside each bucket's task (Ray's map_groups would
         cost ~0.13 s of task overhead PER GROUP)."""
+        from etlray.stages.common import default_exchange_buckets
+
+        num_buckets = num_buckets or default_exchange_buckets()
         import numpy as np
         import pandas as pd
 
@@ -338,14 +341,10 @@ class QuantilePerGroupTransform(Transform):
             df = t.to_pandas()
             vals = df[vc].to_numpy()
             counts = df[cnt].to_numpy()
-            change = np.zeros(len(df), dtype=bool)
-            for c in gb:
-                v = df[c].to_numpy()
-                if len(df) > 1:
-                    neq = v[1:] != v[:-1]
-                    both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
-                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
-            change[0] = True
+            from etlray.stages.common import key_change_mask
+
+            change = key_change_mask([df[c].to_numpy() for c in gb],
+                                     len(df))
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(df))
             out = {c: df[c].to_numpy()[starts] for c in gb}
@@ -363,7 +362,10 @@ class QuantilePerGroupTransform(Transform):
                 cols[name] = pa.array(qcols[name], type=vtype)
             return pa.table(cols)
 
-        return hash_exchange(pre, gb, 8, reduce_bucket, bucket_col=None)
+        from etlray.stages.common import default_exchange_buckets
+
+        return hash_exchange(pre, gb, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
 
 class RollupTransform(Transform):

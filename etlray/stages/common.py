@@ -18,6 +18,45 @@ from etlray.coerce import KERNELS
 from etlray.errors import TransformError
 
 
+def default_exchange_buckets() -> int:
+    """Reduce-stage width for the per-group exchange transforms:
+    cluster CPUs with a floor of 8 — a hardcoded 8 capped every
+    per-group reduce at 8 tasks regardless of cluster size, and each
+    bucket task had to hold 1/8 of all groups' rows. 1× CPUs (not the
+    joins' 2×) because these kernels are light per row: at 2× the
+    measured sf0.1 cost was pure per-bucket task latency (~2× wall on
+    the window/pivot queries) for no extra parallelism."""
+    try:
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:  # noqa: BLE001 — sizing only, never correctness
+        ncpu = 8
+    return max(ncpu, 8)
+
+
+def key_change_mask(arrays, n: int):
+    """Per-row "starts a new key group" mask over sorted key arrays:
+    True where ANY key differs from the previous row; a run of nulls is
+    ONE group (NaN != NaN would otherwise split it); index 0 is always
+    True. One shared definition — this block was copy-pasted five times
+    across the per-group exchange kernels and had to be fixed in
+    lockstep."""
+    import numpy as np
+    import pandas as pd
+
+    change = np.zeros(n, dtype=bool)
+    for v in arrays:
+        if n > 1:
+            neq = v[1:] != v[:-1]
+            both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
+            change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+    if n:
+        change[0] = True
+    return change
+
+
 class Transform:
     """Base: subclasses set ``batch_size`` (None = block-native) and
     implement ``apply``."""
@@ -309,7 +348,8 @@ class DistinctTransform(Transform):
 
         from etlray.exchange import hash_exchange
 
-        return hash_exchange(pre, cols, 8, bucket_distinct, bucket_col=None)
+        return hash_exchange(pre, cols, default_exchange_buckets(),
+                             bucket_distinct, bucket_col=None)
 
 
 class TopKPerGroupTransform(Transform):
@@ -344,15 +384,8 @@ class TopKPerGroupTransform(Transform):
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         # vectorized per-group rank: positions since the last group
         # change (a row starts a new group when ANY key column differs)
-        change = np.zeros(t.num_rows, dtype=bool)
-        for c in gb:
-            v = t[c].to_numpy(zero_copy_only=False)
-            if t.num_rows > 1:
-                neq = v[1:] != v[:-1]
-                # nulls: a run of nulls is one group (NaN != NaN is True)
-                both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
-                change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
-        change[0] = True
+        change = key_change_mask(
+            [t[c].to_numpy(zero_copy_only=False) for c in gb], t.num_rows)
         starts = np.flatnonzero(change)
         rank = np.arange(t.num_rows) - np.repeat(
             starts, np.diff(np.append(starts, t.num_rows)))
@@ -369,7 +402,8 @@ class TopKPerGroupTransform(Transform):
                 t = t.drop_columns([BUCKET_COL])
             return self._topk(t)
 
-        return hash_exchange(pre, self.group_by, 8, reduce_bucket,
+        return hash_exchange(pre, self.group_by, default_exchange_buckets(),
+                             reduce_bucket,
                              bucket_col=None)
 
 
@@ -460,15 +494,9 @@ class SessionizeTransform(Transform):
                 [(ts_col, "ascending")] + \
                 ([(tie, "ascending")] if tie else [])
             t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-            # key-change mask (any key column differs from previous row)
-            change = np.zeros(t.num_rows, dtype=bool)
-            for c in by:
-                v = t[c].to_numpy(zero_copy_only=False)
-                if t.num_rows > 1:
-                    neq = v[1:] != v[:-1]
-                    both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
-                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
-            change[0] = True
+            change = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by],
+                t.num_rows)
             ts = t[ts_col].to_numpy(zero_copy_only=False)
             new_session = change.copy()
             if t.num_rows > 1:
@@ -480,7 +508,8 @@ class SessionizeTransform(Transform):
             idx = starts - key_base
             return t.append_column(out_col, pa.array(idx, type=pa.int64()))
 
-        return hash_exchange(ds, by, 8, sessionize_bucket, bucket_col=None)
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             sessionize_bucket, bucket_col=None)
 
 
 class GroupConcatTransform(Transform):
@@ -502,6 +531,13 @@ class GroupConcatTransform(Transform):
         from etlray.exchange import hash_exchange
 
         gb, vc, sep, out_col = self.group_by, self.value_col, self.sep, self.out_col
+        # declared key types captured DRIVER-side: a bucket whose only
+        # rows carry NULL keys sees a degenerate local schema (null
+        # type), and pandas promotes nullable int64 keys to float64 —
+        # pinning to the dataset schema keeps every block's key types
+        # identical
+        _s = ds.schema()
+        ktypes = dict(zip(_s.names, _s.types))
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -519,9 +555,23 @@ class GroupConcatTransform(Transform):
             joined = df.groupby(gb, sort=False, dropna=False)[vc] \
                 .agg(lambda s: sep.join(s.astype(str)))
             outdf = joined.reset_index().rename(columns={vc: out_col})
-            return pa.Table.from_pandas(outdf, preserve_index=False)
+            # pin key types: pandas promotes an int64 key with a NULL
+            # group to float64, so the null-carrying bucket would emit
+            # `g: double` while every other bucket emits `g: int64` —
+            # mismatched block schemas break the downstream union
+            cols = {}
+            for c in gb:
+                arr = pa.array(outdf[c], from_pandas=True)
+                want = ktypes[c]
+                if not pa.types.is_null(want) and not arr.type.equals(want):
+                    arr = pc.cast(arr, want, safe=False)
+                cols[c] = arr
+            cols[out_col] = pa.array(outdf[out_col], type=pa.string(),
+                                     from_pandas=True)
+            return pa.table(cols)
 
-        return hash_exchange(ds, gb, 8, reduce_bucket, bucket_col=None)
+        return hash_exchange(ds, gb, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
 
 class MovingAverageTransform(Transform):
@@ -565,14 +615,8 @@ class MovingAverageTransform(Transform):
             t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
             v = pc.cast(t[vc], pa.float64()).to_numpy(zero_copy_only=False)
             n = len(v)
-            change = np.zeros(n, dtype=bool)
-            for c in by:
-                kv = t[c].to_numpy(zero_copy_only=False)
-                if n > 1:
-                    neq = kv[1:] != kv[:-1]
-                    both_null = pd.isna(kv[1:]) & pd.isna(kv[:-1])
-                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
-            change[0] = True
+            change = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             starts = np.flatnonzero(change)
             # null-masked window sums: SQL's avg() ignores NULLs, so a
             # NULL value must not poison its windows — average the
@@ -591,7 +635,8 @@ class MovingAverageTransform(Transform):
                 out_col, pa.array(mavg, type=pa.float64(),
                                   from_pandas=True))  # NaN → NULL
 
-        return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
 
 class WindowLagTransform(Transform):
@@ -657,14 +702,8 @@ class WindowLagTransform(Transform):
                 ([(tie, "ascending")] if tie else [])
             t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
             n = t.num_rows
-            change = np.zeros(n, dtype=bool)
-            for c in by:
-                kv = t[c].to_numpy(zero_copy_only=False)
-                if n > 1:
-                    neq = kv[1:] != kv[:-1]
-                    both_null = pd.isna(kv[1:]) & pd.isna(kv[:-1])
-                    change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
-            change[0] = True
+            change = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             first = change  # row starts a new key
             # lag(value): shift by one, NULL where a key starts
             shifted = t[vc].combine_chunks().slice(0, n - 1) \
@@ -692,15 +731,29 @@ class WindowLagTransform(Transform):
             if gap_col and is_ts:
                 us = t[ts_col].combine_chunks().cast(pa.int64()) \
                     .to_numpy(zero_copy_only=False)
-                gaps = np.zeros(n, dtype=np.int64)
-                gaps[1:] = us[1:] - us[:-1]
-                t = t.append_column(gap_col, pa.array(gaps, mask=first))
+                if us.dtype.kind == "f":
+                    # NULL ts present (to_numpy promoted to float64 +
+                    # NaN): emit NULL gaps on the null row AND its
+                    # successor — casting NaN straight into int64
+                    # produced INT64_MIN garbage values before
+                    gaps = np.zeros(n, dtype=np.float64)
+                    gaps[1:] = us[1:] - us[:-1]
+                    nan = np.isnan(gaps)
+                    t = t.append_column(gap_col, pa.array(
+                        np.where(nan, 0, gaps).astype(np.int64),
+                        mask=first | nan))
+                else:
+                    gaps = np.zeros(n, dtype=np.int64)
+                    gaps[1:] = us[1:] - us[:-1]
+                    t = t.append_column(gap_col,
+                                        pa.array(gaps, mask=first))
             starts = np.flatnonzero(first)
             key_start = np.repeat(starts, np.diff(np.append(starts, n)))
             rn = np.arange(n, dtype=np.int64) - key_start + 1
             return t.append_column(rank_col, pa.array(rn))
 
-        return hash_exchange(ds, by, 8, reduce_bucket, bucket_col=None)
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
 
 class CountDistinctTransform(Transform):
@@ -737,7 +790,8 @@ class CountDistinctTransform(Transform):
             g = t.group_by(gb).aggregate([([], "count_all")])
             return g.rename_columns(gb + [out_col])
 
-        return hash_exchange(pre, gb, 8, reduce_bucket, bucket_col=None)
+        return hash_exchange(pre, gb, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
 
 class PivotTransform(Transform):
@@ -777,6 +831,9 @@ class PivotTransform(Transform):
         vc = self.value_col
         part_col = "__part"
         out_type = pa.int64() if agg == "count" else pa.float64()
+        # declared key types captured driver-side (see GroupConcat)
+        _s = ds.schema()
+        ktypes = dict(zip(_s.names, _s.types))
 
         def partial(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_in(t[pv], value_set=pa.array(vals)))
@@ -800,18 +857,32 @@ class PivotTransform(Transform):
                 empty = {c: pa.array([], type=t.schema.field(c).type) for c in gb}
                 empty.update({c: pa.array([], type=out_type) for c in col_names})
                 return pa.table(empty)
-            wide = df.pivot_table(index=gb, columns=pv, values=part_col,
-                                  aggfunc="sum", fill_value=0)
+            # groupby(dropna=False) + unstack, NOT pivot_table: pandas
+            # pivot_table silently DROPS NaN index keys, so a NULL
+            # group vanished from the result while SQL GROUP BY (and
+            # every sibling transform here) keeps it as its own group
+            wide = df.groupby(gb + [pv], sort=False,
+                              dropna=False)[part_col].sum() \
+                .unstack(pv, fill_value=0)
             wide = wide.reindex(columns=vals, fill_value=0)
             wide.columns = col_names
             wide = wide.reset_index()
-            out = pa.Table.from_pandas(wide, preserve_index=False)
-            cols = {c: out[c] for c in gb}
+            # pin key types (a NULL int64 key promotes to float64 in
+            # pandas — see GroupConcat above)
+            cols = {}
+            for c in gb:
+                arr = pa.array(wide[c], from_pandas=True)
+                want = ktypes[c]
+                if not pa.types.is_null(want) and not arr.type.equals(want):
+                    arr = pc.cast(arr, want, safe=False)
+                cols[c] = arr
             for c in col_names:
-                cols[c] = pc.cast(out[c], out_type, safe=False)
+                cols[c] = pa.array(pd.to_numeric(wide[c]).to_numpy(),
+                                   type=out_type, from_pandas=True)
             return pa.table(cols)
 
-        return hash_exchange(pre, gb, 8, widen, bucket_col=None)
+        return hash_exchange(pre, gb, default_exchange_buckets(),
+                             widen, bucket_col=None)
 
 
 class UnionTransform(Transform):
@@ -914,7 +985,10 @@ class ValidateTransform(Transform):
                 return t.append_column("__invalid",
                                        inv.combine_chunks()
                                        if isinstance(inv, pa.ChunkedArray) else inv)
-            n_bad = t.num_rows - pc.sum(pc.cast(mask, pa.int64())).as_py()
+            # pc.sum over an EMPTY mask is null (min_count=1) — coerce
+            # to 0 so an empty block can't TypeError a clean pipeline
+            n_ok = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            n_bad = t.num_rows - n_ok
             if n_bad:
                 raise TransformError(f"validation failed for {n_bad} rows")
             return t

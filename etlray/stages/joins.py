@@ -166,7 +166,7 @@ class PartitionedHashJoinTransform(Transform):
     ) -> None:
         if how not in _PA_JOIN_TYPE:
             raise TransformError(f"unsupported join type: {how}")
-        if bloom_prefilter and how not in ("inner", "semi"):
+        if bloom_prefilter and how not in ("inner", "left_semi"):
             # dropping unmatched LEFT rows changes the result for
             # left/full/anti — the prefilter is only sound where they
             # are dropped anyway
@@ -463,6 +463,11 @@ class AsofJoinTransform(Transform):
             import pyarrow.compute as _pc
 
             df = t.to_pandas()
+            # NULL 'on' keys: pd.merge_asof REJECTS null merge keys
+            # (ValueError) — drop them on both sides, matching the
+            # interval join's notna() guard and SQL semantics (a NULL
+            # timestamp can never satisfy the asof predicate)
+            df = df[df[on].notna()]
             left = df[df["__side"] == 0][lcols].sort_values(on, kind="stable")
             rt = df[df["__side"] == 1][rcols].sort_values(on, kind="stable")
             if len(left) == 0:

@@ -232,3 +232,110 @@ def test_window_lead(ray_session):
         ray.data.from_arrow(t)).take_all()
     got = {r["id"]: (r["v_lag"], r["v_lead"]) for r in out}
     assert got == {1: (None, 20.0), 2: (10.0, None), 3: (None, None)}
+
+
+def test_asof_join_null_on_keys_dropped(ray_session):
+    """NULL 'on' timestamps crash pd.merge_asof — the bucket kernel
+    must drop them on both sides (SQL: NULL never satisfies asof)."""
+    import ray.data
+
+    from etlray.stages.joins import AsofJoinTransform
+
+    left = ray.data.from_items([
+        {"k": "a", "ts": 10, "lv": 1},
+        {"k": "a", "ts": None, "lv": 2},
+        {"k": "a", "ts": 30, "lv": 3},
+    ])
+    right = ray.data.from_items([
+        {"k": "a", "ts": 5, "rv": 100},
+        {"k": "a", "ts": None, "rv": 200},
+    ])
+    out = AsofJoinTransform(right, on="ts", by="k").apply(left).take_all()
+    got = {r["lv"]: r.get("rv") for r in out}
+    assert got == {1: 100, 3: 100}  # null-ts rows dropped, no crash
+
+
+def test_window_lag_null_ts_gap_is_null(ray_session):
+    """A NULL timestamp must yield NULL gap_us on itself and its
+    successor — not INT64_MIN garbage (NaN cast into int64)."""
+    import datetime as dt
+
+    import ray.data
+
+    from etlray.stages.common import WindowLagTransform
+
+    ds = ray.data.from_items([
+        {"u": 1, "ts": dt.datetime(2024, 1, 1, 0, 0, 1), "v": 1.0},
+        {"u": 1, "ts": None, "v": 2.0},
+        {"u": 1, "ts": dt.datetime(2024, 1, 1, 0, 0, 3), "v": 3.0},
+    ])
+    out = WindowLagTransform("ts", "u", "v", gap_col="gap_us") \
+        .apply(ds).take_all()
+    gaps = [r["gap_us"] for r in out]
+    assert all(g is None or abs(g) < 10_000_000 for g in gaps)
+    assert None in gaps
+
+
+def test_group_concat_null_int_key_schema_stable(ray_session):
+    """A NULL int64 group key must not flip that bucket's key column
+    to double (pandas promotion) — blocks must keep one schema."""
+    import ray.data
+
+    from etlray.stages.common import GroupConcatTransform
+
+    ds = ray.data.from_items(
+        [{"g": 1, "v": "a"}, {"g": None, "v": "b"}, {"g": 2, "v": "c"}])
+    out = GroupConcatTransform("g", "v")
+    res = out.apply(ds)
+    s = res.schema()
+    types = dict(zip(s.names, s.types))
+    import pyarrow as pa
+
+    assert types["g"] == pa.int64()
+    got = {r["g"]: r[[c for c in s.names if c != "g"][0]]
+           for r in res.take_all()}
+    assert got == {1: "a", None: "b", 2: "c"}
+
+
+def test_pivot_keeps_null_group_key(ray_session):
+    """pandas pivot_table silently drops NaN index keys; the transform
+    must keep the NULL group (SQL GROUP BY semantics)."""
+    import ray.data
+
+    from etlray.stages.common import PivotTransform
+
+    ds = ray.data.from_items([
+        {"g": "x", "p": "a", "v": 1},
+        {"g": None, "p": "a", "v": 2},
+        {"g": None, "p": "b", "v": 3},
+    ])
+    out = PivotTransform(["g"], "p", values=["a", "b"], value_col="v",
+                         agg="sum").apply(ds).take_all()
+    got = {r["g"]: (r["a"], r["b"]) for r in out}
+    assert got["x"] == (1, 0)
+    assert got[None] == (2, 3)
+
+
+def test_bloom_prefilter_allows_left_semi(ray_session):
+    import ray.data
+
+    from etlray.stages.joins import PartitionedHashJoinTransform
+
+    right = ray.data.from_items([{"k": 1}, {"k": 2}])
+    left = ray.data.from_items([{"k": 1, "v": "a"}, {"k": 9, "v": "b"}])
+    out = PartitionedHashJoinTransform(right, on="k", how="left_semi",
+                                       bloom_prefilter=True) \
+        .apply(left).take_all()
+    assert [r["v"] for r in out] == ["a"]
+
+
+def test_pack_token_shards_null_tokens(ray_session):
+    import ray.data
+
+    from etlray.functions.sampling import pack_token_shards
+
+    ds = ray.data.from_items([
+        {"i": 0, "tok": 5}, {"i": 1, "tok": None}, {"i": 2, "tok": 7}])
+    out = pack_token_shards(ds, "tok", budget=10).take_all()
+    got = {r["i"]: r["shard_idx"] for r in out}
+    assert got == {0: 0, 1: 0, 2: 0}  # null contributes nothing
