@@ -104,6 +104,12 @@ def apply_changes(
 
     def combine(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            # empty blocks must still carry the bucket column or their
+            # schema diverges from non-empty blocks' (groupby /
+            # from_arrow_refs require uniform block schemas)
+            if BUCKET_COL not in t.column_names:
+                t = t.append_column(BUCKET_COL,
+                                    pa.array([], type=pa.int32()))
             return t
         t = lww_reduce(t, keys, lsn_col)
         return with_bucket(t, keys, num_buckets)

@@ -22,7 +22,13 @@ from typing import Mapping, Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_NUMERIC_ORDER = ["int8", "int16", "int32", "int64", "float32", "float64"]
+# str(pa.float32()) is "float" and str(pa.float64()) is "double" —
+# listing "float32"/"float64" here made every numeric↔float widening
+# unreachable (it fell through to the string fallback, turning an
+# int64/float64 LSN column into TEXT whose lexicographic order breaks
+# the LWW reduce: '9' > '10'). pa.type_for_alias accepts both spellings,
+# so only the lookup names needed fixing.
+_NUMERIC_ORDER = ["int8", "int16", "int32", "int64", "float", "double"]
 
 
 def widen_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
@@ -31,8 +37,13 @@ def widen_types(a: pa.DataType, b: pa.DataType) -> pa.DataType:
         return a
     sa, sb = str(a), str(b)
     if sa in _NUMERIC_ORDER and sb in _NUMERIC_ORDER:
-        return pa.type_for_alias(
-            _NUMERIC_ORDER[max(_NUMERIC_ORDER.index(sa), _NUMERIC_ORDER.index(sb))])
+        ia, ib = _NUMERIC_ORDER.index(sa), _NUMERIC_ORDER.index(sb)
+        lo, hi = min(ia, ib), max(ia, ib)
+        if lo <= 3 and hi >= 4:
+            # int mixed with float: float64 is the only choice that
+            # holds every int64 exactly (float32 would truncate)
+            return pa.float64()
+        return pa.type_for_alias(_NUMERIC_ORDER[hi])
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
         units = ["s", "ms", "us", "ns"]
         unit = units[max(units.index(a.unit), units.index(b.unit))]

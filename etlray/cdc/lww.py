@@ -74,7 +74,12 @@ def lww_reduce(
 
 def drop_deletes(table: pa.Table, op_col: str = "op") -> pa.Table:
     """After the final reduce, rows whose surviving op is a delete are
-    tombstones — remove them (and the op bookkeeping stays)."""
+    tombstones — remove them (and the op bookkeeping stays). A NULL op
+    (e.g. a schema-evolved block whose source lacked the column, null-
+    backfilled by conform_table) is NOT a delete: fill_null keeps those
+    rows — a bare not_equal yields null and Table.filter silently
+    dropped 100% of such blocks."""
     if op_col not in table.column_names or table.num_rows == 0:
         return table
-    return table.filter(pc.not_equal(table.column(op_col), "delete"))
+    return table.filter(pc.not_equal(
+        pc.fill_null(table.column(op_col), ""), "delete"))

@@ -172,7 +172,19 @@ class Manifest:
         if self.committed(epoch_id):
             return False
         os.makedirs(self.epoch_dir, exist_ok=True)
+        # seq from the MAX existing record, not the pointer count: a
+        # crash between record write and pointer publish leaves an
+        # orphaned record the pointer never counted — reusing its seq
+        # would make two records ambiguous under the sort-by-seq order
         seq = int(p.get("count", 0))
+        try:
+            for fn in os.listdir(self.epoch_dir):
+                if fn.endswith(".json"):
+                    with open(os.path.join(self.epoch_dir, fn)) as f:
+                        rec = json.load(f)
+                    seq = max(seq, int(rec.get("seq", -1)) + 1)
+        except OSError:
+            pass
         self._atomic_write(self._record_path(epoch_id), {
             "id": epoch_id,
             "seq": seq,

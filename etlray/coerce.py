@@ -68,9 +68,15 @@ def as_integer(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     if pa.types.is_integer(t):
         return pc.cast(arr, pa.int64())
     if pa.types.is_floating(t):
-        # Rust `f as i64` truncates toward zero; NaN/inf → null here
-        finite = pc.and_(pc.is_finite(arr), pc.is_valid(arr))
-        return _masked_cast(pc.trunc(arr), finite, pa.int64())
+        # Rust `f as i64` truncates toward zero; NaN/inf → null here.
+        # Finite floats OUTSIDE int64's range also go null: an unsafe
+        # cast would wrap 1e19 to i64::MIN, violating the module's
+        # null-on-failure contract
+        in_range = pc.and_(pc.greater_equal(arr, -(2.0 ** 63)),
+                           pc.less(arr, 2.0 ** 63))
+        ok = pc.and_(pc.and_(pc.is_finite(arr), pc.is_valid(arr)),
+                     pc.fill_null(in_range, False))
+        return _masked_cast(pc.trunc(arr), ok, pa.int64())
     if pa.types.is_boolean(t):
         return _all_null(len(arr), pa.int64())  # reference: Boolean → None
     if _is_string(t):

@@ -81,7 +81,11 @@ class JsonSink:
             if isinstance(existing, list):
                 rows.extend(existing)
         for batch in ds.iter_batches(batch_format="pandas"):
-            rows.extend(json.loads(batch.to_json(orient="records")))
+            # date_format='iso': pandas' default 'epoch' serialized
+            # timestamps as bare millisecond ints, silently destroying
+            # the type for round-trips (JsonLinesSink writes strings)
+            rows.extend(json.loads(batch.to_json(orient="records",
+                                                 date_format="iso")))
         tmp = self.path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(rows, f, indent=2 if self.pretty else None, default=str)

@@ -67,9 +67,19 @@ class ParquetSink:
         if self.min_rows_per_file:
             kw["min_rows_per_file"] = self.min_rows_per_file
         if self.metadata:
-            import pyarrow.parquet as pq  # noqa: F401
-            kw["arrow_parquet_args_fn"] = (
-                lambda md=self.metadata: {"metadata": md})
+            # key-value metadata rides the SCHEMA into each file's
+            # footer (pq.ParquetWriter has no 'metadata' kwarg — the
+            # previous arrow_parquet_args_fn route crashed every write)
+            md = {str(k): str(v) for k, v in self.metadata.items()}
+
+            def stamp_md(t, _md=md):
+                merged = dict(t.schema.metadata or {})
+                merged.update({k.encode(): v.encode()
+                               for k, v in _md.items()})
+                return t.replace_schema_metadata(merged)
+
+            ds = ds.map_batches(stamp_md, batch_format="pyarrow",
+                                zero_copy_batch=True)
         if self.overwrite:
             kw["mode"] = "overwrite"
         ds.write_parquet(self.path, **kw)

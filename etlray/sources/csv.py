@@ -29,22 +29,43 @@ _BOOL_VOCAB = pa.array(
 _TRUE_VOCAB = pa.array(["true", "1", "yes", "y"], type=pa.string())
 
 
-def _sniff_extra_booleans(t: pa.Table) -> pa.Table:
-    for i, name in enumerate(t.column_names):
-        col = t.column(i)
-        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+def _bool_verdicts(t: pa.Table) -> pa.Table:
+    """Per-block sniff verdict: for each string column, is every
+    non-null value in the boolean vocabulary (and how many non-nulls)?
+    One tiny row per column per block — the driver folds these into the
+    dataset-GLOBAL upgrade decision."""
+    names, ok, nn = [], [], []
+    for name in t.column_names:
+        col = t[name]
+        if not (pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
             continue
         nonnull = pc.drop_null(col)
+        names.append(name)
+        nn.append(len(nonnull))
         if len(nonnull) == 0:
+            ok.append(True)
+        else:
+            low = pc.utf8_lower(pc.utf8_trim_whitespace(nonnull))
+            ok.append(pc.all(pc.is_in(low, value_set=_BOOL_VOCAB)).as_py())
+    return pa.table({"col": pa.array(names, pa.string()),
+                     "ok": pa.array(ok, pa.bool_()),
+                     "n": pa.array(nn, pa.int64())})
+
+
+def _upgrade_bool_columns(t: pa.Table, cols) -> pa.Table:
+    for name in cols:
+        if name not in t.column_names:
             continue
-        low = pc.utf8_lower(pc.utf8_trim_whitespace(nonnull))
-        if pc.all(pc.is_in(low, value_set=_BOOL_VOCAB)).as_py():
-            low_all = pc.utf8_lower(pc.utf8_trim_whitespace(col))
-            as_bool = pc.is_in(low_all, value_set=_TRUE_VOCAB)
-            as_bool = pc.if_else(pc.is_valid(col), as_bool, pa.scalar(None, pa.bool_()))
-            if isinstance(as_bool, pa.ChunkedArray):
-                as_bool = as_bool.combine_chunks()
-            t = t.set_column(i, name, as_bool)
+        i = t.column_names.index(name)
+        col = t.column(i)
+        low_all = pc.utf8_lower(pc.utf8_trim_whitespace(col))
+        as_bool = pc.is_in(low_all, value_set=_TRUE_VOCAB)
+        as_bool = pc.if_else(pc.is_valid(col), as_bool,
+                             pa.scalar(None, pa.bool_()))
+        if isinstance(as_bool, pa.ChunkedArray):
+            as_bool = as_bool.combine_chunks()
+        t = t.set_column(i, name, as_bool)
     return t
 
 
@@ -111,8 +132,27 @@ class CsvSource:
         except Exception as e:
             raise ExtractError(f"csv read failed: {e}") from e
         if self.sniff:
-            ds = ds.map_batches(_sniff_extra_booleans, batch_format="pyarrow",
-                                zero_copy_batch=True)
+            # dataset-GLOBAL upgrade decision: the old per-block sniff
+            # could type the same column bool in one block and string
+            # in another (a block whose values happen to all be in the
+            # vocab), yielding conflicting block schemas. Phase 1 folds
+            # one tiny verdict row per (column, block); a column
+            # upgrades only if EVERY block agrees and it has ≥1
+            # non-null value anywhere.
+            agg: dict[str, tuple[bool, int]] = {}
+            for b in ds.map_batches(_bool_verdicts, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                    .iter_batches(batch_format="pyarrow"):
+                for c, o, n in zip(b["col"].to_pylist(),
+                                   b["ok"].to_pylist(),
+                                   b["n"].to_pylist()):
+                    prev_ok, prev_n = agg.get(c, (True, 0))
+                    agg[c] = (prev_ok and o, prev_n + n)
+            upgrade = tuple(c for c, (o, n) in agg.items() if o and n > 0)
+            if upgrade:
+                ds = ds.map_batches(
+                    lambda t, _c=upgrade: _upgrade_bool_columns(t, _c),
+                    batch_format="pyarrow", zero_copy_batch=True)
         return ds
 
 

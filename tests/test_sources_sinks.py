@@ -104,3 +104,150 @@ def test_memory_sink_accumulates(ray_session):
     assert len(sink) == 2 and not sink.is_empty()
     sink.clear()
     assert sink.is_empty()
+
+
+# ---------------------------------------------------------------------------
+# round-4 review-wave regressions (sources/sinks/coerce/evolve/lww)
+# ---------------------------------------------------------------------------
+def test_widen_types_numeric_promotions():
+    """str(pa.float64()) is 'double' — the old order list made every
+    numeric<->float widening fall through to STRING (an int/float LSN
+    column became text and '9' > '10' broke the LWW order)."""
+    import pyarrow as pa
+
+    from etlray.cdc.evolve import widen_types
+
+    assert widen_types(pa.int64(), pa.float64()) == pa.float64()
+    assert widen_types(pa.int64(), pa.float32()) == pa.float64()
+    assert widen_types(pa.float32(), pa.float64()) == pa.float64()
+    assert widen_types(pa.int32(), pa.int64()) == pa.int64()
+    assert widen_types(pa.int64(), pa.string()) == pa.string()
+
+
+def test_drop_deletes_keeps_null_op_rows():
+    """A NULL op (schema-evolved block without the column) is NOT a
+    delete — filter(null) silently dropped 100% of such rows."""
+    import pyarrow as pa
+
+    from etlray.cdc.lww import drop_deletes
+
+    t = pa.table({"op": pa.array(["insert", None, "delete"]),
+                  "k": pa.array([1, 2, 3])})
+    out = drop_deletes(t)
+    assert out["k"].to_pylist() == [1, 2]
+
+
+def test_as_integer_out_of_range_float_is_null():
+    import pyarrow as pa
+
+    from etlray.coerce import as_integer
+
+    out = as_integer(pa.array([1e19, -1e19, 5.7, None]))
+    assert out.to_pylist() == [None, None, 5, None]
+
+
+def test_csv_bool_sniff_is_dataset_global(tmp_path, ray_session):
+    """The sniff decision must be one per dataset: a file whose first
+    rows are all boolean vocab but later rows aren't must stay string
+    in EVERY block (per-block sniffing yielded mixed block schemas)."""
+    from etlray.sources import CsvSource
+
+    p = tmp_path / "mixed.csv"
+    rows = ["flag"] + ["yes"] * 5 + ["maybe"] + ["no"] * 3
+    p.write_text("\n".join(rows) + "\n")
+    ds = CsvSource(str(p), sniff_extra_booleans=True).read()
+    vals = [r["flag"] for r in ds.take_all()]
+    assert vals == ["yes"] * 5 + ["maybe"] + ["no"] * 3  # stays string
+    # a genuinely boolean column still upgrades
+    p2 = tmp_path / "boolish.csv"
+    p2.write_text("flag\nyes\nno\nY\n")
+    ds2 = CsvSource(str(p2), sniff_extra_booleans=True).read()
+    assert [r["flag"] for r in ds2.take_all()] == [True, False, True]
+
+
+def test_parquet_sink_metadata_reaches_footer(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from etlray.sinks import ParquetSink
+
+    ds = ray.data.from_items([{"a": 1}, {"a": 2}])
+    sink = ParquetSink(str(tmp_path / "out"), metadata={"job": "x"})
+    sink.write(ds)
+    import glob
+
+    files = glob.glob(str(tmp_path / "out" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    md = pq.ParquetFile(files[0]).schema_arrow.metadata
+    assert md and md.get(b"job") == b"x"
+
+
+def test_json_sink_iso_dates(tmp_path, ray_session):
+    import datetime as dt
+    import json as _json
+
+    import ray.data
+
+    from etlray.sinks import JsonSink
+
+    ds = ray.data.from_items(
+        [{"ts": dt.datetime(2024, 1, 2, 3, 4, 5), "v": 1}])
+    p = tmp_path / "out.json"
+    JsonSink(str(p)).write(ds)
+    rows = _json.load(open(p))
+    assert rows[0]["ts"].startswith("2024-01-02T03:04:05")
+
+
+def test_delta_sink_update_columns_partial_merge(tmp_path, ray_session):
+    """update_columns was a silent no-op: matched keys must take
+    incoming values ONLY for the listed columns."""
+    import ray.data
+
+    from etlray.sinks import DeltaSink
+
+    d = str(tmp_path / "tbl")
+    DeltaSink(d, mode="merge", merge_keys=["id"]).write(
+        ray.data.from_items([
+            {"id": 1, "price": 10.0, "name": "a"},
+            {"id": 2, "price": 20.0, "name": "b"}]))
+    DeltaSink(d, mode="merge", merge_keys=["id"],
+              update_columns=["price"]).write(
+        ray.data.from_items([
+            {"id": 1, "price": 99.0, "name": "CLOBBER"},
+            {"id": 3, "price": 30.0, "name": "c"}]))
+    from etlray.cdc.engine import CDCEngine
+
+    eng = CDCEngine(d, keys=["id"], num_buckets=None,
+                    content_col="__none__")
+    rows = {r["id"]: r for r in eng.read_snapshot().take_all()}
+    assert rows[1]["price"] == 99.0
+    assert rows[1]["name"] == "a"        # NOT clobbered
+    assert rows[2]["name"] == "b"        # untouched key intact
+    assert rows[3] and rows[3]["name"] == "c"  # new key inserts as-is
+
+
+def test_delta_sink_lsn_floor_above_watermark(tmp_path, ray_session,
+                                              monkeypatch):
+    """Two writes in the same clock microsecond must not silently drop
+    the second write's rows at the watermark filter."""
+    import time as _time
+
+    import ray.data
+
+    from etlray.sinks import DeltaSink
+
+    d = str(tmp_path / "tbl")
+    frozen = _time.time()
+    monkeypatch.setattr("etlray.sinks.delta.time",
+                        type("T", (), {"time": staticmethod(lambda: frozen)}))
+    DeltaSink(d, mode="merge", merge_keys=["id"]).write(
+        ray.data.from_items([{"id": 1, "v": 1}]))
+    DeltaSink(d, mode="merge", merge_keys=["id"]).write(
+        ray.data.from_items([{"id": 1, "v": 2}]))
+    from etlray.cdc.engine import CDCEngine
+
+    eng = CDCEngine(d, keys=["id"], num_buckets=None,
+                    content_col="__none__")
+    rows = {r["id"]: r["v"] for r in eng.read_snapshot().take_all()}
+    assert rows == {1: 2}  # second write applied, not dropped
