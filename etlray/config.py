@@ -101,6 +101,10 @@ class ETLConfig:
             cfg.pipeline.retry_attempts = int(env["ETL_RETRY_ATTEMPTS"])
         if "ETL_ENABLE_METRICS" in env:
             cfg.features.enable_metrics = env["ETL_ENABLE_METRICS"].lower() in ("true", "1", "yes")
+        if "ETL_ENABLE_LOGGING" in env:
+            # reference parses it at config.rs:155-159; omitting it
+            # silently ignored the documented variable
+            cfg.features.enable_logging = env["ETL_ENABLE_LOGGING"].lower() in ("true", "1", "yes")
         if "ETL_LOG_LEVEL" in env:
             cfg.observability.log_level = env["ETL_LOG_LEVEL"]
         if "ETL_MEMORY_LIMIT_MB" in env:

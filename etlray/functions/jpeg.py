@@ -183,10 +183,18 @@ class _BitReader:
 
     def at_marker(self) -> int | None:
         """The marker byte after 0xFF at the current byte boundary, if
-        any (RSTn handling)."""
-        d, p = self.data, self.pos
-        if self.nbits == 0 and p + 1 < len(d) and d[p] == 0xFF \
-                and d[p + 1] != 0x00:
+        any (RSTn handling). T.81 B.1.1.2 allows any number of 0xFF
+        fill bytes before the marker — skip them (and advance pos so
+        skip_marker() lands past the real marker), else a conformant
+        DRI stream with padded RSTn markers failed to decode."""
+        d = self.data
+        if self.nbits != 0:
+            return None
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
+            self.pos = p
             return d[p + 1]
         return None
 

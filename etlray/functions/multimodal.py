@@ -322,6 +322,13 @@ class ImageDecodeStage:
                         h.append(im.size[1])
                     continue
                 except Exception:
+                    if self.strict:
+                        # strict must fail loudly even when PIL is
+                        # installed — silently emitting null dims
+                        # inverted the documented contract
+                        raise NotImplementedError(
+                            "payload failed to decode (PIL path, "
+                            "strict=True)")
                     w.append(None)
                     h.append(None)
                     continue
@@ -406,9 +413,10 @@ class FrameSampleStage:
 
 
 class ImageResizeStage:
-    """Decoded-image resize: BMP payloads are REALLY decoded, resized
-    (vectorized nearest-neighbor) and re-encoded as BMP; non-BMP
-    payloads pass through unchanged (``strict=True`` raises instead).
+    """Decoded-image resize: BMP/PNG/baseline-JPEG payloads are REALLY
+    decoded, resized (vectorized nearest-neighbor) and re-encoded in
+    their ORIGINAL container format; undecodable payloads pass through
+    unchanged (``strict=True`` raises instead).
     Output columns: ``resized_payload``, ``resized_width/height``."""
 
     def __init__(self, payload_col: str = "payload", out_w: int = 32,
@@ -422,18 +430,26 @@ class ImageResizeStage:
         outs, ws, hs = [], [], []
         for p in t[self.payload_col].to_pylist():
             p = p or b""
-            is_png = p.startswith(_PNG_SIG)
             img = decode_image(p)
             if img is None:
                 if self.strict:
                     raise NotImplementedError(
-                        "payload is not a 24-bit BMP or truecolor PNG")
+                        "payload is not a 24-bit BMP, truecolor PNG or "
+                        "baseline JPEG")
                 outs.append(p)
                 ws.append(None)
                 hs.append(None)
                 continue
             resized = resize_nearest(img, self.out_h, self.out_w)
-            enc = encode_png if is_png else encode_bmp
+            # re-encode in the ORIGINAL container: the old binary
+            # png-vs-bmp flag silently turned decoded JPEGs into
+            # uncompressed BMPs (~10-50x size inflation, wrong mime)
+            if p.startswith(_PNG_SIG):
+                enc = encode_png
+            elif len(p) >= 2 and p[0] == 0xFF and p[1] == 0xD8:
+                from etlray.functions.jpeg import encode_jpeg as enc
+            else:
+                enc = encode_bmp
             outs.append(enc(np.ascontiguousarray(resized)))
             ws.append(self.out_w)
             hs.append(self.out_h)
@@ -467,8 +483,9 @@ class AudioFeatureStage:
                 cent.append(float(r.random() * 4000))
                 continue
             x, rate = decoded
-            n = max(len(x), 1)
-            dur.append(n / rate)
+            # a zero-frame WAV has duration 0.0 — the old max(len,1)
+            # fabricated 1/rate seconds for empty clips
+            dur.append(len(x) / rate)
             rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
             zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x.astype(np.float64)))))) if len(x) > 1 else 0.0)
             if len(x) > 1:

@@ -145,6 +145,18 @@ class Pipeline:
 
     def execute(self) -> PipelineResult:
         """Reference mod.rs:89-212 lifecycle, streaming execution."""
+        # honour config.pipeline.batch_size (builder .batch_size(n) /
+        # ETL_BATCH_SIZE): it was stored and validated but never
+        # APPLIED — a user shrinking batches to fit wide rows in worker
+        # heap still ran block-native. Same mechanism as
+        # execute_batch(n); an explicit execute_batch call wins because
+        # it runs this assignment afterwards.
+        cfg_bs = getattr(getattr(self.config, "pipeline", None),
+                         "batch_size", None)
+        if cfg_bs:
+            for t in self.transforms:
+                if hasattr(t, "batch_size") and t.batch_size is None:
+                    t.batch_size = cfg_bs
         start = time.perf_counter()
         self._ctx = PluginContext(pipeline_id=self.pipeline_id, config=self.config)
         result = PipelineResult()

@@ -79,6 +79,24 @@ def _scale_int_cols(ds, factors: dict[str, float], rename: dict[str, str]
                           zero_copy_batch=True)
 
 
+def _round3(t: pa.Table, col: str = "cosine") -> pa.Table:
+    """Round a similarity column to the 3 decimals the SQL oracles pin
+    (ONE definition — this body was copy-pasted four times)."""
+    idx = t.column_names.index(col)
+    return t.set_column(idx, col, pc.round(t.column(idx), 3))
+
+
+def _gather_rounded(out, col: str = "cosine") -> pa.Table:
+    """Gather a small pair Dataset to one Arrow table with the
+    similarity column rounded — near-dup pairs ≪ corpus by contract,
+    and Ray's to_pandas() drops the schema of an all-empty Dataset,
+    which would break the driver's column compare on 0-pair fixtures."""
+    import ray
+
+    parts = [_round3(t, col) for t in ray.get(out.to_arrow_refs())]
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
 # ---------------------------------------------------------------------------
 # filter + projection + computed column (reference FilterTransform /
 # MapTransform / SelectColumns, src/transform/common.rs:10-60,428-453)
@@ -522,10 +540,7 @@ def ann_brute_topk(sf_dir: str):
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
     out = brute_force_topk(ds, queries, k=10)
 
-    def round3(t: pa.Table) -> pa.Table:
-        idx = t.column_names.index("cosine")
-        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
-    return out.map_batches(round3, batch_format="pyarrow")
+    return out.map_batches(_round3, batch_format="pyarrow")
 
 
 # The IVF path (driver k-means codebook on a bounded sample, cluster
@@ -567,10 +582,7 @@ def ann_ivf_topk(sf_dir: str):
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"]).read()
     out = ivf_topk(ds, queries, k=10, n_clusters=16, nprobe=12)
 
-    def round3(t: pa.Table) -> pa.Table:
-        idx = t.column_names.index("cosine")
-        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
-    return out.map_batches(round3, batch_format="pyarrow")
+    return out.map_batches(_round3, batch_format="pyarrow")
 
 
 # MinHash-LSH with exact verify emits the all-pairs contract of the
@@ -719,14 +731,7 @@ def embedding_near_dups_q(sf_dir: str):
     ds = _augmented_embeddings(sf_dir)
     out = embedding_near_dups(ds, cosine_threshold=0.95)
 
-    def round3(t: pa.Table) -> pa.Table:
-        idx = t.column_names.index("cosine")
-        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
-    # near-dup pairs ≪ corpus by contract → gather to one Arrow table
-    # (Ray's to_pandas() drops the schema of an all-empty Dataset,
-    # which would break the driver's column compare on 0-pair fixtures)
-    parts = [round3(t) for t in ray.get(out.to_arrow_refs())]
-    return pa.concat_tables(parts, promote_options="permissive")
+    return _gather_rounded(out)
 
 
 # the wide-vector routing (code-only candidate rows + distributed
@@ -751,12 +756,7 @@ def embedding_near_dups_code_only_q(sf_dir: str):
     out = embedding_near_dups(ds, cosine_threshold=0.95,
                               candidates="code_only")
 
-    def round3(t: pa.Table) -> pa.Table:
-        idx = t.column_names.index("cosine")
-        return t.set_column(idx, "cosine", pc.round(t.column(idx), 3))
-
-    parts = [round3(t) for t in ray.get(out.to_arrow_refs())]
-    return pa.concat_tables(parts, promote_options="permissive")
+    return _gather_rounded(out)
 
 
 # language-ID heuristic: Arrow's regex engine is RE2 and so is DuckDB's,
@@ -911,7 +911,6 @@ def windowed_agg(sf_dir: str):
 def asof_join_purchase_click(sf_dir: str):
     from etlray.stages import AsofJoinTransform
 
-    cols = ["event_id", "user_id", "ts"]
     purchases = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"],
                     filter=(pc.field("event_type") == "purchase")).read() \
         .drop_columns(["event_type"])

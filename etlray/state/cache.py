@@ -88,8 +88,14 @@ class SharedCache(Cache):
             def size(self):
                 return len(self.d)
 
+        # lifetime="detached": the actor must outlive whichever worker
+        # process happened to construct it first (lifetime=None ties it
+        # to that owner and every later client gets RayActorError when
+        # the owner exits); the fixed namespace keeps the name shared
+        # across drivers on the same cluster
         self._actor = _CacheActor.options(
-            name=name, get_if_exists=True, lifetime=None).remote()
+            name=name, get_if_exists=True, lifetime="detached",
+            namespace="etlray").remote()
         self._ray = ray
 
     def store(self, key: str, value: Any) -> None:

@@ -19,6 +19,9 @@ def retry(config: RetryConfig | None = None) -> Callable:
     """Decorator: retries recoverable ETLErrors with exponential
     backoff; non-recoverable errors raise immediately."""
     cfg = config or RetryConfig()
+    if cfg.max_attempts < 1:
+        raise ValueError(
+            f"max_attempts must be >= 1, got {cfg.max_attempts}")
 
     def deco(fn: Callable[..., T]) -> Callable[..., T]:
         @functools.wraps(fn)

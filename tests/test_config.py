@@ -99,3 +99,10 @@ def test_plugin_registry_order_and_metrics():
     mp.after_load(ctx, R())
     assert mp.rows_per_second > 0
     assert ctx.metadata["rows_per_second"] == mp.rows_per_second
+
+
+def test_from_env_enable_logging(monkeypatch):
+    from etlray.config import ETLConfig
+
+    monkeypatch.setenv("ETL_ENABLE_LOGGING", "false")
+    assert ETLConfig.from_env().features.enable_logging is False

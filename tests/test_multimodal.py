@@ -292,3 +292,37 @@ def test_jpeg_fill_bytes_before_markers():
     padded = bytes(enc[:i]) + b"\xff\xff\xff" + bytes(enc[i:])
     out = decode_jpeg(padded)
     assert out is not None and out.shape == img.shape
+
+
+def test_resize_stage_reencodes_jpeg_as_jpeg(ray_session):
+    """Decoded JPEG payloads must re-encode as JPEG — the old binary
+    png-vs-bmp flag silently turned them into uncompressed BMPs."""
+    import ray.data
+
+    from etlray.functions.jpeg import decode_jpeg
+    from etlray.functions.multimodal import (ImageResizeStage,
+                                             synth_jpeg_table)
+
+    ds = ray.data.from_arrow(synth_jpeg_table(4))
+    out = ds.map_batches(ImageResizeStage,
+                         fn_constructor_kwargs={"out_w": 12, "out_h": 9,
+                                                "strict": True},
+                         batch_format="pyarrow", batch_size=2,
+                         concurrency=1).take_all()
+    for r in out:
+        p = r["resized_payload"]
+        assert p[:2] == b"\xff\xd8"          # still a JPEG container
+        img = decode_jpeg(p)
+        assert img is not None and img.shape == (9, 12, 3)
+
+
+def test_audio_zero_frame_duration_is_zero():
+    import numpy as np
+    import pyarrow as pa
+
+    from etlray.functions.multimodal import AudioFeatureStage, encode_wav
+
+    empty = encode_wav(np.array([], dtype=np.int16), rate=8000)
+    stage = AudioFeatureStage(strict=True)
+    out = stage(pa.table({"payload": pa.array([empty], pa.binary())}))
+    assert out["duration_sec"][0].as_py() == 0.0

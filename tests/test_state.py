@@ -68,3 +68,13 @@ def test_validate_policies(ray_session):
         [False, True, True]
     with pytest.raises(Exception):
         ValidateTransform(checks, policy="fail").apply(ds).take_all()
+
+
+def test_retry_rejects_nonpositive_attempts():
+    import pytest as _pytest
+
+    from etlray.config import RetryConfig
+    from etlray.state.retry import retry
+
+    with _pytest.raises(ValueError, match="max_attempts"):
+        retry(RetryConfig(max_attempts=0))
