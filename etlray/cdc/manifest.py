@@ -175,16 +175,23 @@ class Manifest:
         # seq from the MAX existing record, not the pointer count: a
         # crash between record write and pointer publish leaves an
         # orphaned record the pointer never counted — reusing its seq
-        # would make two records ambiguous under the sort-by-seq order
-        seq = int(p.get("count", 0))
-        try:
-            for fn in os.listdir(self.epoch_dir):
-                if fn.endswith(".json"):
-                    with open(os.path.join(self.epoch_dir, fn)) as f:
-                        rec = json.load(f)
-                    seq = max(seq, int(rec.get("seq", -1)) + 1)
-        except OSError:
-            pass
+        # would make two records ambiguous under the sort-by-seq order.
+        # The directory scan runs ONCE per Manifest instance (then the
+        # cached watermark advances in memory) — rescanning every
+        # commit would be O(epochs²) json loads over a long tail.
+        if getattr(self, "_max_seq", None) is None:
+            self._max_seq = -1
+            try:
+                for fn in os.listdir(self.epoch_dir):
+                    if fn.endswith(".json"):
+                        with open(os.path.join(self.epoch_dir, fn)) as f:
+                            rec = json.load(f)
+                        self._max_seq = max(self._max_seq,
+                                            int(rec.get("seq", -1)))
+            except OSError:
+                pass
+        seq = max(int(p.get("count", 0)), self._max_seq + 1)
+        self._max_seq = seq
         self._atomic_write(self._record_path(epoch_id), {
             "id": epoch_id,
             "seq": seq,
@@ -269,6 +276,7 @@ class Manifest:
         if os.path.isdir(self.epoch_dir):
             bak = self.epoch_dir + f".bak.{int(time.time() * 1000)}"
             os.rename(self.epoch_dir, bak)
+        self._max_seq = None  # new lineage starts its seq space fresh
 
 
 def write_lineage_jsonl(path: str, epoch_id, lineage: dict[int, dict]) -> None:
