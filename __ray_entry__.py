@@ -23,17 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry() -> Any:
     """Flagship pipeline: CDC apply_changes replay on a deterministic
     synthetic change log over the repo-files table (BASELINE.json north
-    rule), falling back to the pricing-summary pipeline until the CDC
-    engine lands."""
+    rule)."""
     sf = "/root/testdata/sf0.001"
-    try:
-        from etlray.cdc.engine import flagship_cdc_demo
+    # no ImportError fallback: the CDC engine is long landed, and a
+    # swallowed import error would turn a broken flagship into a green
+    # smoke check
+    from etlray.cdc.engine import flagship_cdc_demo
 
-        return flagship_cdc_demo(sf)
-    except ImportError:
-        from etlray.queries import QUERIES
-
-        return QUERIES["pricing_summary"](sf)
+    return flagship_cdc_demo(sf)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

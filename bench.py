@@ -113,10 +113,14 @@ def run_headline(num_cpus: int, fixture_dir: str | None = None) -> dict:
         os.makedirs(os.path.dirname(fx_manifest), exist_ok=True)
         with open(fx_manifest, "w") as f:
             json.dump(fx, f)
-    # warm the page cache so we measure compute+shuffle, not first disk read
+    # warm the page cache so we measure compute+shuffle, not first disk
+    # read — in fixed chunks: one f.read() of a multi-GB epoch file
+    # would transiently allocate the whole file in the driver right
+    # before a memory-sensitive benchmark
     for p in [fx["base"], *fx["epochs"]]:
         with open(p, "rb") as f:
-            f.read()
+            while f.read(1 << 22):
+                pass
     # bucket count FIXED per event count (never a function of num_cpus)
     # so two parallelism levels execute the identical physical plan —
     # the scaling comparison then isolates parallelism, as N vs 4N
@@ -129,9 +133,15 @@ def run_headline(num_cpus: int, fixture_dir: str | None = None) -> dict:
         fx, os.path.join(work, "table"),
         num_buckets=int(os.environ.get("ETLRAY_BENCH_BUCKETS",
                                        str(default_buckets))))
+    # throughput over the FIXTURE's actual event count, not the
+    # env-derived default — a cached-fixture/env mismatch (e.g.
+    # ETLRAY_BENCH_FIXDIR pointing at a 16M cache with the env unset)
+    # would otherwise report an 80x-wrong events_per_sec
+    real_events = int(fx.get("n_events", n_events))
     return {"sec": apply_sec, "bootstrap_sec": boot_sec,
-            "events_per_sec": n_events / apply_sec,
-            "n_events": n_events, "num_cpus": num_cpus, "work": work}
+            "events_per_sec": real_events / apply_sec,
+            "n_events": real_events, "num_cpus": num_cpus, "work": work,
+            "owns_work": fixture_dir is None}
 
 
 def _slice_log(fx: dict, out_dir: str, n_files: int) -> list[tuple[str, int]]:
@@ -224,7 +234,8 @@ def run_follow(num_cpus: int) -> dict:
     slices = _slice_log(fx, os.path.join(cache, f"follow_slices_{n_files}"),
                         n_files)
     n_files = len(slices)
-    n_backlog = int(os.environ.get("ETLRAY_FOLLOW_BACKLOG", str(n_files // 2)))
+    n_backlog = min(int(os.environ.get("ETLRAY_FOLLOW_BACKLOG",
+                                       str(n_files // 2))), n_files)
 
     import ray.data
 
@@ -454,6 +465,11 @@ def main() -> None:
 
     if "--headline-only" in sys.argv:
         hl = run_headline(NUM_CPUS, os.environ.get("ETLRAY_BENCH_FIXDIR"))
+        # tmpfs hygiene (round-3 finding: stale /dev/shm dirs tax the
+        # object store): drop the applied table; the fixture cache is
+        # the only thing meant to persist between runs
+        shutil.rmtree(os.path.join(hl["work"], "table"),
+                      ignore_errors=True)
         print(json.dumps({"sec": hl["sec"], "events_per_sec": hl["events_per_sec"]}))
         import ray
 
@@ -461,6 +477,10 @@ def main() -> None:
         return
 
     hl = run_headline(NUM_CPUS)
+    if hl.get("owns_work"):
+        # tmpfs hygiene: this run created the work dir — drop the
+        # fixture AND the applied table once timed
+        shutil.rmtree(hl["work"], ignore_errors=True)
     queries = run_queries()
     # Two lines by contract: a verbose detail line first (3-dp timings, full
     # sf path) for humans, then the driver contract line LAST and COMPACT

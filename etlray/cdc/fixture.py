@@ -169,6 +169,28 @@ def generate_fixture(
             writer.write_table(tbl, row_group_size=10_000)
         if writer is not None:
             writer.close()
+        else:
+            # tiny n_events can make an epoch's range empty — still
+            # write a schema'd zero-row file so the returned manifest
+            # never references a path that doesn't exist (readers and
+            # bench's warm loop crashed with FileNotFoundError)
+            cols = {
+                "lsn": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "commit": pa.array([], pa.string()),
+                "content": pa.array([], pa.string()),
+            }
+            if epoch < 2:
+                cols["lang"] = pa.array([], pa.string())
+            else:
+                cols["language"] = pa.array([], pa.string())
+            if epoch == 1:
+                cols["size"] = pa.array([], pa.int32())
+            elif epoch == 2:
+                cols["size"] = pa.array([], pa.int64())
+            pq.write_table(pa.table(cols), p)
         epoch_paths.append(p)
 
     return {

@@ -28,6 +28,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from etlray.stages.common import Transform
 
@@ -57,12 +58,24 @@ def sniff_value(s):
             return t
     if _FLOAT_RE.match(t):
         return float(t)
+    # regex shape-matches can still be invalid calendar values
+    # ('2024-99-99', '...T25:00:00Z') — fall back to string instead of
+    # crashing the sort pipeline with an unguarded ValueError
     if _DATE_RE.match(t):
-        return _dt.date.fromisoformat(t)
+        try:
+            return _dt.date.fromisoformat(t)
+        except ValueError:
+            return t
     if _TS_RE.match(t):
-        return _dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+        try:
+            return _dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+        except ValueError:
+            return t
     if _DT_RE.match(t):
-        return _dt.datetime.fromisoformat(t.replace(" ", "T"))
+        try:
+            return _dt.datetime.fromisoformat(t.replace(" ", "T"))
+        except ValueError:
+            return t
     return s
 
 
@@ -79,7 +92,15 @@ def mixed_sort_key(values: Sequence):
         elif isinstance(v, bool):
             rank[i], num[i] = R_BOOL, float(v)
         elif isinstance(v, (int, float, np.integer, np.floating)):
-            rank[i], num[i] = R_NUM, float(v)
+            rank[i] = R_NUM
+            try:
+                num[i] = float(v)
+            except OverflowError:
+                # a 300+-digit sniffed int: order at the numeric
+                # extreme instead of crashing. (Known limit, documented:
+                # distinct ints above 2^53 collapse to equal float keys
+                # and keep arbitrary relative order.)
+                num[i] = math.inf if v > 0 else -math.inf
         elif isinstance(v, str):
             rank[i], strs[i] = R_STR, v
         elif isinstance(v, (list, tuple, np.ndarray)):
@@ -125,7 +146,41 @@ class MixedSortTransform(Transform):
         names = ds.schema().names
         types = dict(zip(names, ds.schema().types))
         if not (pa.types.is_string(types[col]) or pa.types.is_large_string(types[col])):
-            return ds.sort(col, descending=self.descending)
+            # reference comparator: Null is the SMALLEST value, but
+            # Ray/pyarrow sort places nulls at_end — sort on an
+            # explicit null flag first so typed columns order
+            # identically to the string-encode path (R_NULL first
+            # ascending, last descending)
+            flag = "__mx_isnull"
+            shadow = "__mx_sortval"
+
+            def add_flag(t: pa.Table) -> pa.Table:
+                f = pc.is_null(t[col])
+                if isinstance(f, pa.ChunkedArray):
+                    f = f.combine_chunks()
+                t = t.append_column(flag, f)
+                # Ray's sort boundary sampling can't compare None
+                # against values — sort on a null-FILLED shadow (the
+                # filler value never matters: the flag column already
+                # separates all nulls into their own group)
+                try:
+                    filler = pa.scalar(0).cast(t.schema.field(col).type)
+                    sv = pc.fill_null(t[col], filler)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    # unfillable (e.g. a null-typed all-null column):
+                    # a constant shadow is fine — the flag column
+                    # carries the whole ordering in that case
+                    sv = pa.array([0] * t.num_rows, type=pa.int8())
+                if isinstance(sv, pa.ChunkedArray):
+                    sv = sv.combine_chunks()
+                return t.append_column(shadow, sv)
+
+            out = ds.map_batches(add_flag, **self._mb_kwargs()) \
+                .sort([flag, shadow], descending=[not self.descending,
+                                                  self.descending])
+            return out.map_batches(
+                lambda t: t.drop_columns([flag, shadow]),
+                **self._mb_kwargs())
         kr, kn, ks = self._K
 
         def encode(t: pa.Table) -> pa.Table:

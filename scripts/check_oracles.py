@@ -43,11 +43,15 @@ def value_hash(df) -> str:
     import hashlib
     import pandas as pd
 
-    df = canon(df.copy())
-    # round floats so both engines agree to 6 significant digits
+    df = df.copy()
+    # round floats BEFORE the canonical sort: sub-rounding cross-engine
+    # jitter on the sort column could otherwise reorder rows whose
+    # rounded values agree, failing a numerically-identical result
+    # (agreement bar: 4 decimal places)
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(4)
+    df = canon(df)
     payload = df.to_csv(index=False, float_format="%.4f").encode()
     return hashlib.sha256(payload).hexdigest()[:16]
 

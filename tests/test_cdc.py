@@ -333,3 +333,18 @@ def test_legacy_sparse_bucket_count_adoption(tmp_path, fixture_dir,
     with pytest.raises(ValueError):
         CDCEngine(str(tmp_path / "t"), num_buckets=2,
                   rename_map=RENAME_MAP)
+
+
+def test_generate_fixture_tiny_event_count(tmp_path):
+    """n_events so small an epoch's range is empty: every manifest
+    path must still exist (readers crashed on the missing file)."""
+    import os as _os
+
+    from etlray.cdc.fixture import generate_fixture
+
+    fx = generate_fixture(str(tmp_path / "fx"), n_events=2, n_keys=10,
+                          n_base=5)
+    for p in [fx["base"], *fx["epochs"]]:
+        assert _os.path.exists(p), p
+    oracle = oracle_apply(fx["base"], fx["epochs"])
+    assert isinstance(oracle, dict)

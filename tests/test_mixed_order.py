@@ -73,3 +73,38 @@ def test_mixed_sort_typed_column_passthrough(ray_session):
     rows = [{"v": x} for x in [3, 1, 2]]
     out = MixedSortTransform("v").apply(MemorySource(rows).read()).take_all()
     assert [r["v"] for r in out] == [1, 2, 3]
+
+
+def test_typed_column_nulls_sort_first(ray_session):
+    """Reference comparator: Null is the SMALLEST value — the typed
+    fast path previously used Ray/pyarrow's at_end default, diverging
+    from the string-encode path."""
+    import ray.data
+
+    from etlray.mixed import MixedSortTransform
+
+    ds = ray.data.from_items([{"v": 3}, {"v": None}, {"v": 1}])
+    asc = [r["v"] for r in MixedSortTransform("v").apply(ds).take_all()]
+    assert asc == [None, 1, 3]
+    desc = [r["v"] for r in MixedSortTransform("v", descending=True)
+            .apply(ds).take_all()]
+    assert desc == [3, 1, None]
+
+
+def test_sniff_invalid_calendar_values_stay_string():
+    from etlray.mixed import sniff_value
+
+    assert sniff_value("2024-99-99") == "2024-99-99"
+    assert sniff_value("2024-01-02T25:00:00Z") == "2024-01-02T25:00:00Z"
+    import datetime as dt
+
+    assert sniff_value("2024-01-02") == dt.date(2024, 1, 2)
+
+
+def test_mixed_key_giant_int_no_crash():
+    from etlray.mixed import mixed_sort_key
+
+    rank, num, _ = mixed_sort_key([int("1" + "0" * 309),
+                                   -int("1" + "0" * 309), 5])
+    assert num[0] == float("inf") and num[1] == float("-inf")
+    assert num[2] == 5.0
