@@ -466,9 +466,11 @@ def main() -> None:
     if "--headline-only" in sys.argv:
         hl = run_headline(NUM_CPUS, os.environ.get("ETLRAY_BENCH_FIXDIR"))
         # tmpfs hygiene (round-3 finding: stale /dev/shm dirs tax the
-        # object store): drop the applied table; the fixture cache is
-        # the only thing meant to persist between runs
-        shutil.rmtree(os.path.join(hl["work"], "table"),
+        # object store): drop the applied table; when this run CREATED
+        # the work dir (no ETLRAY_BENCH_FIXDIR cache) drop the whole
+        # randomly-named dir — no later run could reuse it
+        shutil.rmtree(hl["work"] if hl.get("owns_work")
+                      else os.path.join(hl["work"], "table"),
                       ignore_errors=True)
         print(json.dumps({"sec": hl["sec"], "events_per_sec": hl["events_per_sec"]}))
         import ray

@@ -93,6 +93,7 @@ class ETLConfig:
         env = os.environ
         if "ETL_BATCH_SIZE" in env:
             cfg.pipeline.batch_size = int(env["ETL_BATCH_SIZE"])
+            cfg.pipeline._batch_size_explicit = True
         if "ETL_PARALLEL_WORKERS" in env:
             cfg.pipeline.parallel_workers = int(env["ETL_PARALLEL_WORKERS"])
         if "ETL_TIMEOUT_SECONDS" in env:

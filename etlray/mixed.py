@@ -153,6 +153,11 @@ class MixedSortTransform(Transform):
             # ascending, last descending)
             flag = "__mx_isnull"
             shadow = "__mx_sortval"
+            # DECLARED type from the driver-unified schema: an all-null
+            # BLOCK reports its local column type as null, and emitting
+            # an int8 shadow there while value blocks emit date32 makes
+            # the union unmergeable
+            declared = types[col]
 
             def add_flag(t: pa.Table) -> pa.Table:
                 f = pc.is_null(t[col])
@@ -160,16 +165,43 @@ class MixedSortTransform(Transform):
                     f = f.combine_chunks()
                 t = t.append_column(flag, f)
                 # Ray's sort boundary sampling can't compare None
-                # against values — sort on a null-FILLED shadow (the
-                # filler value never matters: the flag column already
-                # separates all nulls into their own group)
+                # against values — sort on a null-FILLED shadow. The
+                # filler is the BATCH's own min (works for every
+                # orderable type incl. date32/decimal/binary, where a
+                # cast-from-0 filler raised and silently degraded the
+                # sort to null-flag-only): fill_null only changes null
+                # rows, and those are already fully separated by the
+                # flag column, so the filler's value never matters.
+                sv = None
                 try:
-                    filler = pa.scalar(0).cast(t.schema.field(col).type)
-                    sv = pc.fill_null(t[col], filler)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-                    # unfillable (e.g. a null-typed all-null column):
-                    # a constant shadow is fine — the flag column
-                    # carries the whole ordering in that case
+                    col_arr = t[col]
+                    if pa.types.is_null(col_arr.type) \
+                            and not pa.types.is_null(declared):
+                        # all-null BLOCK of a typed column: rebuild it
+                        # under the declared type so this block's
+                        # shadow matches the value blocks'
+                        col_arr = pa.nulls(t.num_rows, type=declared)
+                    filler = pc.min(col_arr)
+                    if not filler.is_valid:
+                        # all-null BATCH: construct a typed zero
+                        # directly (works for date32/decimal/binary
+                        # where a cast-from-int raised)
+                        if pa.types.is_binary(declared) \
+                                or pa.types.is_large_binary(declared):
+                            filler = pa.scalar(b"", type=declared)
+                        elif pa.types.is_boolean(declared):
+                            filler = pa.scalar(False, type=declared)
+                        else:
+                            filler = pa.scalar(0, type=declared)
+                    sv = pc.fill_null(col_arr, filler)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError, OverflowError):
+                    sv = None
+                if sv is None:
+                    # null-typed / non-orderable column (every batch
+                    # lands here identically — `declared` is the
+                    # unified type, so the check is block-independent):
+                    # constant shadow, the flag carries the ordering
                     sv = pa.array([0] * t.num_rows, type=pa.int8())
                 if isinstance(sv, pa.ChunkedArray):
                     sv = sv.combine_chunks()

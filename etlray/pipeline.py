@@ -145,14 +145,17 @@ class Pipeline:
 
     def execute(self) -> PipelineResult:
         """Reference mod.rs:89-212 lifecycle, streaming execution."""
-        # honour config.pipeline.batch_size (builder .batch_size(n) /
-        # ETL_BATCH_SIZE): it was stored and validated but never
-        # APPLIED — a user shrinking batches to fit wide rows in worker
-        # heap still ran block-native. Same mechanism as
-        # execute_batch(n); an explicit execute_batch call wins because
-        # it runs this assignment afterwards.
-        cfg_bs = getattr(getattr(self.config, "pipeline", None),
-                         "batch_size", None)
+        # honour an EXPLICITLY-SET config.pipeline.batch_size (builder
+        # .batch_size(n) / ETL_BATCH_SIZE set _batch_size_explicit
+        # alongside — the dataclass DEFAULT of 1000 is reference parity
+        # only and must NOT displace Ray-native block batches). A user
+        # shrinking batches to fit wide rows in worker heap previously
+        # ran block-native because the value was never applied; an
+        # explicit execute_batch(n) call still wins (it assigns first,
+        # and this loop skips transforms that already have a size).
+        pipe_cfg = getattr(self.config, "pipeline", None)
+        cfg_bs = getattr(pipe_cfg, "batch_size", None) \
+            if getattr(pipe_cfg, "_batch_size_explicit", False) else None
         if cfg_bs:
             for t in self.transforms:
                 if hasattr(t, "batch_size") and t.batch_size is None:
@@ -264,6 +267,7 @@ class PipelineBuilder:
 
     def batch_size(self, n: int | None) -> "PipelineBuilder":
         self._config.pipeline.batch_size = n
+        self._config.pipeline._batch_size_explicit = n is not None
         return self
 
     def timeout_seconds(self, n: int) -> "PipelineBuilder":

@@ -139,6 +139,11 @@ class CsvSource:
             # one tiny verdict row per (column, block); a column
             # upgrades only if EVERY block agrees and it has ≥1
             # non-null value anywhere.
+            # materialize once: the verdict pass consumes the whole
+            # read, and without pinning the blocks the returned lazy
+            # dataset would re-read and re-parse every CSV file on its
+            # first real consumption (2x I/O for every sniffing load)
+            ds = ds.materialize()
             agg: dict[str, tuple[bool, int]] = {}
             for b in ds.map_batches(_bool_verdicts, batch_format="pyarrow",
                                     zero_copy_batch=True) \

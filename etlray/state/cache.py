@@ -57,13 +57,19 @@ class InMemoryCache(Cache):
 
 
 class SharedCache(Cache):
-    """Cluster-wide cache backed by a named detached-scope Ray actor.
+    """Cluster-wide cache backed by a named detached Ray actor.
 
     ``SharedCache("vocab")`` in any worker process binds to the same
     store. NOT for bulk data (use ``ray.put`` broadcast for that) —
     this is for small shared mutable state: counters, seen-sets,
     memoized lookups.
-    """
+
+    Lifecycle: the actor is DETACHED (it must outlive whichever worker
+    constructed it first), so it persists until ``shutdown()`` or
+    cluster teardown — a job that is done with a named cache should
+    call ``shutdown()``, and unrelated jobs on a shared cluster should
+    pick distinct names, or a later driver binds to the earlier one's
+    state."""
 
     def __init__(self, name: str = "etlray_shared_cache") -> None:
         import ray
@@ -109,6 +115,12 @@ class SharedCache(Cache):
 
     def clear(self) -> None:
         self._ray.get(self._actor.clear.remote())
+
+    def shutdown(self) -> None:
+        """Kill the detached actor and release its state — call when
+        the job owning the name is done (detached actors otherwise
+        persist until cluster teardown)."""
+        self._ray.kill(self._actor)
 
     def __len__(self) -> int:
         return self._ray.get(self._actor.size.remote())

@@ -108,3 +108,21 @@ def test_mixed_key_giant_int_no_crash():
                                    -int("1" + "0" * 309), 5])
     assert num[0] == float("inf") and num[1] == float("-inf")
     assert num[2] == 5.0
+
+
+def test_typed_date_column_sorts_correctly(ray_session):
+    """Regression: the null-filled shadow used a cast-from-0 filler
+    that raised for date32 (and decimal/binary), silently degrading
+    the whole sort to null-flag-only order."""
+    import datetime as dt
+
+    import ray.data
+
+    from etlray.mixed import MixedSortTransform
+
+    ds = ray.data.from_items([
+        {"d": dt.date(2024, 3, 1)}, {"d": None},
+        {"d": dt.date(2023, 1, 1)}, {"d": dt.date(2024, 1, 15)}])
+    out = [r["d"] for r in MixedSortTransform("d").apply(ds).take_all()]
+    assert out == [None, dt.date(2023, 1, 1), dt.date(2024, 1, 15),
+                   dt.date(2024, 3, 1)]

@@ -122,3 +122,26 @@ def test_pipeline_failure_recorded(tmp_path, ray_session):
         p.execute()
     assert p.get_metrics().failed_executions == 1
     assert p.state.value == "failed"
+
+
+def test_default_batch_size_not_applied(ray_session):
+    """The dataclass default (1000, reference parity) must NOT displace
+    Ray-native blocks — only an explicit builder/env value applies."""
+    import ray.data
+
+    from etlray.pipeline import Pipeline
+    from etlray.sinks import MemorySink
+    from etlray.stages import SelectColumnsTransform
+
+    t = SelectColumnsTransform(["a"])
+    sink = MemorySink()
+    Pipeline(ray.data.from_items([{"a": 1, "b": 2}]), [t], [sink]) \
+        .execute()
+    assert t.batch_size is None  # untouched by the 1000 default
+    # explicit builder value IS applied
+    t2 = SelectColumnsTransform(["a"])
+    p = Pipeline.builder() \
+        .extract(ray.data.from_items([{"a": 1, "b": 2}])) \
+        .transform(t2).load(MemorySink()).batch_size(64).build()
+    p.execute()
+    assert t2.batch_size == 64
