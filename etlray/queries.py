@@ -1829,6 +1829,48 @@ def corpus_canonical_only(sf_dir: str):
     return keep_canonical(ds, members).select_columns(["doc_id", "lang"])
 
 
+@register(
+    "percentile_cont_value_by_type",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_cont_value_by_type(sf_dir: str):
+    """SQL percentile_cont (linear interpolation at q·(n−1)) per group
+    — the continuous companion to quantiles_value_by_type's
+    quantile_disc; same (group, value, count)-collapsed exchange."""
+    from etlray.stages import QuantilePerGroupTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    return QuantilePerGroupTransform(
+        "event_type", "value", [0.5, 0.9], names=["p50", "p90"],
+        interpolation="linear").apply(ds)
+
+
+@register(
+    "dense_rank_events_by_type",
+    """
+    SELECT event_id, event_type, value,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY value)
+             AS dense_rank
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def dense_rank_events_by_type(sf_dir: str):
+    """DENSE_RANK window: ties share a rank, the next distinct value
+    increments by exactly 1 — one exchange on the partition key,
+    vectorized change-mask + cumsum per bucket."""
+    from etlray.stages import DenseRankTransform, FilterTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    return DenseRankTransform("event_type", "value").apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -1854,6 +1896,9 @@ _GATE_TAIL = [
     "trim_docs_above_p95",       # truncate_docs_tokens covers truncation
     "embedding_near_dups_code_only",  # wide-vector routing of in-window
                                       # embedding_near_dups, same oracle
+    "percentile_cont_value_by_type",  # linear companion of the in-window
+                                      # approx_quantiles_value_by_type
+    "dense_rank_events_by_type",      # window family: lag/rank in-window
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -280,10 +280,13 @@ class GlobalAggregateTransform(Transform):
 
 
 class QuantilePerGroupTransform(Transform):
-    """Exact discrete quantiles per group — DuckDB ``quantile_disc``
-    (element at index ``ceil(q·n) - 1`` of the sorted non-null values,
-    verified empirically) is the oracle. Output: one row per group
-    with a column per requested quantile (``names`` or ``q{percent}``).
+    """Exact quantiles per group. ``interpolation="lower"`` (default)
+    is DuckDB ``quantile_disc`` (element at index ``ceil(q·n) - 1`` of
+    the sorted non-null values, verified empirically);
+    ``interpolation="linear"`` is SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont`` (linear interpolation at position ``q·(n−1)``,
+    output float64). Output: one row per group with a column per
+    requested quantile (``names`` or ``q{percent}``).
 
     Scale shape: exact quantiles cannot be finalized map-side, but the
     shuffle input CAN be collapsed to (group, value, count) partials
@@ -293,7 +296,13 @@ class QuantilePerGroupTransform(Transform):
     one searchsorted per quantile. All vectorized."""
 
     def __init__(self, group_by: str | Sequence[str], value_col: str,
-                 qs: Sequence[float], names: Sequence[str] | None = None) -> None:
+                 qs: Sequence[float], names: Sequence[str] | None = None,
+                 interpolation: str = "lower") -> None:
+        if interpolation not in ("lower", "linear"):
+            raise TransformError(
+                "interpolation must be 'lower' (quantile_disc) or "
+                "'linear' (percentile_cont)")
+        self.interpolation = interpolation
         self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
         self.value_col = value_col
         self.qs = [float(q) for q in qs]
@@ -314,6 +323,7 @@ class QuantilePerGroupTransform(Transform):
         from etlray.exchange import hash_exchange
 
         gb, vc, qs, names = self.group_by, self.value_col, self.qs, self.names
+        linear = self.interpolation == "linear"
         cnt = "__cnt"
 
         def partial(t: pa.Table) -> pa.Table:
@@ -327,7 +337,7 @@ class QuantilePerGroupTransform(Transform):
         def reduce_bucket(t: pa.Table) -> pa.Table:
             if BUCKET_COL in t.column_names:
                 t = t.drop_columns([BUCKET_COL])
-            vtype = t.schema.field(vc).type
+            vtype = pa.float64() if linear else t.schema.field(vc).type
             if t.num_rows == 0:
                 cols = {c: pa.array([], type=t.schema.field(c).type) for c in gb}
                 cols.update({n: pa.array([], type=vtype) for n in names})
@@ -348,15 +358,32 @@ class QuantilePerGroupTransform(Transform):
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(df))
             out = {c: df[c].to_numpy()[starts] for c in gb}
-            qcols = {n: np.empty(len(starts), dtype=vals.dtype)
+            qcols = {n: np.empty(len(starts),
+                                 dtype=np.float64 if linear
+                                 else vals.dtype)
                      for n in names}
             for gi, (s, e) in enumerate(zip(starts, ends)):
                 cum = np.cumsum(counts[s:e])
                 n = int(cum[-1])
                 for q, name in zip(qs, names):
-                    idx = max(math.ceil(q * n) - 1, 0)
-                    pos = int(np.searchsorted(cum, idx + 1))
-                    qcols[name][gi] = vals[s + pos]
+                    if linear:
+                        # percentile_cont: position q·(n−1) over the
+                        # EXPANDED sorted values, interpolated between
+                        # the two straddling elements (weighted runs:
+                        # element at 0-based rank r is vals[
+                        # searchsorted(cum, r+1)])
+                        p = q * (n - 1)
+                        lo = int(math.floor(p))
+                        hi = int(math.ceil(p))
+                        vlo = float(vals[s + int(np.searchsorted(
+                            cum, lo + 1))])
+                        vhi = float(vals[s + int(np.searchsorted(
+                            cum, hi + 1))])
+                        qcols[name][gi] = vlo + (vhi - vlo) * (p - lo)
+                    else:
+                        idx = max(math.ceil(q * n) - 1, 0)
+                        pos = int(np.searchsorted(cum, idx + 1))
+                        qcols[name][gi] = vals[s + pos]
             cols = {c: pa.array(out[c]) for c in gb}
             for name in names:
                 cols[name] = pa.array(qcols[name], type=vtype)

@@ -756,6 +756,65 @@ class WindowLagTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class DenseRankTransform(Transform):
+    """Per-key DENSE_RANK over a value ordering — SQL ``dense_rank()
+    OVER (PARTITION BY key ORDER BY v)`` is the oracle: ties share a
+    rank and the next distinct value increments it by exactly 1.
+
+    Scale shape: ONE hash exchange on the partition key (the same
+    partitioning every other per-key window stage uses); per bucket a
+    vectorized sort + two change masks (key boundary, value change) +
+    one cumulative sum — no per-key Python loop. NULL values tie with
+    each other and rank last (ascending), matching the engine's sort
+    order."""
+
+    def __init__(self, by: str | Sequence[str], value_col: str,
+                 descending: bool = False,
+                 out_col: str = "dense_rank") -> None:
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.descending = descending
+        self.out_col = out_col
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, vc, out_col = self.by, self.value_col, self.out_col
+        vdir = "descending" if self.descending else "ascending"
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n = t.num_rows
+            if n == 0:
+                return t.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in by] + [(vc, vdir)]))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            # a row starts a NEW RANK when the key changes or the value
+            # differs from the previous row (null runs tie — the mask
+            # helper already treats consecutive nulls as equal)
+            vchange = key_change_mask(
+                [t[vc].to_numpy(zero_copy_only=False)], n)
+            new_rank = kc | vchange
+            dr = np.cumsum(new_rank)
+            starts = np.flatnonzero(kc)
+            base = dr[starts]
+            key_idx = np.repeat(np.arange(len(starts)),
+                                np.diff(np.append(starts, n)))
+            rank = dr - base[key_idx] + 1
+            return t.append_column(out_col,
+                                   pa.array(rank.astype(np.int64)))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class CountDistinctTransform(Transform):
     """Exact count(DISTINCT value) per group (SQL is the oracle).
     Scale shape: per-batch distinct (group, value) pairs first — the

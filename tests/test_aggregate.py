@@ -263,3 +263,36 @@ def test_rollup_auto_dispatch_both_sides_of_threshold(ray_session):
 
     # finest has 6 combos: limit=1 forces distributed, limit=10**6 driver
     assert run(1) == run(10**6)
+
+
+def test_percentile_cont_linear_interpolation(ray_session):
+    """interpolation='linear' = SQL percentile_cont: q·(n−1) position,
+    interpolated between straddling elements (verified vs numpy)."""
+    import numpy as np
+
+    from etlray.sources import MemorySource
+    from etlray.stages import QuantilePerGroupTransform
+
+    vals = [1.0, 2.0, 3.0, 10.0]
+    rows = [{"g": "a", "v": v} for v in vals] + [{"g": "b", "v": 5.0}]
+    out = QuantilePerGroupTransform(
+        "g", "v", [0.5, 0.75], names=["p50", "p75"],
+        interpolation="linear").apply(MemorySource(rows).read()).take_all()
+    got = {r["g"]: (r["p50"], r["p75"]) for r in out}
+    assert got["a"][0] == np.percentile(vals, 50)   # 2.5
+    assert got["a"][1] == np.percentile(vals, 75)   # 4.75... check
+    assert got["b"] == (5.0, 5.0)                   # single element
+
+
+def test_dense_rank_ties_and_keys(ray_session):
+    import ray.data
+
+    from etlray.stages import DenseRankTransform
+
+    ds = ray.data.from_items([
+        {"g": "x", "v": 10}, {"g": "x", "v": 10}, {"g": "x", "v": 20},
+        {"g": "y", "v": 5}])
+    out = DenseRankTransform("g", "v").apply(ds).take_all()
+    got = sorted((r["g"], r["v"], r["dense_rank"]) for r in out)
+    assert got == [("x", 10, 1), ("x", 10, 1), ("x", 20, 2),
+                   ("y", 5, 1)]
