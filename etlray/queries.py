@@ -1871,6 +1871,129 @@ def dense_rank_events_by_type(sf_dir: str):
     return DenseRankTransform("event_type", "value").apply(ds)
 
 
+@register(
+    "ntile_events_by_type",
+    """
+    SELECT event_id, event_type, value,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS ntile
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def ntile_events_by_type(sf_dir: str):
+    """NTILE(4) window — tie order pinned by event_id on both engines
+    (SQL leaves it unspecified otherwise)."""
+    from etlray.stages import NtileTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    return NtileTransform("event_type", "value", 4,
+                          tiebreak="event_id").apply(ds)
+
+
+@register(
+    "mode_value_by_type",
+    """
+    SELECT event_type, v AS value_mode FROM (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, v ASC) AS rn
+      FROM (SELECT event_type, value AS v, count(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, value))
+    WHERE rn = 1
+    """,
+)
+def mode_value_by_type(sf_dir: str):
+    """Deterministic per-group MODE (smallest value wins ties) — the
+    (group, value, count)-collapsed exchange shape of CountDistinct."""
+    from etlray.stages import ModePerGroupTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    return ModePerGroupTransform("event_type", "value",
+                                 out_col="value_mode").apply(ds)
+
+
+@register(
+    "except_click_value_floors",
+    """
+    SELECT CAST(floor(value) AS BIGINT) AS v FROM events
+    WHERE event_type = 'click' AND value IS NOT NULL
+    EXCEPT
+    SELECT CAST(floor(value) AS BIGINT) FROM events
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+)
+def except_click_value_floors(sf_dir: str):
+    """SQL EXCEPT (distinct set difference) — distinct-collapsed anti
+    join, no broadcast. Keyed on floor(value) rather than user_id so
+    the fixture yields a NON-vacuous difference at every scale (every
+    user performs every event type, so a user_id EXCEPT is always
+    empty — the round-2 vacuous-oracle lesson). Gathered to one Arrow
+    table for the driver compare (Ray's to_pandas() drops the schema
+    of an all-empty Dataset and small-scale differences can be tiny)."""
+    import ray
+
+    from etlray.stages import SetOpTransform
+
+    def floors(event_type: str):
+        ds = _pq(sf_dir, "events", columns=["event_type", "value"],
+                 filter=(pc.field("event_type") == event_type)
+                 & pc.field("value").is_valid()).read()
+
+        def f(t: pa.Table) -> pa.Table:
+            v = pc.cast(pc.floor(t["value"]), pa.int64())
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return pa.table({"v": v})
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    out = SetOpTransform(floors("purchase"), op="except") \
+        .apply(floors("click"))
+    return pa.concat_tables(ray.get(out.to_arrow_refs()),
+                            promote_options="permissive")
+
+
+@register(
+    "intersect_click_purchase_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_click_purchase_users(sf_dir: str):
+    """SQL INTERSECT (distinct): users who both clicked and purchased."""
+    from etlray.stages import SetOpTransform
+
+    clicks = _pq(sf_dir, "events", columns=["user_id", "event_type"],
+                 filter=(pc.field("event_type") == "click")).read() \
+        .select_columns(["user_id"])
+    buys = _pq(sf_dir, "events", columns=["user_id", "event_type"],
+               filter=(pc.field("event_type") == "purchase")).read() \
+        .select_columns(["user_id"])
+    return SetOpTransform(buys, op="intersect").apply(clicks)
+
+
+@register(
+    "cross_join_region_nation",
+    """
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_region_nation(sf_dir: str):
+    """Bounded cross join over the two smallest tables — driver-oracle
+    evidence for the §2.5 cross-join operator (pytest-only before)."""
+    from etlray.stages import CrossJoinTransform
+
+    region = _pq(sf_dir, "region", columns=["r_name"]).read()
+    nation = _pq(sf_dir, "nation", columns=["n_name"]).read()
+    return CrossJoinTransform(nation).apply(region)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -1899,6 +2022,11 @@ _GATE_TAIL = [
     "percentile_cont_value_by_type",  # linear companion of the in-window
                                       # approx_quantiles_value_by_type
     "dense_rank_events_by_type",      # window family: lag/rank in-window
+    "ntile_events_by_type",           # window family representative in-window
+    "mode_value_by_type",             # agg family well covered in-window
+    "except_click_value_floors",      # set-op family: union/distinct in-window
+    "intersect_click_purchase_users",
+    "cross_join_region_nation",       # join family: 3 variants in-window
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -815,6 +815,158 @@ class DenseRankTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class NtileTransform(Transform):
+    """Per-key NTILE(k) — SQL ``ntile(k) OVER (PARTITION BY key ORDER
+    BY v [, tiebreak])``: rows split into k buckets of near-equal size,
+    the first ``n mod k`` buckets one row larger. Pass a ``tiebreak``
+    column to pin tie order (SQL leaves it unspecified; a deterministic
+    oracle needs it pinned on both engines).
+
+    Scale shape: the same single key exchange + vectorized per-bucket
+    sort as the other window stages; bucket ids come from one
+    arithmetic expression over the per-key row number."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str, k: int,
+                 tiebreak: str | None = None,
+                 out_col: str = "ntile") -> None:
+        if k < 1:
+            raise TransformError("ntile k must be >= 1")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.k = int(k)
+        self.tiebreak = tiebreak
+        self.out_col = out_col
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, oc, k, out_col = self.by, self.order_col, self.k, self.out_col
+        tie = self.tiebreak
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n_rows = t.num_rows
+            if n_rows == 0:
+                return t.append_column(out_col,
+                                       pa.array([], type=pa.int64()))
+            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
+            if tie:
+                keys.append((tie, "ascending"))
+            t = t.take(pc.sort_indices(t, sort_keys=keys))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n_rows)
+            starts = np.flatnonzero(kc)
+            sizes = np.diff(np.append(starts, n_rows))
+            key_idx = np.repeat(np.arange(len(starts)), sizes)
+            rn = np.arange(n_rows) - starts[key_idx]       # 0-based
+            n = sizes[key_idx].astype(np.int64)
+            # SQL NTILE: first (n mod k) buckets have ceil(n/k) rows
+            big = n % k
+            big_sz = n // k + 1
+            small_sz = np.maximum(n // k, 1)
+            cut = big * big_sz
+            tile = np.where(rn < cut, rn // np.maximum(big_sz, 1),
+                            big + (rn - cut) // small_sz) + 1
+            return t.append_column(out_col,
+                                   pa.array(tile.astype(np.int64)))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class ModePerGroupTransform(Transform):
+    """Most frequent value per group, smallest value winning ties —
+    the deterministic MODE the SQL oracle can replicate exactly
+    (``row_number() OVER (... ORDER BY cnt DESC, v ASC) = 1``).
+
+    Scale shape: same as CountDistinct — per-batch (group, value,
+    count) partials collapse the shuffle to unique pairs per block;
+    per bucket one count-sum + one lexsort argmax. NULL values are not
+    candidates (SQL aggregate semantics); NULL groups are groups."""
+
+    def __init__(self, group_by: str | Sequence[str], value_col: str,
+                 out_col: str | None = None) -> None:
+        self.group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+        self.value_col = value_col
+        self.out_col = out_col or f"{value_col}_mode"
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, vc, out_col = self.group_by, self.value_col, self.out_col
+        cnt = "__cnt"
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[vc]))
+            g = t.group_by(gb + [vc]).aggregate([([], "count_all")])
+            return g.rename_columns(gb + [vc] + [cnt])
+
+        pre = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            vtype = t.schema.field(vc).type
+            if t.num_rows == 0:
+                cols = {c: pa.array([], type=t.schema.field(c).type)
+                        for c in gb}
+                cols[out_col] = pa.array([], type=vtype)
+                return pa.table(cols)
+            t = t.group_by(gb + [vc]).aggregate([(cnt, "sum")])                 .rename_columns(gb + [vc] + [cnt])
+            # sort groups asc, count DESC, value ASC → first row per
+            # group IS the deterministic mode
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in gb] +
+                [(cnt, "descending"), (vc, "ascending")]))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in gb],
+                t.num_rows)
+            idx = np.flatnonzero(kc)
+            first = t.take(pa.array(idx))
+            cols = {c: first[c] for c in gb}
+            cols[out_col] = first[vc]
+            return pa.table(cols)
+
+        return hash_exchange(pre, gb, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class SetOpTransform(Transform):
+    """SQL ``EXCEPT`` / ``INTERSECT`` (DISTINCT set semantics) against
+    another dataset over the full projected row.
+
+    Scale shape: distinct-collapse both sides per block first, then ONE
+    partitioned hash anti/semi join on all columns — never a broadcast
+    of the big side, never raw duplicate rows through the shuffle."""
+
+    def __init__(self, other, op: str = "except",
+                 columns: Sequence[str] | None = None) -> None:
+        if op not in ("except", "intersect"):
+            raise TransformError("op must be 'except' or 'intersect'")
+        self.other = other
+        self.op = op
+        self.columns = list(columns) if columns else None
+
+    def apply(self, ds):
+        from etlray.stages.joins import PartitionedHashJoinTransform
+
+        other = self.other.read() if hasattr(self.other, "read")             else self.other
+        cols = self.columns or ds.schema().names
+        left = DistinctTransform(cols).apply(ds.select_columns(cols))
+        right = other.select_columns(cols)
+        how = "left_anti" if self.op == "except" else "left_semi"
+        return PartitionedHashJoinTransform(right, on=cols, how=how) \
+            .apply(left)
+
+
 class CountDistinctTransform(Transform):
     """Exact count(DISTINCT value) per group (SQL is the oracle).
     Scale shape: per-batch distinct (group, value) pairs first — the

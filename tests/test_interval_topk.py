@@ -339,3 +339,47 @@ def test_pack_token_shards_null_tokens(ray_session):
     out = pack_token_shards(ds, "tok", budget=10).take_all()
     got = {r["i"]: r["shard_idx"] for r in out}
     assert got == {0: 0, 1: 0, 2: 0}  # null contributes nothing
+
+
+def test_ntile_sql_bucket_sizes(ray_session):
+    """SQL NTILE: first n mod k buckets get one extra row."""
+    import ray.data
+
+    from etlray.stages import NtileTransform
+
+    rows = [{"g": "a", "v": i, "id": i} for i in range(7)]  # n=7, k=3
+    out = NtileTransform("g", "v", 3, tiebreak="id") \
+        .apply(ray.data.from_items(rows)).take_all()
+    got = sorted((r["v"], r["ntile"]) for r in out)
+    # sizes 3,2,2
+    assert got == [(0, 1), (1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]
+
+
+def test_mode_tie_takes_smallest_value(ray_session):
+    import ray.data
+
+    from etlray.stages import ModePerGroupTransform
+
+    ds = ray.data.from_items([
+        {"g": "x", "v": 7}, {"g": "x", "v": 7},
+        {"g": "x", "v": 3}, {"g": "x", "v": 3},
+        {"g": "x", "v": 9}, {"g": "y", "v": None}, {"g": "y", "v": 1}])
+    out = ModePerGroupTransform("g", "v").apply(ds).take_all()
+    got = {r["g"]: r["v_mode"] for r in out}
+    assert got == {"x": 3, "y": 1}  # tie 7 vs 3 → smallest; nulls skipped
+
+
+def test_set_ops_distinct_semantics(ray_session):
+    import ray.data
+
+    from etlray.stages import SetOpTransform
+
+    left = ray.data.from_items(
+        [{"k": 1}, {"k": 1}, {"k": 2}, {"k": 3}])
+    right = ray.data.from_items([{"k": 2}, {"k": 2}, {"k": 9}])
+    exc = sorted(r["k"] for r in SetOpTransform(right, op="except")
+                 .apply(left).take_all())
+    assert exc == [1, 3]            # distinct + difference
+    inter = sorted(r["k"] for r in SetOpTransform(right, op="intersect")
+                   .apply(left).take_all())
+    assert inter == [2]
