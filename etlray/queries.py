@@ -1979,6 +1979,35 @@ def intersect_click_purchase_users(sf_dir: str):
 
 
 @register(
+    "running_sum_value_by_user",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS value_running_sum
+    FROM events
+    """,
+)
+def running_sum_value_by_user(sf_dir: str):
+    """Running total per user in event order — SQL SUM OVER UNBOUNDED
+    PRECEDING. The value is decimal-scaled to int64 FIRST (×10000) so
+    the cumulative sum is associative and bit-equal to SQL's integer
+    window sum at any block order (the pricing_summary exact-int rule
+    applied to windows)."""
+    from etlray.stages import RunningAggTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    ds = _scale_int_cols(ds, {"value": 10000.0})
+    out = RunningAggTransform("user_id", "ts", "value", agg="sum",
+                              tiebreak="event_id",
+                              out_col="value_running_sum").apply(ds)
+    return out.select_columns(["event_id", "user_id",
+                               "value_running_sum"])
+
+
+@register(
     "cross_join_region_nation",
     """
     SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
@@ -2027,6 +2056,7 @@ _GATE_TAIL = [
     "except_click_value_floors",      # set-op family: union/distinct in-window
     "intersect_click_purchase_users",
     "cross_join_region_nation",       # join family: 3 variants in-window
+    "running_sum_value_by_user",      # window family well covered in-window
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -878,6 +878,86 @@ class NtileTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class RunningAggTransform(Transform):
+    """Per-key RUNNING aggregate in event order — SQL ``agg(v) OVER
+    (PARTITION BY key ORDER BY order_col [, tiebreak] ROWS BETWEEN
+    UNBOUNDED PRECEDING AND CURRENT ROW)`` with agg ∈ {sum, count,
+    min, max}. The cumulative-state window the LAG/NTILE family
+    doesn't cover (running revenue, events-so-far, high-water marks).
+
+    Scale shape: the usual single key exchange; per bucket one sort +
+    pandas' C-implemented grouped cumulative kernels (cumsum/cummax/
+    cumcount) segmented by the key-change mask — no per-key Python.
+    NULL values contribute nothing to sum/count and leave min/max
+    unchanged (SQL window-aggregate semantics); their own row still
+    gets the running value so far."""
+
+    _AGGS = ("sum", "count", "min", "max")
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, agg: str = "sum",
+                 tiebreak: str | None = None,
+                 out_col: str | None = None) -> None:
+        if agg not in self._AGGS:
+            raise TransformError(f"running agg must be one of {self._AGGS}")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.agg = agg
+        self.tiebreak = tiebreak
+        self.out_col = out_col or f"{value_col}_running_{agg}"
+
+    def apply(self, ds):
+        import numpy as np
+        import pandas as pd
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc, agg = self.by, self.order_col, self.value_col, self.agg
+        tie, out_col = self.tiebreak, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n = t.num_rows
+            vtype = pa.int64() if agg == "count" \
+                else t.schema.field(vc).type
+            if n == 0:
+                return t.append_column(out_col, pa.array([], type=vtype))
+            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
+            if tie:
+                keys.append((tie, "ascending"))
+            t = t.take(pc.sort_indices(t, sort_keys=keys))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            gid = np.cumsum(kc) - 1
+            v = pd.Series(t[vc].to_numpy(zero_copy_only=False))
+            g = v.groupby(gid)
+            if agg == "sum":
+                run = g.cumsum()
+            elif agg == "count":
+                # non-null values so far, INCLUDING the current row
+                run = v.notna().astype("int64").groupby(gid).cumsum()
+            elif agg == "min":
+                run = g.cummin()
+            else:
+                run = g.cummax()
+            if agg != "count":
+                # SQL window-aggregate semantics at a NULL-value row:
+                # the running value SO FAR (pandas leaves NaN there) —
+                # forward-fill within the key; leading nulls stay null
+                # (an all-null prefix has an empty window → SQL NULL)
+                run = run.groupby(gid).ffill()
+            arr = pa.array(run.to_numpy(), from_pandas=True)
+            if not arr.type.equals(vtype) and not pa.types.is_null(vtype):
+                arr = pc.cast(arr, vtype, safe=False)
+            return t.append_column(out_col, arr)
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class ModePerGroupTransform(Transform):
     """Most frequent value per group, smallest value winning ties —
     the deterministic MODE the SQL oracle can replicate exactly

@@ -383,3 +383,33 @@ def test_set_ops_distinct_semantics(ray_session):
     inter = sorted(r["k"] for r in SetOpTransform(right, op="intersect")
                    .apply(left).take_all())
     assert inter == [2]
+
+
+def test_running_agg_sum_min_max_count_null_semantics(ray_session):
+    """Running aggregates: NULL-value rows carry the running value so
+    far (SQL window semantics); leading nulls are NULL; count counts
+    non-nulls including the current row."""
+    import ray.data
+
+    from etlray.stages import RunningAggTransform
+
+    rows = [{"g": "a", "t": 1, "v": None},
+            {"g": "a", "t": 2, "v": 5.0},
+            {"g": "a", "t": 3, "v": None},
+            {"g": "a", "t": 4, "v": 2.0},
+            {"g": "b", "t": 1, "v": 7.0}]
+
+    def run(agg):
+        ds = ray.data.from_items(rows)
+        out = RunningAggTransform("g", "t", "v", agg=agg,
+                                  out_col="r").apply(ds).take_all()
+        return {(r["g"], r["t"]): r["r"] for r in out}
+
+    assert run("sum") == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                          ("a", 4): 7.0, ("b", 1): 7.0}
+    assert run("min") == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                          ("a", 4): 2.0, ("b", 1): 7.0}
+    assert run("max") == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                          ("a", 4): 5.0, ("b", 1): 7.0}
+    assert run("count") == {("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
+                            ("a", 4): 2, ("b", 1): 1}
