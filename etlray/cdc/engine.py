@@ -381,7 +381,7 @@ class CDCEngine:
         # hash(key)->bucket mapping, so resuming an existing table with
         # a mismatched count would silently skip or re-apply events.
         # The committed count wins; pass num_buckets=None to adopt it.
-        committed_nb, exact = self._committed_num_buckets()
+        committed_nb, exact, dense = self._committed_num_buckets()
         if committed_nb is not None and exact:
             if num_buckets is not None and num_buckets != committed_nb:
                 raise ValueError(
@@ -404,6 +404,22 @@ class CDCEngine:
                         f"table at {table_dir} references bucket ids up "
                         f"to {committed_nb - 1}; num_buckets="
                         f"{num_buckets} cannot be its committed count")
+                if num_buckets > committed_nb and dense:
+                    # every bucket 0..bound-1 is referenced — for a
+                    # dense legacy table the bound usually IS the true
+                    # count, and a larger count changes hash(key)->
+                    # bucket, silently corrupting watermark dedup.
+                    # Still legal (upper buckets may simply be
+                    # untouched), so warn loudly rather than reject.
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "table at %s densely references every bucket "
+                        "0..%d — its committed count is most likely %d, "
+                        "but num_buckets=%d was requested; if %d is not "
+                        "the count the table was WRITTEN with, watermark "
+                        "dedup will silently skip or re-apply events",
+                        table_dir, committed_nb - 1, committed_nb,
+                        num_buckets, num_buckets)
                 self.num_buckets = num_buckets
             else:
                 import logging
@@ -416,21 +432,27 @@ class CDCEngine:
         else:
             self.num_buckets = 32 if num_buckets is None else num_buckets
 
-    def _committed_num_buckets(self) -> tuple[int | None, bool]:
-        """(count, exact): exact=True when the commit metric recorded
-        it; otherwise the count is max(referenced bucket id)+1 — a
-        LOWER bound only, since files/watermarks hold touched buckets
-        (len(files) under-reported sparse legacy tables and made the
-        init guard reject the CORRECT caller count)."""
+    def _committed_num_buckets(self) -> tuple[int | None, bool, bool]:
+        """(count, exact, dense): exact=True when the commit metric
+        recorded it; otherwise the count is max(referenced bucket
+        id)+1 — a LOWER bound only, since files/watermarks hold touched
+        buckets (len(files) under-reported sparse legacy tables and
+        made the init guard reject the CORRECT caller count). dense=
+        True when every bucket 0..count-1 is referenced — the bound is
+        then most likely the true count, so init warns if a caller
+        passes a larger one."""
         cur = self.manifest.current_epoch()
         if cur is None:
-            return None, False
+            return None, False, False
         nb = (cur.get("metrics") or {}).get("num_buckets")
         if nb is not None:
-            return int(nb), True
-        ids = [int(b) for b in (cur.get("files") or {})]
-        ids += [int(b) for b in (cur.get("watermarks") or {})]
-        return (max(ids) + 1 if ids else None), False
+            return int(nb), True, True
+        ids = {int(b) for b in (cur.get("files") or {})}
+        ids |= {int(b) for b in (cur.get("watermarks") or {})}
+        if not ids:
+            return None, False, False
+        bound = max(ids) + 1
+        return bound, False, len(ids) == bound
 
     # ------------------------------------------------------------------
     def read_snapshot(self, epoch_id=None, with_internal_cols: bool = False,

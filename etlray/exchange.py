@@ -133,8 +133,15 @@ def _concat(parts: Sequence[pa.Table]) -> pa.Table:
     tables = [p for p in parts if p.num_rows > 0]
     if not tables:
         # empty buckets keep a schema'd empty table so every output
-        # block has a uniform schema (from_arrow_refs requires it)
-        return parts[0].slice(0, 0) if parts else pa.table({})
+        # block has a uniform schema (from_arrow_refs requires it).
+        # Prefer a part that HAS a schema: Ray map_batches emits
+        # ZERO-COLUMN empties for empty input blocks (the UDF never
+        # runs on them), and parts[0] being one of those used to leak
+        # a schema-less table into reduce_fn.
+        for p in parts:
+            if p.num_columns > 0:
+                return p.slice(0, 0)
+        return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")
 
 

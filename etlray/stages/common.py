@@ -916,11 +916,22 @@ class RunningAggTransform(Transform):
 
         by, oc, vc, agg = self.by, self.order_col, self.value_col, self.agg
         tie, out_col = self.tiebreak, self.out_col
+        # declared value type pinned DRIVER-side: an all-null block's
+        # local schema degrades vc to pa.null(), which would both lose
+        # the integer-exact path and crash the pandas kernel on object
+        # dtype in that bucket
+        _s = ds.schema()
+        declared = dict(zip(_s.names, _s.types)).get(vc)
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
             if BUCKET_COL in t.column_names:
                 t = t.drop_columns([BUCKET_COL])
             n = t.num_rows
+            local = t.schema.field(vc).type
+            if declared is not None and not pa.types.is_null(declared) \
+                    and local != declared:
+                t = t.set_column(t.column_names.index(vc), vc,
+                                 t[vc].cast(declared))
             vtype = pa.int64() if agg == "count" \
                 else t.schema.field(vc).type
             if n == 0:
@@ -932,24 +943,46 @@ class RunningAggTransform(Transform):
             kc = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             gid = np.cumsum(kc) - 1
-            v = pd.Series(t[vc].to_numpy(zero_copy_only=False))
-            g = v.groupby(gid)
-            if agg == "sum":
-                run = g.cumsum()
-            elif agg == "count":
-                # non-null values so far, INCLUDING the current row
-                run = v.notna().astype("int64").groupby(gid).cumsum()
-            elif agg == "min":
-                run = g.cummin()
+            if agg != "count" and pa.types.is_integer(vtype) \
+                    and t[vc].null_count > 0:
+                # EXACT integer path: to_numpy on an int column with
+                # nulls promotes to float64 (silently inexact above
+                # 2^53). Run the cumulative kernel on a null-filled
+                # int64 array with a neutral fill (0 for sum — a NULL
+                # row then naturally carries the running-so-far value;
+                # ±int64 extrema for min/max) and NULL out rows whose
+                # window is still empty (leading all-null prefix).
+                fill = {"sum": 0, "min": np.iinfo(np.int64).max,
+                        "max": np.iinfo(np.int64).min}[agg]
+                valid = pc.is_valid(t[vc]).to_numpy(zero_copy_only=False)
+                ints = pc.fill_null(pc.cast(t[vc], pa.int64()),
+                                    fill).to_numpy(zero_copy_only=False)
+                g = pd.Series(ints).groupby(gid)
+                run_np = (g.cumsum() if agg == "sum"
+                          else g.cummin() if agg == "min"
+                          else g.cummax()).to_numpy()
+                seen = pd.Series(valid.astype(np.int64)).groupby(gid) \
+                    .cumsum().to_numpy()
+                arr = pa.array(run_np, mask=(seen == 0))
             else:
-                run = g.cummax()
-            if agg != "count":
-                # SQL window-aggregate semantics at a NULL-value row:
-                # the running value SO FAR (pandas leaves NaN there) —
-                # forward-fill within the key; leading nulls stay null
-                # (an all-null prefix has an empty window → SQL NULL)
-                run = run.groupby(gid).ffill()
-            arr = pa.array(run.to_numpy(), from_pandas=True)
+                v = pd.Series(t[vc].to_numpy(zero_copy_only=False))
+                g = v.groupby(gid)
+                if agg == "sum":
+                    run = g.cumsum()
+                elif agg == "count":
+                    # non-null values so far, INCLUDING the current row
+                    run = v.notna().astype("int64").groupby(gid).cumsum()
+                elif agg == "min":
+                    run = g.cummin()
+                else:
+                    run = g.cummax()
+                if agg != "count":
+                    # SQL window-aggregate semantics at a NULL-value row:
+                    # the running value SO FAR (pandas leaves NaN there) —
+                    # forward-fill within the key; leading nulls stay null
+                    # (an all-null prefix has an empty window → SQL NULL)
+                    run = run.groupby(gid).ffill()
+                arr = pa.array(run.to_numpy(), from_pandas=True)
             if not arr.type.equals(vtype) and not pa.types.is_null(vtype):
                 arr = pc.cast(arr, vtype, safe=False)
             return t.append_column(out_col, arr)
@@ -1019,13 +1052,45 @@ class ModePerGroupTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+def _null_fill_scalar(t: pa.DataType):
+    """A canonical in-type fill value used to make join keys null-safe
+    (both sides fill NULL with the SAME value, and a companion
+    is-valid column keeps filled rows distinguishable from real ones).
+    Scalar types only — nested set-op keys raise."""
+    import decimal
+
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pa.scalar(0, t)
+    if pa.types.is_decimal(t):
+        return pa.scalar(decimal.Decimal(0), t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_temporal(t):
+        return pa.array([0], pa.int64()).cast(t)[0]
+    raise TransformError(
+        f"SetOpTransform: unsupported key type {t} (scalar types only)")
+
+
 class SetOpTransform(Transform):
     """SQL ``EXCEPT`` / ``INTERSECT`` (DISTINCT set semantics) against
     another dataset over the full projected row.
 
-    Scale shape: distinct-collapse both sides per block first, then ONE
-    partitioned hash anti/semi join on all columns — never a broadcast
-    of the big side, never raw duplicate rows through the shuffle."""
+    NULL semantics follow SQL set ops (``IS NOT DISTINCT FROM``): two
+    rows with NULL in the same column compare EQUAL. A plain hash join
+    would never match NULL keys, so each key column joins as a
+    (null-filled value, is-valid flag) pair; original NULLs are
+    restored after the join.
+
+    Scale shape: the LEFT side distinct-collapses globally (the set-op
+    output is distinct); the RIGHT side collapses per block only —
+    semi/anti joins are duplicate-insensitive on the right, so a global
+    right-side shuffle would be wasted work. Then ONE partitioned hash
+    anti/semi join on all columns — never a broadcast of the big side,
+    never raw duplicate rows through the shuffle."""
 
     def __init__(self, other, op: str = "except",
                  columns: Sequence[str] | None = None) -> None:
@@ -1040,11 +1105,45 @@ class SetOpTransform(Transform):
 
         other = self.other.read() if hasattr(self.other, "read")             else self.other
         cols = self.columns or ds.schema().names
-        left = DistinctTransform(cols).apply(ds.select_columns(cols))
-        right = other.select_columns(cols)
+        # declared types captured driver-side: a null-only block's local
+        # schema degrades to pa.null() and would pick the wrong fill
+        _s = ds.schema()
+        ktypes = {n: t for n, t in zip(_s.names, _s.types) if n in cols}
+        nn = {c: f"__nn_{c}" for c in cols}
+
+        def null_safe(t: pa.Table) -> pa.Table:
+            out = t.select(cols)
+            for c in cols:
+                typ = ktypes[c]
+                col = out[c]
+                if col.type != typ:
+                    col = col.cast(typ)
+                out = out.set_column(out.column_names.index(c), c,
+                                     pc.fill_null(col, _null_fill_scalar(typ)))
+                out = out.append_column(
+                    nn[c], pc.cast(pc.is_valid(t[c]), pa.uint8()))
+            return out
+
+        join_cols = cols + [nn[c] for c in cols]
+        left = DistinctTransform(join_cols).apply(
+            ds.map_batches(null_safe, **self._mb_kwargs()))
+        # right: per-block local distinct only (shrinks the shuffle;
+        # right-side duplicates can't change semi/anti semantics)
+        right = other.map_batches(
+            lambda t: null_safe(t).group_by(join_cols).aggregate([]),
+            **self._mb_kwargs())
         how = "left_anti" if self.op == "except" else "left_semi"
-        return PartitionedHashJoinTransform(right, on=cols, how=how) \
+        joined = PartitionedHashJoinTransform(right, on=join_cols, how=how) \
             .apply(left)
+
+        def restore_nulls(t: pa.Table) -> pa.Table:
+            for c in cols:
+                mask = pc.equal(t[nn[c]], pa.scalar(1, pa.uint8()))
+                restored = pc.if_else(mask, t[c], pa.scalar(None, ktypes[c]))
+                t = t.set_column(t.column_names.index(c), c, restored)
+            return t.drop_columns([nn[c] for c in cols])
+
+        return joined.map_batches(restore_nulls, **self._mb_kwargs())
 
 
 class CountDistinctTransform(Transform):

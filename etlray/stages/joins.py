@@ -295,6 +295,16 @@ class PartitionedHashJoinTransform(Transform):
         def join_bucket(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            if "__side" not in t.column_names:
+                # every part feeding this bucket was a zero-column
+                # empty block (Ray map_batches emits schema-less
+                # empties; happens only when BOTH inputs are entirely
+                # empty) — return a correctly-schema'd empty result
+                names = lcols if jt in ("left semi", "left anti") else \
+                    lcols + [c for c in rcols if c not in rkeys_mapped]
+                return pa.table(
+                    {n: pa.array([], type=union_schema.field(n).type)
+                     for n in names})
             side = t.column("__side")
             lmask = pc.equal(side, 0)
             left_t = t.filter(lmask).select(lcols)

@@ -333,6 +333,40 @@ def test_legacy_sparse_bucket_count_adoption(tmp_path, fixture_dir,
     with pytest.raises(ValueError):
         CDCEngine(str(tmp_path / "t"), num_buckets=2,
                   rename_map=RENAME_MAP)
+    # DENSE legacy table (every bucket 0..7 referenced): a LARGER
+    # caller count is still accepted (upper buckets may be untouched)
+    # but must warn — the bound is most likely the true committed
+    # count and a wrong larger count corrupts watermark dedup
+    with _assert_warns_log("etlray.cdc.engine", "densely references"):
+        eng3 = CDCEngine(str(tmp_path / "t"), num_buckets=16,
+                         rename_map=RENAME_MAP)
+    assert eng3.num_buckets == 16
+
+
+class _assert_warns_log:
+    """Context manager asserting a logging.warning containing `needle`
+    was emitted on `logger_name`."""
+
+    def __init__(self, logger_name: str, needle: str) -> None:
+        self.logger_name, self.needle = logger_name, needle
+
+    def __enter__(self):
+        import logging
+
+        self.records = []
+        self.handler = logging.Handler()
+        self.handler.emit = lambda rec: self.records.append(rec)
+        self.logger = logging.getLogger(self.logger_name)
+        self.logger.addHandler(self.handler)
+        return self
+
+    def __exit__(self, *exc):
+        self.logger.removeHandler(self.handler)
+        if exc[0] is None:
+            assert any(self.needle in r.getMessage()
+                       for r in self.records), \
+                f"no log containing {self.needle!r}"
+        return False
 
 
 def test_generate_fixture_tiny_event_count(tmp_path):

@@ -385,6 +385,38 @@ def test_set_ops_distinct_semantics(ray_session):
     assert inter == [2]
 
 
+def test_set_ops_null_rows_sql_semantics(ray_session):
+    """SQL set ops compare NULLs as EQUAL (IS NOT DISTINCT FROM): a
+    NULL row on both sides is dropped by EXCEPT and kept by INTERSECT.
+    Round-4 ADVICE found the pre-fix behavior was exactly inverted
+    (plain hash joins never match NULL keys). DuckDB confirms:
+    ``SELECT 1 k UNION ALL SELECT NULL EXCEPT SELECT NULL`` → {1}."""
+    import ray.data
+
+    from etlray.stages import SetOpTransform
+
+    left = ray.data.from_items(
+        [{"k": 1, "s": "a"}, {"k": None, "s": "a"},
+         {"k": None, "s": None}, {"k": 2, "s": None}])
+    right = ray.data.from_items(
+        [{"k": None, "s": "a"}, {"k": None, "s": "a"},
+         {"k": 2, "s": None}, {"k": 9, "s": "z"}])
+
+    def key(rows):
+        return {(r["k"], r["s"]) for r in rows}
+
+    exc = key(SetOpTransform(right, op="except").apply(left).take_all())
+    assert exc == {(1, "a"), (None, None)}
+    inter = key(SetOpTransform(right, op="intersect").apply(left).take_all())
+    assert inter == {(2, None), (None, "a")}
+    # NULL must still be distinguishable from the canonical fill value
+    left2 = ray.data.from_items([{"k": 0}, {"k": None}])
+    right2 = ray.data.from_items([{"k": 0}])
+    exc2 = sorted((r["k"] is None) for r in
+                  SetOpTransform(right2, op="except").apply(left2).take_all())
+    assert exc2 == [True]  # only the NULL row survives; 0 matched 0
+
+
 def test_running_agg_sum_min_max_count_null_semantics(ray_session):
     """Running aggregates: NULL-value rows carry the running value so
     far (SQL window semantics); leading nulls are NULL; count counts
@@ -413,3 +445,41 @@ def test_running_agg_sum_min_max_count_null_semantics(ray_session):
                           ("a", 4): 5.0, ("b", 1): 7.0}
     assert run("count") == {("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
                             ("a", 4): 2, ("b", 1): 1}
+
+
+def test_running_agg_int64_with_nulls_stays_exact(ray_session):
+    """An int64 value column containing nulls must NOT round through
+    float64 (round-4 ADVICE): running sums above 2^53 stay bit-exact
+    and NULL rows still carry the running-so-far value."""
+    import ray.data
+
+    from etlray.stages import RunningAggTransform
+
+    big = 1 << 60
+    rows = [{"g": "a", "t": 1, "v": big},
+            {"g": "a", "t": 2, "v": None},
+            {"g": "a", "t": 3, "v": 3},
+            {"g": "a", "t": 4, "v": 1},
+            {"g": "b", "t": 1, "v": None}]
+
+    def run(agg):
+        ds = ray.data.from_items(rows)
+        out = RunningAggTransform("g", "t", "v", agg=agg,
+                                  out_col="r").apply(ds).take_all()
+        return {(r["g"], r["t"]): r["r"] for r in out}
+
+    # float64 would collapse big+3 and big+4 onto the same value
+    assert run("sum") == {("a", 1): big, ("a", 2): big, ("a", 3): big + 3,
+                          ("a", 4): big + 4, ("b", 1): None}
+    assert run("min") == {("a", 1): big, ("a", 2): big, ("a", 3): 3,
+                          ("a", 4): 1, ("b", 1): None}
+    # float64 can't distinguish big and big+1 → exactness check on max
+    rows2 = [{"g": "a", "t": 1, "v": big + 1},
+             {"g": "a", "t": 2, "v": None},
+             {"g": "a", "t": 3, "v": big}]
+    ds = ray.data.from_items(rows2)
+    out = RunningAggTransform("g", "t", "v", agg="max",
+                              out_col="r").apply(ds).take_all()
+    got = {r["t"]: r["r"] for r in out}
+    assert got == {1: big + 1, 2: big + 1, 3: big + 1}
+    assert all(isinstance(v, int) for v in got.values())
