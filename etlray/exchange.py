@@ -63,10 +63,12 @@ def _split_block(table: pa.Table, keys: list[str], num_buckets: int,
                  pre_fn: Callable[[pa.Table], pa.Table] | None = None) -> list[pa.Table]:
     import numpy as np
 
-    if pre_fn is not None:
+    if pre_fn is not None and (table.num_rows > 0 or table.num_columns > 0):
         # map-side fusion: conform/filter/combine run INSIDE the split
         # task — one object-store round trip per block instead of one
-        # per pipeline stage
+        # per pipeline stage. Zero-column empties (Ray map_batches
+        # emits them for empty input blocks) skip the pre_fn: it would
+        # KeyError on its expected columns.
         table = pre_fn(table)
     if table.num_rows == 0:
         return [table] * num_buckets
@@ -299,14 +301,29 @@ def hash_exchange(
     datasets = ds if isinstance(ds, (list, tuple)) else [ds]
 
     def units():
+        # skip empty blocks (their split tasks contribute nothing and
+        # their post-map zero-column form trips pre_fns); keep ONE as a
+        # fallback so an all-empty input still finalizes every bucket
+        # (the CDC writer's zero-row-epoch carry-forward relies on it)
+        def make_submit(ref):
+            def submit():
+                out = split.remote(ref, keys, num_buckets, bucket_col,
+                                   pre_fn)
+                return [out] if num_buckets == 1 else out
+            return submit
+
+        fallback = None
+        yielded = False
         for d in datasets:
             for bundle in d.iter_internal_ref_bundles():
-                for block_ref in bundle.block_refs:
-                    def submit(ref=block_ref):
-                        out = split.remote(ref, keys, num_buckets, bucket_col,
-                                           pre_fn)
-                        return [out] if num_buckets == 1 else out
-                    yield submit
+                for block_ref, meta in bundle.blocks:
+                    if getattr(meta, "num_rows", None) == 0:
+                        fallback = block_ref
+                        continue
+                    yielded = True
+                    yield make_submit(block_ref)
+        if not yielded and fallback is not None:
+            yield make_submit(fallback)
 
     result = _wave_exchange(units(), num_buckets, reduce_fn, pass_bucket_id,
                             pass_applied, as_refs, combine_fn, wave_tasks)

@@ -284,7 +284,16 @@ def minhash_lsh_candidates(
             "__sig": sig_arr.take(pa.array(rep)),
         })
 
-    exploded = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+    # the signature stage is the CPU-heavy one (python shingling +
+    # numpy minhash); a small corpus arriving as one block would run it
+    # in a single task — fan out first (no-op on big many-block inputs).
+    # The fanned-out dataset is reused below as the exact-verify
+    # payload source, so a small corpus is read from parquet ONCE.
+    from etlray.stages.common import fan_out_small
+
+    ds = fan_out_small(ds)
+    exploded = ds.map_batches(
+        sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     est_threshold = (jaccard_threshold - est_margin) if exact_verify \
         else jaccard_threshold

@@ -95,7 +95,131 @@ class AggregateTransform(Transform):
         needs_order = any(f in ("first", "last") for _, f in self.aggregations)
         if needs_order or self.deterministic:
             return self._apply_map_groups(ds)
-        return self._apply_native(ds)
+        return self._apply_partial_exchange(ds)
+
+    # ----- default path: arrow partials + one small exchange -----------
+    def _apply_partial_exchange(self, ds):
+        """Map-side combine: each block collapses to ≤|groups| partial
+        rows with pyarrow's C++ hash aggregate, then ONE hash_exchange
+        of those partials and an associative merge per bucket. The
+        shuffle carries one row per (key, block) — at 100 TB the
+        exchange is sized by group cardinality, not input rows.
+        Measured vs Ray-native groupby().aggregate at sf0.1
+        (pricing_summary, 322k rows, 6 groups): ~0.9 s vs ~1.6-2.8 s —
+        Ray's sort-based shuffle machinery dominates small aggregates
+        and its actor pool dominates large ones."""
+        from etlray.exchange import hash_exchange
+        from etlray.stages.common import default_exchange_buckets
+
+        keys = list(self.group_by)
+        # key/raw types pinned from the DRIVER-side schema, BEFORE the
+        # float-shadow stage; None (schema-less empty input) → the
+        # native path handles the degenerate case
+        s = ds.schema()
+        if s is None:
+            return self._apply_native(ds)
+        in_types = dict(zip(s.names, s.types))
+        ds, shadow = self._coerce_stage(ds)
+        exact_int = self.exact_int
+
+        # one partial slot per distinct (source-col, arrow-fn); average
+        # needs sum+count of the same source
+        partials: list[tuple[str | None, str, str]] = []  # (src, fn, pname)
+        seen: dict[tuple[str | None, str], str] = {}
+
+        def slot(src: str | None, fn: str) -> str:
+            k = (src, fn)
+            if k not in seen:
+                seen[k] = f"__p{len(seen)}"
+                partials.append((src, fn, seen[k]))
+            return seen[k]
+
+        plan: list[tuple[str, str, str, dict]] = []  # (out_name, func, ...)
+        for col, func in self.aggregations:
+            name = f"{col}_{func}"
+            src = None if func == "count" else shadow[col]
+            if func == "count":
+                plan.append((name, "count", slot(None, "count_all"), {}))
+            elif func == "sum":
+                plan.append((name, "sum", slot(src, "sum"), {}))
+            elif func == "average":
+                plan.append((name, "average", slot(src, "sum"),
+                             {"cnt": slot(src, "count")}))
+            elif func == "min":
+                plan.append((name, "min", slot(src, "min"), {}))
+            else:
+                plan.append((name, "max", slot(src, "max"), {}))
+
+        agg_list = [([], fn) if src is None else (src, fn)
+                    for src, fn, _p in partials]
+        pnames = [p for _s, _f, p in partials]
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys).aggregate(agg_list)
+            return g.rename_columns(keys + pnames)
+
+        pre = ds.map_batches(partial, **self._mb_kwargs())
+
+        # pinned output schema (empty buckets / all-null blocks must not
+        # skew the union)
+        fields = [pa.field(k, in_types[k]) for k in keys]
+        for col, func in self.aggregations:
+            name = f"{col}_{func}"
+            if func == "count":
+                fields.append(pa.field(name, pa.int64()))
+            elif exact_int:
+                src_t = in_types[col]
+                if func == "sum":
+                    fields.append(pa.field(
+                        name, pa.int64() if pa.types.is_integer(src_t)
+                        else src_t))
+                else:
+                    fields.append(pa.field(
+                        name, pa.float64() if func == "average" else src_t))
+            else:
+                fields.append(pa.field(name, pa.float64()))
+        out_schema = pa.schema(fields)
+        merge_fn = {"count_all": "sum", "sum": "sum", "count": "sum",
+                    "min": "min", "max": "max"}
+        merge_list = [(p, merge_fn[fn]) for _s, fn, p in partials]
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            from etlray.cdc.apply import BUCKET_COL
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            g = t.group_by(keys).aggregate(merge_list)
+            g = g.rename_columns(keys + pnames)
+            cols = [g[k] for k in keys]
+            names = list(keys)
+            for name, func, p, extra in plan:
+                want = out_schema.field(name).type
+                if func == "count":
+                    v = pc.fill_null(pc.cast(g[p], pa.int64()), 0)
+                elif func == "sum":
+                    # cast BEFORE the fill: an all-null block degrades
+                    # its partial to pa.null(), which can't host a 0
+                    v = pc.fill_null(pc.cast(g[p], want),
+                                     pa.scalar(0).cast(want))
+                elif func == "average":
+                    cnt = pc.cast(g[extra["cnt"]], pa.float64())
+                    v = pc.if_else(pc.greater(cnt, 0.0),
+                                   pc.divide(pc.cast(g[p], pa.float64()), cnt),
+                                   pa.scalar(None, pa.float64()))
+                else:
+                    v = g[p]
+                if not v.type.equals(want):
+                    v = pc.cast(v, want)
+                cols.append(v.combine_chunks()
+                            if isinstance(v, pa.ChunkedArray) else v)
+                names.append(name)
+            out = pa.table(dict(zip(names, cols)))
+            return out.cast(out_schema)
+
+        return hash_exchange(pre, keys, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
 
     # ----- fast path: built-in Ray aggregates --------------------------
     def _coerce_stage(self, ds):

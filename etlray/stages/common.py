@@ -36,6 +36,36 @@ def default_exchange_buckets() -> int:
     return max(ncpu, 8)
 
 
+def fan_out_small(ds, target: int | None = None, max_mb: int = 256):
+    """Repartition a SMALL input so CPU-heavy per-batch stages
+    (shingling, hashing, model scoring) use every core — a single-file
+    single-row-group parquet read arrives as ONE block and would pin
+    the whole stage to one task. Only engages when the plan's metadata
+    size estimate is under ``max_mb`` (the repartition is then ~free
+    and driver-local in cost); at scale the reader already yields many
+    blocks and this is a no-op. Inputs whose size the plan can't
+    estimate are left untouched — never risk materializing big data."""
+    target = target or default_exchange_buckets()
+    try:
+        size = ds.size_bytes()
+    except Exception:  # noqa: BLE001 — sizing only, never correctness
+        return ds
+    if size is None or size > (max_mb << 20):
+        return ds
+    # materialize: bounded by max_mb, and multi-pass consumers (e.g.
+    # signature pass + verify payload scan) then reuse the blocks
+    # instead of re-executing the read per consumer. Width is capped
+    # by the row count — repartitioning 6 rows to 32 blocks would mint
+    # 26 empty blocks, which downstream map stages re-emit as
+    # ZERO-COLUMN empties.
+    m = ds.materialize()
+    n = m.count()
+    k = min(target, n)
+    if k <= 1:
+        return m
+    return m.repartition(k).materialize()
+
+
 def key_change_mask(arrays, n: int):
     """Per-row "starts a new key group" mask over sorted key arrays:
     True where ANY key differs from the previous row; a run of nulls is
