@@ -2023,6 +2023,85 @@ def cross_join_region_nation(sf_dir: str):
     return CrossJoinTransform(nation).apply(region)
 
 
+@register(
+    "first_last_value_by_user",
+    """
+    SELECT event_id, user_id, ts, value,
+           first_value(value) OVER w AS first_value,
+           last_value(value)  OVER w AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_value_by_user(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE over the FULL partition (the explicit
+    frame — the default frame degenerates LAST_VALUE to the current
+    row). Tie order pinned by event_id on both engines. One key
+    exchange, one sort, one arrow take per output."""
+    from etlray.stages import FirstLastValueTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    return FirstLastValueTransform("user_id", "ts", "value",
+                                   tiebreak="event_id").apply(ds)
+
+
+@register(
+    "percent_rank_value_by_type",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+             AS percent_rank,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+             AS cume_dist
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def percent_rank_value_by_type(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST in one exchange pass — (rank-1)/(n-1)
+    and tie-run-end/n are integer-derived then divided, so both
+    engines produce bit-identical float64."""
+    from etlray.stages import RankStatsTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    return RankStatsTransform("event_type", "value").apply(ds)
+
+
+@register(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS l_quantity_sum,
+           count(*) AS l_quantity_count
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(sf_dir: str):
+    """GROUP BY GROUPING SETS — the (l_linestatus) set is NOT a rollup
+    prefix, so this exercises the mode='sets' generalization (every
+    set still folds from the one finest aggregate; raw data scanned
+    once)."""
+    from etlray.stages import RollupTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity"]).read()
+    ds = _scale_int_cols(ds, {"l_quantity": 100.0})
+    return RollupTransform(
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum"), ("l_quantity", "count")],
+        mode="sets",
+        grouping_sets=[("l_returnflag", "l_linestatus"),
+                       ("l_linestatus",), ()],
+        exact_int=True).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2057,6 +2136,9 @@ _GATE_TAIL = [
     "intersect_click_purchase_users",
     "cross_join_region_nation",       # join family: 3 variants in-window
     "running_sum_value_by_user",      # window family well covered in-window
+    "first_last_value_by_user",       # window family (full-frame first/last)
+    "percent_rank_value_by_type",     # window family (rank stats)
+    "grouping_sets_lineitem",         # rollup family: rollup in-window
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

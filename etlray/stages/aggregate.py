@@ -541,11 +541,34 @@ class RollupTransform(Transform):
                  aggregations: Sequence[tuple[str, str]],
                  mode: str = "rollup", exact_int: bool = False,
                  subtotals: str = "auto",
-                 driver_row_limit: int = 2_000_000) -> None:
+                 driver_row_limit: int = 2_000_000,
+                 grouping_sets: Sequence[Sequence[str]] | None = None) -> None:
         if not group_by:
             raise TransformError("rollup needs at least one group column")
-        if mode not in ("rollup", "cube"):
-            raise TransformError("mode must be 'rollup' or 'cube'")
+        if mode not in ("rollup", "cube", "sets"):
+            raise TransformError("mode must be 'rollup', 'cube' or 'sets'")
+        if mode == "sets":
+            # GROUP BY GROUPING SETS ((...), ...): every listed set
+            # must be ⊆ group_by; each derives from the same finest
+            # aggregate (duplicate sets are deduplicated — list a set
+            # once). The full set is emitted only if listed.
+            if not grouping_sets:
+                raise TransformError("mode='sets' needs grouping_sets")
+            gbset = set(group_by)
+            norm: list[tuple[str, ...]] = []
+            for s in grouping_sets:
+                extra = [c for c in s if c not in gbset]
+                if extra:
+                    raise TransformError(
+                        f"grouping set columns {extra} not in group_by")
+                key = tuple(c for c in group_by if c in set(s))
+                if key not in norm:
+                    norm.append(key)
+            self.grouping_sets = norm
+        elif grouping_sets is not None:
+            raise TransformError("grouping_sets requires mode='sets'")
+        else:
+            self.grouping_sets = None
         bad = [f for _, f in aggregations if f not in self._REAGG]
         if bad:
             raise TransformError(
@@ -596,9 +619,14 @@ class RollupTransform(Transform):
 
     def _subtotal_key_sets(self) -> list[tuple[str, ...]]:
         """ROLLUP: strict key prefixes, coarsest last. CUBE: every
-        proper subset of the key set (SQL ``GROUP BY CUBE``) — each
-        still derives from the same finest aggregate."""
+        proper subset of the key set (SQL ``GROUP BY CUBE``). SETS:
+        the listed grouping sets minus the full set (emitted as the
+        finest directly when listed). Each derives from the same
+        finest aggregate."""
         gb = self.group_by
+        if self.mode == "sets":
+            full = tuple(gb)
+            return [s for s in self.grouping_sets if s != full]
         if self.mode == "rollup":
             return [tuple(gb[:k]) for k in range(len(gb) - 1, -1, -1)]
         from itertools import combinations
@@ -607,6 +635,9 @@ class RollupTransform(Transform):
         for k in range(len(gb) - 1, -1, -1):
             out.extend(combinations(gb, k))
         return out
+
+    def _emit_finest(self) -> bool:
+        return self.mode != "sets" or tuple(self.group_by) in self.grouping_sets
 
     def apply(self, ds):
         from etlray.stages.common import UnionTransform
@@ -628,9 +659,13 @@ class RollupTransform(Transform):
             # and diverged from the oracle on empty inputs. Checked
             # before the subtotal fold because neither fold path can
             # derive output types from an empty groupby result.
+            # mode='sets': the grand-total row exists only if the
+            # empty set () is LISTED; otherwise zero typed rows.
             import ray.data
-            return ray.data.from_arrow(
-                self._empty_grand_total(ds, gb, aggs, out_names))
+            gt = self._empty_grand_total(ds, gb, aggs, out_names)
+            if self.mode == "sets" and () not in self.grouping_sets:
+                gt = gt.slice(0, 0)
+            return ray.data.from_arrow(gt)
 
         # key column types (for typed NULLs on subtotal rows) and
         # aggregate column types (Ray's Sum re-aggregation returns
@@ -677,6 +712,8 @@ class RollupTransform(Transform):
         if not sub_tables:
             return finest
         subs = ray.data.from_arrow(pa.concat_tables(sub_tables))
+        if not self._emit_finest():
+            return subs
         return UnionTransform(subs).apply(finest)
 
     def _subtotals_distributed(self, finest, gb, aggs, out_names,
@@ -714,7 +751,7 @@ class RollupTransform(Transform):
                 return t.select(gb + out_names)
 
             levels.append(lvl.map_batches(finish, batch_format="pyarrow"))
-        out = finest
+        out = finest if self._emit_finest() else None
         for extra in levels:
-            out = UnionTransform(extra).apply(out)
-        return out
+            out = extra if out is None else UnionTransform(extra).apply(out)
+        return out if out is not None else finest

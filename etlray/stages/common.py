@@ -908,6 +908,152 @@ class NtileTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class FirstLastValueTransform(Transform):
+    """Per-key FIRST_VALUE / LAST_VALUE over the FULL partition — SQL
+    ``first_value(v) OVER (PARTITION BY key ORDER BY o [, tiebreak]
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` (and
+    ``last_value`` with the same explicit frame; the DEFAULT SQL frame
+    makes LAST_VALUE degenerate to the current row's value, so the
+    full frame is the form worth an operator — the oracle must spell
+    it out too). NULL values are NOT skipped (no IGNORE NULLS), so a
+    partition whose first ordered row is NULL yields NULL.
+
+    Scale shape: the shared single key exchange; per bucket one sort +
+    change mask, then ONE arrow ``take`` at the per-key first/last row
+    index — value types (strings, timestamps, decimals) pass through
+    untouched, no numpy round trip."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, tiebreak: str | None = None,
+                 out_first: str | None = "first_value",
+                 out_last: str | None = "last_value") -> None:
+        if out_first is None and out_last is None:
+            raise TransformError("need at least one of out_first/out_last")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.tiebreak = tiebreak
+        self.out_first = out_first
+        self.out_last = out_last
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.order_col, self.value_col
+        tie, of, ol = self.tiebreak, self.out_first, self.out_last
+        _s = ds.schema()
+        vtype = dict(zip(_s.names, _s.types)).get(vc)
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n = t.num_rows
+            if n == 0:
+                for name in (of, ol):
+                    if name:
+                        t = t.append_column(name,
+                                            pa.array([], type=vtype))
+                return t
+            local = t.schema.field(vc).type
+            if vtype is not None and not pa.types.is_null(vtype) \
+                    and local != vtype:
+                t = t.set_column(t.column_names.index(vc), vc,
+                                 t[vc].cast(vtype))
+            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
+            if tie:
+                keys.append((tie, "ascending"))
+            t = t.take(pc.sort_indices(t, sort_keys=keys))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            starts = np.flatnonzero(kc)
+            sizes = np.diff(np.append(starts, n))
+            key_idx = np.repeat(np.arange(len(starts)), sizes)
+            col = t[vc].combine_chunks() if isinstance(t[vc], pa.ChunkedArray) \
+                else t[vc]
+            if of:
+                t = t.append_column(of, col.take(pa.array(starts[key_idx])))
+            if ol:
+                last_idx = starts[key_idx] + sizes[key_idx] - 1
+                t = t.append_column(ol, col.take(pa.array(last_idx)))
+            return t
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class RankStatsTransform(Transform):
+    """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
+    ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =
+    (rank-1)/(n-1) (0.0 for a 1-row partition) and ``cume_dist()`` =
+    (rows ordered <= current, i.e. end of the tie run)/n. NULL values
+    sort last (ascending) and tie with each other, matching DuckDB's
+    window ordering.
+
+    Scale shape: the shared single key exchange; per bucket one sort +
+    two change masks (key boundary, tie boundary) + run arithmetic —
+    no per-key Python."""
+
+    def __init__(self, by: str | Sequence[str], value_col: str,
+                 out_percent: str | None = "percent_rank",
+                 out_cume: str | None = "cume_dist") -> None:
+        if out_percent is None and out_cume is None:
+            raise TransformError("need at least one of out_percent/out_cume")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.out_percent = out_percent
+        self.out_cume = out_cume
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, vc = self.by, self.value_col
+        op, ocd = self.out_percent, self.out_cume
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n = t.num_rows
+            if n == 0:
+                for name in (op, ocd):
+                    if name:
+                        t = t.append_column(name,
+                                            pa.array([], type=pa.float64()))
+                return t
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in by]
+                + [(vc, "ascending")]))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            vchange = key_change_mask(
+                [t[vc].to_numpy(zero_copy_only=False)], n)
+            starts = np.flatnonzero(kc)
+            sizes = np.diff(np.append(starts, n))
+            key_idx = np.repeat(np.arange(len(starts)), sizes)
+            n_k = sizes[key_idx].astype(np.float64)
+            ts = np.flatnonzero(kc | vchange)   # tie-run starts (per key)
+            runs = np.diff(np.append(ts, n))
+            tie_idx = np.repeat(np.arange(len(ts)), runs)
+            if op:
+                rank = ts[tie_idx] - starts[key_idx] + 1
+                pr = np.where(n_k > 1, (rank - 1) / np.maximum(n_k - 1, 1),
+                              0.0)
+                t = t.append_column(op, pa.array(pr, type=pa.float64()))
+            if ocd:
+                run_end = np.append(ts[1:], n)[tie_idx]
+                cd = (run_end - starts[key_idx]) / n_k
+                t = t.append_column(ocd, pa.array(cd, type=pa.float64()))
+            return t
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class RunningAggTransform(Transform):
     """Per-key RUNNING aggregate in event order — SQL ``agg(v) OVER
     (PARTITION BY key ORDER BY order_col [, tiebreak] ROWS BETWEEN

@@ -296,3 +296,47 @@ def test_dense_rank_ties_and_keys(ray_session):
     got = sorted((r["g"], r["v"], r["dense_rank"]) for r in out)
     assert got == [("x", 10, 1), ("x", 10, 1), ("x", 20, 2),
                    ("y", 5, 1)]
+
+
+def test_grouping_sets_listed_only(ray_session):
+    """mode='sets' emits exactly the listed sets: (b) alone is not a
+    rollup prefix; the full set is emitted only when listed; () emits
+    the grand total."""
+    import ray.data
+
+    from etlray.stages import RollupTransform
+
+    rows = [{"a": "x", "b": "p", "v": 1},
+            {"a": "x", "b": "q", "v": 2},
+            {"a": "y", "b": "p", "v": 4}]
+    ds = ray.data.from_items(rows)
+    out = RollupTransform(
+        ["a", "b"], [("v", "sum")], mode="sets",
+        grouping_sets=[("b",), ()], exact_int=True).apply(ds).take_all()
+    got = {(r["a"], r["b"]): r["v_sum"] for r in out}
+    # NO (a,b) finest rows (full set not listed)
+    assert got == {(None, "p"): 5, (None, "q"): 2, (None, None): 7}
+
+    out2 = RollupTransform(
+        ["a", "b"], [("v", "sum")], mode="sets",
+        grouping_sets=[("a", "b"), ("b",)], exact_int=True) \
+        .apply(ds).take_all()
+    got2 = {(r["a"], r["b"]): r["v_sum"] for r in out2}
+    assert got2 == {("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,
+                    (None, "p"): 5, (None, "q"): 2}
+
+
+def test_grouping_sets_validation(ray_session):
+    import pytest
+
+    from etlray.errors import TransformError
+    from etlray.stages import RollupTransform
+
+    with pytest.raises(TransformError):
+        RollupTransform(["a"], [("v", "sum")], mode="sets")
+    with pytest.raises(TransformError):
+        RollupTransform(["a"], [("v", "sum")], mode="sets",
+                        grouping_sets=[("zz",)])
+    with pytest.raises(TransformError):
+        RollupTransform(["a"], [("v", "sum")],
+                        grouping_sets=[("a",)])  # needs mode='sets'

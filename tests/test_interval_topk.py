@@ -483,3 +483,49 @@ def test_running_agg_int64_with_nulls_stays_exact(ray_session):
     got = {r["t"]: r["r"] for r in out}
     assert got == {1: big + 1, 2: big + 1, 3: big + 1}
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_first_last_value_full_frame(ray_session):
+    """FIRST_VALUE/LAST_VALUE over the full partition: NULLs are not
+    skipped (no IGNORE NULLS), tie order pinned by the tiebreak, value
+    type (string here) passes through the arrow take untouched."""
+    import ray.data
+
+    from etlray.stages import FirstLastValueTransform
+
+    rows = [{"g": "a", "t": 2, "i": 1, "v": "mid"},
+            {"g": "a", "t": 1, "i": 0, "v": None},    # first is NULL
+            {"g": "a", "t": 3, "i": 2, "v": "end"},
+            {"g": "b", "t": 5, "i": 0, "v": "only"},
+            {"g": "c", "t": 1, "i": 0, "v": "x"},
+            {"g": "c", "t": 1, "i": 1, "v": "y"}]     # tie on t
+    out = FirstLastValueTransform("g", "t", "v", tiebreak="i") \
+        .apply(ray.data.from_items(rows)).take_all()
+    got = {(r["g"], r["t"], r["i"]): (r["first_value"], r["last_value"])
+           for r in out}
+    assert got[("a", 1, 0)] == (None, "end")
+    assert got[("a", 2, 1)] == (None, "end")
+    assert got[("b", 5, 0)] == ("only", "only")
+    assert got[("c", 1, 0)] == ("x", "y")   # tiebreak pins x first
+    assert got[("c", 1, 1)] == ("x", "y")
+
+
+def test_rank_stats_percent_rank_cume_dist(ray_session):
+    """percent_rank=(rank-1)/(n-1) with ties sharing the rank; a
+    1-row partition is 0.0. cume_dist=(tie-run end)/n."""
+    import ray.data
+
+    from etlray.stages import RankStatsTransform
+
+    rows = [{"g": "a", "v": 10.0}, {"g": "a", "v": 10.0},
+            {"g": "a", "v": 20.0}, {"g": "a", "v": 30.0},
+            {"g": "b", "v": 7.0}]
+    out = RankStatsTransform("g", "v").apply(
+        ray.data.from_items(rows)).take_all()
+    a = sorted([(r["v"], r["percent_rank"], r["cume_dist"])
+                for r in out if r["g"] == "a"])
+    # n=4: ranks 1,1,3,4 -> pr 0, 0, 2/3, 1; cume 0.5, 0.5, 0.75, 1.0
+    assert a == [(10.0, 0.0, 0.5), (10.0, 0.0, 0.5),
+                 (20.0, 2 / 3, 0.75), (30.0, 1.0, 1.0)]
+    b = [(r["percent_rank"], r["cume_dist"]) for r in out if r["g"] == "b"]
+    assert b == [(0.0, 1.0)]
