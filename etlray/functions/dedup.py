@@ -713,6 +713,69 @@ def codepoint_shingles(text: str, k: int = 5) -> np.ndarray:
                               1099511628211)
 
 
+_NGRAM_DENSE_CELLS = 1 << 27   # doc×shingle incidence cap (512 MB f32)
+
+
+def _ngram_jaccard_dense(ds, explode, threshold: float):
+    """Dense co-occurrence path for ``ngram_jaccard_pairs`` (see its
+    docstring): gather the (doc, shingle-hash) incidence of a SMALL
+    input (caller gates at ≤64 MB), build the doc×distinct-shingle 0/1
+    matrix once, broadcast it via ``ray.put`` (plasma: every task maps
+    the same buffer zero-copy), and fan out row chunks — each task
+    computes its slice of c = S·Sᵀ with one BLAS call and emits only
+    the pairs with J ≥ threshold. Returns None when the incidence
+    exceeds the dense cap (caller falls back to the inverted index)."""
+    import ray
+    import ray.data
+
+    out_schema = pa.schema([("doc_id_a", pa.int64()),
+                            ("doc_id_b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    inc_parts = [explode(b) for b in
+                 ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    inc = pa.concat_tables([p for p in inc_parts if p.num_rows > 0]) \
+        if any(p.num_rows > 0 for p in inc_parts) else None
+    if inc is None:
+        return ray.data.from_arrow(out_schema.empty_table())
+    sh = inc["shingle"].to_numpy(zero_copy_only=False)
+    doc = inc["doc"].to_numpy(zero_copy_only=False)
+    vocab, sh_idx = np.unique(sh, return_inverse=True)
+    docs, doc_idx = np.unique(doc, return_inverse=True)
+    n, v = len(docs), len(vocab)
+    if n * v > _NGRAM_DENSE_CELLS:
+        return None
+    S = np.zeros((n, v), dtype=np.float32)
+    S[doc_idx, sh_idx] = 1.0
+    nsh = S.sum(axis=1, dtype=np.float64)       # shingles are unique/doc
+    s_ref = ray.put(S)
+    docs_ref = ray.put(docs.astype(np.int64))
+    nsh_ref = ray.put(nsh)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    chunk = max(256, -(-n // (2 * ncpu)))
+
+    @ray.remote
+    def pair_chunk(lo: int, hi: int) -> pa.Table:
+        s = ray.get(s_ref)          # zero-copy plasma view
+        ids = ray.get(docs_ref)
+        counts = ray.get(nsh_ref)
+        c = (s[lo:hi] @ s.T).astype(np.float64)   # exact ints < 2^24
+        j = c / (counts[lo:hi, None] + counts[None, :] - c)
+        # strict upper triangle in sorted-doc space → a < b by id
+        cols = np.arange(len(ids))[None, :]
+        rows = np.arange(lo, hi)[:, None]
+        keep = (j >= threshold) & (rows < cols)
+        ii, jj = np.nonzero(keep)
+        return pa.table({"doc_id_a": pa.array(ids[lo + ii], type=pa.int64()),
+                         "doc_id_b": pa.array(ids[jj], type=pa.int64()),
+                         "jaccard": pa.array(j[ii, jj], type=pa.float64())})
+
+    refs = [pair_chunk.remote(lo, min(lo + chunk, n))
+            for lo in range(0, n, chunk)]
+    return ray.data.from_arrow_refs(refs)
+
+
 def ngram_jaccard_pairs(
     ds,
     text_col: str = "text",
@@ -720,6 +783,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     num_buckets: int = 16,
+    dense: bool | str = "auto",
 ):
     """EXACT n-gram Jaccard similarity self-join via a distributed
     inverted index — the precise baseline to ``minhash_lsh_candidates``'
@@ -734,7 +798,19 @@ def ngram_jaccard_pairs(
     Cost is Σ_shingle C(df, 2) — exact similarity joins are inherently
     quadratic in per-shingle document frequency. Use on bounded inputs
     (a partition, a candidate subset); at 100 TB use the MinHash-LSH
-    path, which this operator oracles at small scale."""
+    path, which this operator oracles at small scale.
+
+    Dense fast path (auto): when the input is small (≤64 MB metadata
+    estimate) and the doc×distinct-shingle incidence fits a dense
+    matrix (≤2^27 cells), the co-occurrence counts come from ONE
+    broadcast float32 matmul per row chunk (c = S·Sᵀ) instead of the
+    inverted-index pair explosion — on template-heavy corpora where
+    every shingle is hot (df ≈ n_docs) the explosion is Σ C(df,2)
+    ≈ 770M pair rows at sf0.1 and its giant lexsort made wall time
+    swing 6–20 s run to run; the matmul is ~3 GFLOP, deterministic,
+    and bit-identical (c stays an exact integer below 2^24 in float32;
+    the J division is float64 on both paths). Sparse corpora and big
+    inputs keep the inverted-index plan."""
     from etlray.exchange import hash_exchange
 
     def explode(t: pa.Table) -> pa.Table:
@@ -755,6 +831,17 @@ def ngram_jaccard_pairs(
         return pa.table({"shingle": pa.array(np.concatenate(sh_out)),
                          "doc": pa.array(np.concatenate(id_out)),
                          "nsh": pa.array(np.concatenate(n_out))})
+
+    if dense is True or dense == "auto":
+        try:
+            in_size = ds.size_bytes()
+        except Exception:  # noqa: BLE001 — sizing only
+            in_size = None
+        if dense is True or (in_size is not None
+                             and in_size <= (64 << 20)):
+            out = _ngram_jaccard_dense(ds, explode, threshold)
+            if out is not None:
+                return out
 
     incid = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 

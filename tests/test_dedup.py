@@ -277,3 +277,30 @@ def test_embedding_code_only_recall_dim512(ray_session):
     sim = u @ u.T
     idx = {int(v): k for k, v in enumerate(ids)}
     assert all(sim[idx[a], idx[b]] >= 0.95 - 1e-5 for a, b in got)
+
+
+def test_ngram_jaccard_dense_matches_sparse(ray_session):
+    """The dense matmul fast path and the inverted-index path must
+    produce identical pairs AND identical float64 jaccard values (c is
+    an exact integer below 2^24 in float32, so the J division sees the
+    same operands on both paths)."""
+    import ray.data
+
+    from etlray.functions.dedup import ngram_jaccard_pairs
+
+    rows = [{"doc_id": 1, "text": "the quick brown fox jumps over it"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over itx"},
+            {"doc_id": 3, "text": "a completely different document body"},
+            {"doc_id": 4, "text": "the quick brown fox jumps over it"},
+            {"doc_id": 5, "text": None},
+            {"doc_id": 6, "text": "a completely different document bodz"}]
+
+    def run(dense):
+        ds = ray.data.from_items(rows)
+        out = ngram_jaccard_pairs(ds, threshold=0.5, dense=dense).take_all()
+        return sorted((r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+                      for r in out)
+
+    d, s = run(True), run(False)
+    assert d == s and len(d) >= 2
+    assert all(a < b for a, b, _ in d)
