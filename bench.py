@@ -56,13 +56,23 @@ def _init_ray(num_cpus: int) -> None:
     ctx.enable_progress_bars = False
 
 
-def _gen_fixture(work: str, n_events: int, pad_levels: int = 16) -> dict:
+def _gen_fixture(work: str, n_events: int, pad_levels: int = 16,
+                 pad_repeat: int = 1) -> dict:
     from etlray.cdc.fixture import generate_fixture
 
     n_keys = max(n_events // 5, 100)
     return generate_fixture(os.path.join(work, "fx"), n_events=n_events,
                             n_keys=n_keys, n_base=n_keys // 2,
-                            pad_levels=pad_levels)
+                            pad_levels=pad_levels, pad_repeat=pad_repeat)
+
+
+def _scale_cache_dir(base_tmp: str, n_events: int, pad_levels: int,
+                     pad_repeat: int) -> str:
+    """Fixture cache path for the scaling benches; pad_repeat joins the
+    name only when ≠1 so existing caches stay valid."""
+    suffix = f"_r{pad_repeat}" if pad_repeat != 1 else ""
+    return os.path.join(base_tmp,
+                        f"etlray_scale_cache_{n_events}_p{pad_levels}{suffix}")
 
 
 def run_cdc(fx: dict, table_dir: str, num_buckets: int) -> tuple[float, float]:
@@ -221,14 +231,14 @@ def run_follow(num_cpus: int) -> dict:
                 json.dump(fx, f)
     else:
         # share the scaling bench's fixture cache (same generator args)
-        cache = os.path.join(base_tmp,
-                             f"etlray_scale_cache_{n_events}_p{pad_levels}")
+        pad_repeat = int(os.environ.get("ETLRAY_SCALE_PAD_REPEAT", "1"))
+        cache = _scale_cache_dir(base_tmp, n_events, pad_levels, pad_repeat)
         manifest_path = os.path.join(cache, "fx", "manifest.json")
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 fx = json.load(f)
         else:
-            fx = _gen_fixture(cache, n_events, pad_levels)
+            fx = _gen_fixture(cache, n_events, pad_levels, pad_repeat)
             with open(manifest_path, "w") as f:
                 json.dump(fx, f)
     slices = _slice_log(fx, os.path.join(cache, f"follow_slices_{n_files}"),
@@ -441,11 +451,11 @@ def main() -> None:
         # 2 to 16 cpus), whereas a real N-node cluster multiplies
         # memory/IO bandwidth with N
         pad_levels = int(os.environ.get("ETLRAY_SCALE_PAD_LEVELS", "2"))
-        work = os.path.join(base_tmp,
-                            f"etlray_scale_cache_{n_events}_p{pad_levels}")
+        pad_repeat = int(os.environ.get("ETLRAY_SCALE_PAD_REPEAT", "1"))
+        work = _scale_cache_dir(base_tmp, n_events, pad_levels, pad_repeat)
         manifest_path = os.path.join(work, "fx", "manifest.json")
         if not os.path.exists(manifest_path):
-            fx = _gen_fixture(work, n_events, pad_levels)
+            fx = _gen_fixture(work, n_events, pad_levels, pad_repeat)
             with open(manifest_path, "w") as f:
                 json.dump(fx, f)
         # N vs 4N. Default levels 4→16: this host's 32 hyperthread slots
@@ -495,6 +505,7 @@ def main() -> None:
             "pinned": use_pin,
             "n_events": n_events,
             "pad_levels": pad_levels,
+            "pad_repeat": pad_repeat,
             "prune_payload": os.environ.get("ETLRAY_PRUNE_PAYLOAD", "auto"),
         }))
         return

@@ -85,6 +85,31 @@ def _mean_payload_bytes(sources, col_names) -> float:
     return total_b / total_r if total_r else 0.0
 
 
+def _chunked_take(values, idx: "np.ndarray"):
+    """``take`` that never materializes a >2 GB contiguous array:
+    pyarrow 16's ``ChunkedArray.take`` concatenates its INPUT first,
+    which overflows int32 string offsets on blob-scale payload columns
+    (verified: a 2.4 GB chunked take raises ArrowInvalid). Resolve
+    indices per input chunk instead; output stays chunked, order of
+    ``idx`` preserved. Each output chunk is bounded by its source
+    chunk's size (indices are unique in the payload-fetch callers)."""
+    if isinstance(values, pa.Array):
+        values = pa.chunked_array([values])
+    if len(idx) == 0:
+        return values.slice(0, 0)
+    bounds = np.cumsum([0] + [len(c) for c in values.chunks])
+    gid = np.searchsorted(bounds, idx, side="right") - 1
+    change = np.flatnonzero(np.diff(gid)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(idx)]))
+    out = []
+    for s, e in zip(starts, ends):
+        g = gid[s]
+        local = idx[s:e] - bounds[g]
+        out.append(values.chunk(int(g)).take(pa.array(local)))
+    return pa.chunked_array(out, type=values.type)
+
+
 def _fetch_payload_rows(pf, rows_needed: "np.ndarray", col: str):
     """Read ONLY the row groups containing ``rows_needed`` (global row
     ordinals, ascending) from an opened ``pq.ParquetFile`` and return
@@ -100,10 +125,9 @@ def _fetch_payload_rows(pf, rows_needed: "np.ndarray", col: str):
     read_starts = np.concatenate(([0], np.cumsum(sizes[need])))
     local = read_starts[np.searchsorted(need, gids)] \
         + (rows_needed - starts[gids])
-    v = tbl.column(col)
-    if isinstance(v, pa.ChunkedArray):
-        v = v.combine_chunks()
-    return v.take(pa.array(local))
+    # chunk-safe take: the union of a file's winning rows can exceed
+    # 2 GB of payload — combining chunks first overflowed int32 offsets
+    return _chunked_take(tbl.column(col), local)
 
 
 _LOC_KEY_SHIFT = 40  # (file_idx << 40) | row_ordinal — rows/file < 2^40
@@ -158,10 +182,39 @@ def _fetch_file_payloads(path: str, file_idx: int, content_col: str,
             SRC_FILE_COL: pa.array(np.full(len(rows_b), file_idx,
                                            dtype=np.int32)),
             SRC_ROW_COL: pa.array(rows_b),
-            content_col: vals.take(pa.array(pos)) if len(rows_b)
+            content_col: _chunked_take(vals, pos) if len(rows_b)
             else pa.nulls(0, type=ctype),
         }))
     return outs if num_buckets > 1 else outs[0]
+
+
+def _stamp_missing_shas(t: pa.Table, content_col: str) -> pa.Table:
+    """Hash rows whose ``content_sha`` is null but content is valid —
+    the writer-side completion of sha stamping. Covers (a) legacy
+    snapshots written before map-side stamping and (b) the
+    payload-pruned exchange, which defers ALL sha work here so only
+    the WINNING rows (∝ final table) are ever hashed."""
+    import pyarrow.compute as pc
+
+    from etlray.cdc.apply import sha256_column
+
+    if content_col not in t.column_names:
+        return t
+    if "content_sha" not in t.column_names:
+        return t.append_column(
+            "content_sha", sha256_column(t.column(content_col)))
+    shav = t.column("content_sha")
+    need = pc.and_(pc.is_null(shav), pc.is_valid(t.column(content_col)))
+    if not pc.any(need).as_py():
+        return t
+    idx = np.flatnonzero(
+        need.combine_chunks().to_numpy(zero_copy_only=False))
+    fixed = sha256_column(_chunked_take(t.column(content_col), idx))
+    vals = shav.to_pylist()
+    for i, v in zip(idx.tolist(), fixed.to_pylist()):
+        vals[i] = v
+    return t.set_column(t.column_names.index("content_sha"),
+                        "content_sha", pa.array(vals, type=pa.string()))
 
 
 def _attach_contents(t: pa.Table, contents: pa.Table | None,
@@ -1131,7 +1184,16 @@ class CDCEngine:
             t = lww_reduce(t, keys, lsn_col)
             if content_col in t.column_names:
                 ci = t.column_names.index(content_col)
-                sha = sha256_column(t.column(content_col))
+                if prune:
+                    # pruned mode never READ the payload (the split's
+                    # parquet projection dropped it; the column here is
+                    # conform-backfilled nulls) — stamp a null sha
+                    # placeholder; the bucket writer's repair pass
+                    # hashes the fetched WINNERS only, so total sha
+                    # work is ∝ final table, not ∝ events
+                    sha = pa.nulls(t.num_rows, type=pa.string())
+                else:
+                    sha = sha256_column(t.column(content_col))
                 if "content_sha" in t.column_names:
                     t = t.set_column(t.column_names.index("content_sha"),
                                      "content_sha", sha)
@@ -1176,28 +1238,7 @@ class CDCEngine:
             merged = pa.concat_tables(tables)
             merged = lww_reduce(merged, keys, lsn_col)
             merged = drop_deletes(merged, op_col)
-            if content_col in merged.column_names:
-                if "content_sha" not in merged.column_names:
-                    # legacy table written before map-side stamping
-                    merged = merged.append_column(
-                        "content_sha", sha256_column(merged.column(content_col)))
-                else:
-                    # normally zero rows: only rows from pre-sha snapshots
-                    # still need a hash (new events were stamped map-side)
-                    shav = merged.column("content_sha")
-                    need = pc.and_(pc.is_null(shav),
-                                   pc.is_valid(merged.column(content_col)))
-                    if pc.any(need).as_py():
-                        idx = np.flatnonzero(
-                            need.combine_chunks().to_numpy(zero_copy_only=False))
-                        fixed = sha256_column(
-                            merged.column(content_col).take(pa.array(idx)))
-                        vals = shav.to_pylist()
-                        for i, v in zip(idx.tolist(), fixed.to_pylist()):
-                            vals[i] = v
-                        merged = merged.set_column(
-                            merged.column_names.index("content_sha"),
-                            "content_sha", pa.array(vals, type=pa.string()))
+            merged = _stamp_missing_shas(merged, content_col)
             # normalize the bucket col (events carried it; prev file has it too)
             if BUCKET_COL in merged.column_names:
                 merged = merged.drop_columns([BUCKET_COL])
@@ -1222,6 +1263,7 @@ class CDCEngine:
                 return _stat_row(bucket, -1, -1, 0)
             t = lww_reduce(t, keys, lsn_col)  # final cross-wave reduce
             t = _attach_contents(t, contents, content_col)
+            t = _stamp_missing_shas(t, content_col)
             if BUCKET_COL in t.column_names:
                 t = t.drop_columns([BUCKET_COL])
             t = t.append_column(
@@ -1259,12 +1301,25 @@ class CDCEngine:
                         t = lww_reduce(t, keys, lsn_col)
                     return (t, applied)
 
+                # projection pushdown per file: the split tasks never
+                # read (or decompress) the payload column — winners'
+                # payloads late-materialize in the fetch tasks, so the
+                # map side costs ∝ key/lsn bytes even at blob widths
+                reverse = {v: k for k, v in (rename or {}).items()}
+                cols_per_file = []
+                for md in metas:
+                    names = md.schema.to_arrow_schema().names
+                    src = content_col if content_col in names \
+                        else reverse.get(content_col)
+                    cols_per_file.append([n for n in names if n != src])
+
                 red_refs = hash_exchange_files(
                     items, keys, nb, reduce_prep, bucket_col=BUCKET_COL,
                     pass_bucket_id=True, as_refs=True, pre_fn=pre_fn,
                     rows_per_task=rows_per_task, combine_fn=combine,
                     pass_applied=True, wave_tasks=self.wave_tasks,
-                    stamp_locator=True, metas=metas)
+                    stamp_locator=True, metas=metas,
+                    columns=cols_per_file)
 
                 @_ray.remote
                 def need_rows(red):

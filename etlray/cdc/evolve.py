@@ -93,8 +93,9 @@ def conform_table(table: pa.Table, target: pa.Schema,
                 col = pc.cast(col, f.type, safe=False)
         else:
             col = pa.nulls(table.num_rows, type=f.type)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        # ChunkedArrays pass through AS chunks: combine_chunks() on a
+        # blob-scale string column (>2 GB in one unit) overflows the
+        # int32 offsets — Table.from_arrays accepts chunked columns
         cols.append(col)
     return pa.Table.from_arrays(cols, schema=target)
 

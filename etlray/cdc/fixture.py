@@ -48,7 +48,7 @@ _PAD_POOL = np.array([
 
 
 def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray,
-             pad_levels: int = 16) -> np.ndarray:
+             pad_levels: int = 16, pad_repeat: int = 1) -> np.ndarray:
     """Deterministic source-like text, length varying ~100..2000 chars.
     Fully vectorized: ONE numeric stringify (unique id folds key, lsn
     and rng draw) + a 16-entry pad pool — pure-python f-strings made
@@ -61,8 +61,12 @@ def _content(rng_ints: np.ndarray, keys: np.ndarray, lsns: np.ndarray,
     head = np.char.add(head, "(x):\n    return x\n")
     # final concat via pandas OBJECT dtype: np.char would pad every
     # element to the 2200-char max width at 4 bytes/char (≈9 KB/row)
-    out = pd.Series(head, dtype=object) + pd.Series(
-        _PAD_POOL[rng_ints % pad_levels], dtype=object)
+    pad = pd.Series(_PAD_POOL[rng_ints % pad_levels], dtype=object)
+    if pad_repeat > 1:
+        # blob-scale contents (the payload-pruned exchange's regime):
+        # elementwise str repeat keeps generation vectorized
+        pad = pad * pad_repeat
+    out = pd.Series(head, dtype=object) + pad
     return out.to_numpy()
 
 
@@ -81,6 +85,7 @@ def generate_fixture(
     zipf_a: float = 1.4,
     p_delete: float = 0.2,
     pad_levels: int = 16,
+    pad_repeat: int = 1,
 ) -> dict:
     """``pad_levels`` bounds content size (16 → ~35..560 chars;
     1 → ~35 chars): small contents make the workload CPU-bound rather
@@ -106,7 +111,7 @@ def generate_fixture(
         "path": pa.array(paths[base_keys]),
         "commit": pa.array(_commits(rng, n_base)),
         "lang": pa.array([LANGS[k % len(LANGS)] for k in base_keys]),
-        "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int), pad_levels)),
+        "content": pa.array(_content(base_r, base_keys, np.zeros(n_base, dtype=int), pad_levels, pad_repeat)),
     })
     base_path = os.path.join(out_dir, "base.parquet")
     pq.write_table(base, base_path, row_group_size=10_000)
@@ -136,7 +141,7 @@ def generate_fixture(
                            np.where(rng_c.random(m) < 0.5, "insert", "update"))
             lsns = np.arange(lo + 1, hi + 1, dtype=np.int64)
             ev_r = rng_c.integers(1, 1 << 31, size=m)
-            contents = _content(ev_r, ev_keys, lsns, pad_levels)
+            contents = _content(ev_r, ev_keys, lsns, pad_levels, pad_repeat)
             commits = np.array(_commits(rng_c, m), dtype=object)
             langs = np.array(LANGS, dtype=object)[ev_keys % len(LANGS)]
             sizes_np = pd.Series(contents).str.len().to_numpy(dtype=np.int64)

@@ -104,7 +104,8 @@ def row_group_offsets(md) -> "tuple":
 
 def _split_file(path: str, row_groups: list[int], keys: list[str],
                 num_buckets: int, bucket_col: str | None,
-                pre_fn, file_index: int | None = None) -> list[pa.Table]:
+                pre_fn, file_index: int | None = None,
+                columns: list | None = None) -> list[pa.Table]:
     """Split task that READS its own parquet row groups — no Ray Data
     pipeline, no driver streaming: the driver only lists footer
     metadata and submits one task per row-group chunk.
@@ -120,7 +121,11 @@ def _split_file(path: str, row_groups: list[int], keys: list[str],
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    table = pf.read_row_groups(row_groups)
+    # ``columns``: projection pushed into the parquet decode — the
+    # payload-pruned exchange drops the content column HERE, so blob
+    # payloads are never even decompressed on the map side (their sha
+    # stamps at the bucket writer from the fetched winners instead)
+    table = pf.read_row_groups(row_groups, columns=columns)
     if file_index is not None:
         sizes, starts = row_group_offsets(pf.metadata)
         idx = (np.concatenate([starts[g] + np.arange(sizes[g]) for g in row_groups])
@@ -347,6 +352,8 @@ def hash_exchange_files(
     wave_tasks: int | None = None,
     stamp_locator: bool = False,
     metas: Sequence | None = None,
+    bytes_per_task: int = 256 << 20,
+    columns: Sequence | None = None,
 ):
     """File-direct variant of hash_exchange: for each parquet file the
     driver reads ONLY the footer, chunks row groups into ~rows_per_task
@@ -370,20 +377,27 @@ def hash_exchange_files(
                 else pq.ParquetFile(path).metadata
             chunk: list[int] = []
             rows = 0
+            nbytes = 0
             chunks: list[list[int]] = []
             for rg in range(md.num_row_groups):
                 chunk.append(rg)
                 rows += md.row_group(rg).num_rows
-                if rows >= rows_per_task:
+                # total_byte_size = UNCOMPRESSED bytes: units must also
+                # be byte-bounded — 200k rows of blob-scale (~17 KB)
+                # contents is a 3.4 GB unit whose string columns
+                # overflow int32 arrow offsets and blow worker heaps
+                nbytes += md.row_group(rg).total_byte_size
+                if rows >= rows_per_task or nbytes >= bytes_per_task:
                     chunks.append(chunk)
-                    chunk, rows = [], 0
+                    chunk, rows, nbytes = [], 0, 0
             if chunk:
                 chunks.append(chunk)
+            cols = columns[fi] if columns is not None else None
             for rgs in chunks:
-                def submit(p=path, r=rgs, fi=fi):
+                def submit(p=path, r=rgs, fi=fi, c=cols):
                     out = split.remote(p, r, keys, num_buckets, bucket_col,
                                        pre_fn,
-                                       fi if stamp_locator else None)
+                                       fi if stamp_locator else None, c)
                     return [out] if num_buckets == 1 else out
                 yield submit
 

@@ -1625,14 +1625,27 @@ def topk_events_per_type(sf_dir: str):
 # numpy, PCM WAV via stdlib) on self-synthesized valid payloads;
 # strict=True so a silent fallback to the stub would fail the query
 # ---------------------------------------------------------------------------
+
+def _sliced(tbl, rows_per_block: int):
+    """Split an in-memory synth table into multiple blocks — a single
+    ``from_arrow(tbl)`` block caps an actor-pool map_batches at ONE
+    task regardless of ``concurrency`` (Ray dispatches tasks per
+    block, not per batch), serializing the whole decode on one actor."""
+    import ray.data
+
+    return ray.data.from_arrow(
+        [tbl.slice(o, rows_per_block)
+         for o in range(0, tbl.num_rows, rows_per_block)])
+
+
 @register("multimodal_decode")
 def multimodal_decode(sf_dir: str):
     import ray.data
 
     from etlray.functions.multimodal import ImageDecodeStage, synth_bmp_table
 
-    ds = ray.data.from_arrow(synth_bmp_table(256))
-    # small batches: binary payloads are wide (memory-aware batching)
+    # small batches/blocks: binary payloads are wide (memory-aware)
+    ds = _sliced(synth_bmp_table(256), 32)
     return ds.map_batches(ImageDecodeStage,
                           fn_constructor_kwargs={"strict": True},
                           batch_format="pyarrow",
@@ -1649,7 +1662,7 @@ def multimodal_decode_png(sf_dir: str):
 
     from etlray.functions.multimodal import ImageDecodeStage, synth_png_table
 
-    ds = ray.data.from_arrow(synth_png_table(256))
+    ds = _sliced(synth_png_table(256), 32)
     return ds.map_batches(ImageDecodeStage,
                           fn_constructor_kwargs={"strict": True},
                           batch_format="pyarrow",
@@ -1667,15 +1680,15 @@ def multimodal_decode_jpeg(sf_dir: str):
     from etlray.functions.multimodal import (ImageDecodeStage,
                                              synth_jpeg_table)
 
-    # concurrency 4 / batch 8: the bit-serial huffman loop is the cost
-    # (a real deployment swaps PIL/turbojpeg into the same stage) —
-    # spread the 128 payloads across more actors so the query stays in
-    # the same wall-time band as the other strict decodes
-    ds = ray.data.from_arrow(synth_jpeg_table(128))
+    # concurrency 8 / 8-row blocks: the bit-serial huffman loop is the
+    # cost (a real deployment swaps PIL/turbojpeg into the same stage)
+    # — 16 single-batch blocks over 8 actors keeps the strict decode in
+    # the same wall-time band as the other multimodal queries
+    ds = _sliced(synth_jpeg_table(128), 8)
     return ds.map_batches(ImageDecodeStage,
                           fn_constructor_kwargs={"strict": True},
                           batch_format="pyarrow",
-                          batch_size=8, concurrency=4) \
+                          batch_size=8, concurrency=8) \
         .select_columns(["media_id", "decoded_width", "decoded_height"])
 
 
@@ -1685,7 +1698,7 @@ def multimodal_features(sf_dir: str):
 
     from etlray.functions.multimodal import ImageFeatureStage, synth_bmp_table
 
-    ds = ray.data.from_arrow(synth_bmp_table(256))
+    ds = _sliced(synth_bmp_table(256), 32)
     return ds.map_batches(ImageFeatureStage,
                           fn_constructor_kwargs={"dim": 32, "strict": True},
                           batch_format="pyarrow", batch_size=32, concurrency=2) \
@@ -1698,7 +1711,7 @@ def multimodal_audio_features(sf_dir: str):
 
     from etlray.functions.multimodal import AudioFeatureStage, synth_wav_table
 
-    ds = ray.data.from_arrow(synth_wav_table(128))
+    ds = _sliced(synth_wav_table(128), 32)
     return ds.map_batches(AudioFeatureStage,
                           fn_constructor_kwargs={"strict": True},
                           batch_format="pyarrow", batch_size=32, concurrency=2) \

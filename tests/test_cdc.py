@@ -165,10 +165,12 @@ def _assert_contents_exact(state: dict, oracle: dict) -> None:
 
 
 def test_full_replay_payload_pruned(fixture_dir, tmp_path, ray_session):
-    """prune_payload=True ships (keys, lsn, op, content_sha, 12 B
-    locator) through the exchange — never the content — and the bucket
-    writer late-materializes winners from the source epoch files. The
-    final state must be byte-identical, content column included."""
+    """prune_payload=True ships (keys, lsn, op, 12 B locator) through
+    the exchange — never the content, and (since the map side no longer
+    even decodes the payload column) content_sha crosses as a null
+    placeholder too. The bucket writer late-materializes winners from
+    the source epoch files and hashes ONLY them. The final state must
+    be byte-identical, content and content_sha columns included."""
     import ray.data
 
     eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,

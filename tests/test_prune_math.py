@@ -106,3 +106,29 @@ def test_row_group_offsets_matches_split_stamp(tmp_path, ray_session):
     assert t[SRC_FILE_COL].to_pylist() == [3] * n
     assert t[SRC_ROW_COL].to_pylist() == list(range(n))
     assert t["k"].to_pylist() == list(range(n))
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_chunked_take_matches_flat_take(data):
+    """_chunked_take over arbitrary chunk layouts == combine-then-take.
+    The production caller passes ascending unique indices (winning row
+    ordinals), so that's the distribution generated here."""
+    from etlray.cdc.engine import _chunked_take
+
+    chunk_lens = data.draw(st.lists(st.integers(0, 7), min_size=1,
+                                    max_size=6))
+    n = sum(chunk_lens)
+    vals, off = [], 0
+    for ln in chunk_lens:
+        vals.append(pa.array([f"v{off + i}" if (off + i) % 5 else None
+                              for i in range(ln)], type=pa.string()))
+        off += ln
+    ca = pa.chunked_array(vals, type=pa.string())
+    idx = np.array(sorted(data.draw(st.sets(
+        st.integers(0, n - 1), max_size=n))), dtype=np.int64) \
+        if n else np.array([], dtype=np.int64)
+    got = _chunked_take(ca, idx)
+    want = ca.combine_chunks().take(pa.array(idx))
+    assert got.to_pylist() == want.to_pylist()
+    assert got.type == want.type
