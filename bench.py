@@ -214,9 +214,12 @@ def run_follow(num_cpus: int) -> dict:
     # is ~O(table) but delta-mode stays ~O(slice). Default (unset)
     # shares the scaling bench's fixture (keys = events/5).
     n_keys = int(os.environ.get("ETLRAY_FOLLOW_NKEYS", "0"))
+    pad_repeat = int(os.environ.get("ETLRAY_SCALE_PAD_REPEAT", "1"))
     if n_keys:
         cache = os.path.join(
-            base_tmp, f"etlray_follow_cache_{n_events}_k{n_keys}_p{pad_levels}")
+            base_tmp,
+            f"etlray_follow_cache_{n_events}_k{n_keys}_p{pad_levels}"
+            + (f"_r{pad_repeat}" if pad_repeat != 1 else ""))
         manifest_path = os.path.join(cache, "fx", "manifest.json")
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
@@ -226,12 +229,12 @@ def run_follow(num_cpus: int) -> dict:
 
             fx = generate_fixture(os.path.join(cache, "fx"),
                                   n_events=n_events, n_keys=n_keys,
-                                  n_base=n_keys, pad_levels=pad_levels)
+                                  n_base=n_keys, pad_levels=pad_levels,
+                                  pad_repeat=pad_repeat)
             with open(manifest_path, "w") as f:
                 json.dump(fx, f)
     else:
         # share the scaling bench's fixture cache (same generator args)
-        pad_repeat = int(os.environ.get("ETLRAY_SCALE_PAD_REPEAT", "1"))
         cache = _scale_cache_dir(base_tmp, n_events, pad_levels, pad_repeat)
         manifest_path = os.path.join(cache, "fx", "manifest.json")
         if os.path.exists(manifest_path):

@@ -132,6 +132,11 @@ def _fetch_payload_rows(pf, rows_needed: "np.ndarray", col: str):
 
 _LOC_KEY_SHIFT = 40  # (file_idx << 40) | row_ordinal — rows/file < 2^40
 
+# _attach_contents scatter-slice sizing (module-level so tests can
+# force multi-slice paths on small data)
+_ATTACH_SLICE_BYTES = 256 << 20
+_ATTACH_MIN_ROWS = 4096
+
 
 def _loc_key(sf: "np.ndarray", rows: "np.ndarray") -> "np.ndarray":
     return (sf.astype(np.int64) << _LOC_KEY_SHIFT) | rows.astype(np.int64)
@@ -250,19 +255,37 @@ def _attach_contents(t: pa.Table, contents: pa.Table | None,
     if hit.any():
         n = t.num_rows
         cvals = contents[content_col]
-        cvals = cvals.combine_chunks() if isinstance(cvals, pa.ChunkedArray) \
-            else cvals
+        if isinstance(cvals, pa.Array):
+            cvals = pa.chunked_array([cvals])
         if content_col in t.column_names:
             orig = t[content_col]
-            orig = orig.combine_chunks() \
-                if isinstance(orig, pa.ChunkedArray) else orig
+            if isinstance(orig, pa.Array):
+                orig = pa.chunked_array([orig])
         else:
-            orig = pa.nulls(n, type=cvals.type)
-        fetched = cvals.take(pa.array(order[pos_c[hit]]))
-        fetched = pc.cast(fetched, orig.type)
-        take_idx = np.arange(n, dtype=np.int64)
-        take_idx[np.flatnonzero(hit)] = n + np.arange(int(hit.sum()))
-        newcol = pa.concat_arrays([orig, fetched]).take(pa.array(take_idx))
+            orig = pa.chunked_array([pa.nulls(n, type=cvals.type)])
+        cidx = order[pos_c]  # content-row index per t row (valid at hits)
+        # Scatter in byte-bounded SLICES: combining either side whole
+        # overflows int32 string offsets at blob scale (a merge bucket
+        # carries the full base snapshot's content in `orig`, and the
+        # fetch tables can exceed 2 GB too). Per slice, the contiguous
+        # concat+take is bounded; the output column stays chunked.
+        bpr = (orig.nbytes / max(n, 1)) + \
+            (cvals.nbytes / max(len(cvals), 1))
+        step = int(max(_ATTACH_MIN_ROWS,
+                       min(n, _ATTACH_SLICE_BYTES / max(bpr, 1.0))))
+        chunks = []
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            o_sl = orig.slice(s, e - s).combine_chunks()
+            m = hit[s:e]
+            lp = np.flatnonzero(m)
+            f_sl = _chunked_take(
+                cvals, cidx[s:e][m].astype(np.int64)).combine_chunks()
+            f_sl = pc.cast(f_sl, o_sl.type)
+            tk = np.arange(e - s, dtype=np.int64)
+            tk[lp] = (e - s) + np.arange(len(lp))
+            chunks.append(pa.concat_arrays([o_sl, f_sl]).take(pa.array(tk)))
+        newcol = pa.chunked_array(chunks, type=orig.type)
         if content_col in t.column_names:
             t = t.set_column(t.column_names.index(content_col),
                              content_col, newcol)

@@ -731,18 +731,40 @@ def _ngram_jaccard_dense(ds, explode, threshold: float):
     out_schema = pa.schema([("doc_id_a", pa.int64()),
                             ("doc_id_b", pa.int64()),
                             ("jaccard", pa.float64())])
-    inc_parts = [explode(b) for b in
-                 ds.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    inc = pa.concat_tables([p for p in inc_parts if p.num_rows > 0]) \
-        if any(p.num_rows > 0 for p in inc_parts) else None
-    if inc is None:
+    # Gather incrementally and bail EARLY: checking the dense cap only
+    # after concatenating the full incidence would burn ~24 B/row of
+    # driver memory (and a full input execution) on inputs destined for
+    # the sparse path anyway. Running distinct-doc/shingle counts give
+    # an exact lower bound on the final n*v after each batch.
+    inc_parts = []
+    run_docs = np.array([], dtype=np.int64)
+    run_vocab = np.array([], dtype=np.int64)
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        p = explode(b)
+        if p.num_rows == 0:
+            continue
+        inc_parts.append(p)
+        run_docs = np.union1d(
+            run_docs, p["doc"].to_numpy(zero_copy_only=False))
+        run_vocab = np.union1d(
+            run_vocab, p["shingle"].to_numpy(zero_copy_only=False))
+        if len(run_docs) * len(run_vocab) > _NGRAM_DENSE_CELLS:
+            return None
+    if not inc_parts:
         return ray.data.from_arrow(out_schema.empty_table())
+    inc = pa.concat_tables(inc_parts)
     sh = inc["shingle"].to_numpy(zero_copy_only=False)
     doc = inc["doc"].to_numpy(zero_copy_only=False)
     vocab, sh_idx = np.unique(sh, return_inverse=True)
     docs, doc_idx = np.unique(doc, return_inverse=True)
     n, v = len(docs), len(vocab)
     if n * v > _NGRAM_DENSE_CELLS:
+        return None
+    # float32 matmul exactness gate: co-occurrence counts accumulate in
+    # float32 and stay exact only below 2^24; a doc with ≥2^24 distinct
+    # shingles could round c and silently flip pairs across the
+    # threshold, breaking bit-equality with the sparse int64 path.
+    if np.bincount(doc_idx).max() >= (1 << 24):
         return None
     S = np.zeros((n, v), dtype=np.float32)
     S[doc_idx, sh_idx] = 1.0
@@ -833,10 +855,9 @@ def ngram_jaccard_pairs(
                          "nsh": pa.array(np.concatenate(n_out))})
 
     if dense is True or dense == "auto":
-        try:
-            in_size = ds.size_bytes()
-        except Exception:  # noqa: BLE001 — sizing only
-            in_size = None
+        from etlray.stages.common import meta_size_bytes
+
+        in_size = meta_size_bytes(ds)
         if dense is True or (in_size is not None
                              and in_size <= (64 << 20)):
             out = _ngram_jaccard_dense(ds, explode, threshold)

@@ -36,6 +36,18 @@ def default_exchange_buckets() -> int:
     return max(ncpu, 8)
 
 
+def meta_size_bytes(ds):
+    """Metadata-only size probe. ``Dataset.size_bytes()`` EXECUTES the
+    plan when metadata can't infer the size (Ray 2.49 falls through to
+    ``self._plan.execute()``), which would materialize an arbitrarily
+    large transformed input just to answer a sizing question. Returns
+    None whenever the size isn't known without execution."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:  # noqa: BLE001 — sizing only, never correctness
+        return None
+
+
 def fan_out_small(ds, target: int | None = None, max_mb: int = 256):
     """Repartition a SMALL input so CPU-heavy per-batch stages
     (shingling, hashing, model scoring) use every core — a single-file
@@ -46,10 +58,7 @@ def fan_out_small(ds, target: int | None = None, max_mb: int = 256):
     blocks and this is a no-op. Inputs whose size the plan can't
     estimate are left untouched — never risk materializing big data."""
     target = target or default_exchange_buckets()
-    try:
-        size = ds.size_bytes()
-    except Exception:  # noqa: BLE001 — sizing only, never correctness
-        return ds
+    size = meta_size_bytes(ds)
     if size is None or size > (max_mb << 20):
         return ds
     # materialize: bounded by max_mb, and multi-pass consumers (e.g.
@@ -1246,7 +1255,10 @@ def _null_fill_scalar(t: pa.DataType):
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return pa.scalar(b"", t)
     if pa.types.is_temporal(t):
-        return pa.array([0], pa.int64()).cast(t)[0]
+        # date32/time32 only cast from int32 (int64->date32 raises
+        # ArrowNotImplementedError); 64-bit temporals cast from int64
+        src = pa.int32() if t.bit_width == 32 else pa.int64()
+        return pa.array([0], src).cast(t)[0]
     raise TransformError(
         f"SetOpTransform: unsupported key type {t} (scalar types only)")
 

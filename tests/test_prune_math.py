@@ -132,3 +132,89 @@ def test_chunked_take_matches_flat_take(data):
     want = ca.combine_chunks().take(pa.array(idx))
     assert got.to_pylist() == want.to_pylist()
     assert got.type == want.type
+
+def test_attach_contents_multi_slice_interleaved(monkeypatch):
+    """The byte-bounded slice scatter (blob-scale fix: combining either
+    side whole overflows int32 offsets >2 GB) must agree with the
+    single-slice result for interleaved hit / carry-forward rows —
+    including rows that already CARRY content (merge-mode base-snapshot
+    rows have real payloads; only pruned event rows scatter)."""
+    import etlray.cdc.engine as eng
+
+    monkeypatch.setattr(eng, "_ATTACH_MIN_ROWS", 3)
+    monkeypatch.setattr(eng, "_ATTACH_SLICE_BYTES", 1)  # → step == 3
+
+    n = 20
+    # even rows carry inline content (no locator), odd rows are pruned
+    sf = [None if i % 2 == 0 else 0 for i in range(n)]
+    rows = [None if i % 2 == 0 else i for i in range(n)]
+    orig = [f"carry-{i}" if i % 2 == 0 else None for i in range(n)]
+    t = pa.table({
+        SRC_FILE_COL: pa.array(sf, type=pa.int32()),
+        SRC_ROW_COL: pa.array(rows, type=pa.int64()),
+        "content": pa.array(orig, type=pa.string()),
+    })
+    hit_rows = [i for i in range(n) if i % 2 == 1]
+    contents = pa.table({
+        SRC_FILE_COL: pa.array([0] * len(hit_rows), type=pa.int32()),
+        SRC_ROW_COL: pa.array(hit_rows, type=pa.int64()),
+        # multi-chunk content side to exercise _chunked_take per slice
+        "content": pa.chunked_array([
+            pa.array([f"fetched-{r}" for r in hit_rows[:4]]),
+            pa.array([f"fetched-{r}" for r in hit_rows[4:]]),
+        ]),
+    })
+    got = eng._attach_contents(t, contents, "content")
+    want = [f"carry-{i}" if i % 2 == 0 else f"fetched-{i}"
+            for i in range(n)]
+    assert got["content"].to_pylist() == want
+    assert got["content"].num_chunks >= 2  # sliced output stays chunked
+    assert SRC_FILE_COL not in got.column_names
+
+
+def test_setop_date32_keys(ray_session):
+    """date32 (parquet's default DATE) set-op keys: the null fill must
+    build from int32 — int64→date32 raises ArrowNotImplementedError."""
+    import datetime
+
+    import ray.data
+
+    from etlray.stages import SetOpTransform
+
+    d = datetime.date
+    left = ray.data.from_arrow(pa.table({
+        "d": pa.array([d(2024, 1, 1), d(2024, 1, 2), None],
+                      type=pa.date32())}))
+    right = ray.data.from_arrow(pa.table({
+        "d": pa.array([d(2024, 1, 2), None], type=pa.date32())}))
+    exc = [r["d"] for r in
+           SetOpTransform(right, op="except").apply(left).take_all()]
+    inter = sorted(
+        (r["d"] for r in
+         SetOpTransform(right, op="intersect").apply(left).take_all()),
+        key=lambda v: (v is None, v))
+    assert exc == [d(2024, 1, 1)]
+    assert inter == [d(2024, 1, 2), None]
+
+
+def test_fan_out_small_never_executes_unsized_plans(ray_session):
+    """fan_out_small must stay metadata-only: Dataset.size_bytes()
+    EXECUTES the plan when metadata can't infer a size (a map_batches
+    output), which would materialize arbitrarily large inputs. An
+    unsized plan must come back untouched without running the map fn."""
+    import ray.data
+
+    from etlray.stages.common import fan_out_small
+
+    calls = {"n": 0}
+
+    def bomb(t: pa.Table) -> pa.Table:
+        calls["n"] += 1
+        return t
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": list(range(100))})).map_batches(
+            bomb, batch_format="pyarrow")
+    out = fan_out_small(ds)
+    assert out is ds            # untouched: size unknown from metadata
+    assert calls["n"] == 0      # and nothing executed driver-side
