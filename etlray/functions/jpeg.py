@@ -5,23 +5,27 @@ reference has no multimodal at all, this serves the builder brief's
 multimodal-column requirement).
 
 Scope (documented, asserted):
-* encoder: 8-bit RGB → YCbCr (JFIF BT.601), 4:4:4 (no subsampling),
-  one DQT per luma/chroma, SIMPLE canonical Huffman tables written
-  into DHT segments (uniform code lengths — a few % worse compression
-  than the Annex K defaults, but the tables are *generated*, not
-  transcribed, so there is nothing to mis-copy; any baseline decoder,
-  including this one, reads them from the stream).
+* encoder: 8-bit RGB → YCbCr (JFIF BT.601), 4:4:4 or 4:2:0, optional
+  restart markers (``restart_mcus``), one DQT per luma/chroma, SIMPLE
+  canonical Huffman tables written into DHT segments (uniform code
+  lengths — a few % worse compression than the Annex K defaults, but
+  the tables are *generated*, not transcribed, so there is nothing to
+  mis-copy; any baseline decoder, including this one, reads them from
+  the stream).
 * decoder: any baseline (SOF0) 3-component or 1-component stream with
   component sampling factors ≤ 2×2 (covers 4:4:4, 4:2:2, 4:2:0),
   restart markers honored (DC predictors reset), Huffman tables taken
   from the stream's DHT segments. Progressive (SOF2) and arithmetic
   coding are out of scope → ``None``.
 
-The Huffman bit loop runs in Python — this is the codec-correctness
-baseline for the actor-pool stages in ``multimodal.py`` (setup cost in
-``__init__``, per-batch decode in ``__call__``), not a throughput
-kernel; a production pipeline swaps in PIL/turbojpeg behind the same
-stage signature.
+Entropy decode is table-driven: the scan is unstuffed and split at
+restart markers in one numpy pass, then decoded with cached 16-bit
+lookahead LUTs (one list index per Huffman symbol instead of up to 16
+bit-serial reads); dequant + IDCT run batched over all blocks of a
+component. The remaining per-symbol loop is Python — a production
+pipeline still swaps in PIL/turbojpeg behind the same actor-pool stage
+signature in ``multimodal.py`` (setup in ``__init__``, per-batch decode
+in ``__call__``), but this decoder is no longer the stage bottleneck.
 """
 
 from __future__ import annotations
@@ -99,17 +103,34 @@ def _build_codes(bits, symbols) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _build_decode_map(bits, symbols) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol, for bit-serial decoding."""
-    out = {}
+_LUT_CACHE: dict[bytes, tuple[list, list]] = {}
+
+
+def _decode_lut(bits, symbols) -> tuple[list, list]:
+    """16-bit-lookahead Huffman LUT: next-16-bits → (code length,
+    symbol) as two 65536-entry Python lists (fastest scalar indexing
+    in CPython — no numpy-scalar boxing per symbol). Cached on the
+    table bytes: canonical tables repeat across every image of a
+    dataset, so the build amortizes to zero per actor process."""
+    key = bytes(bits) + b"\x00" + bytes(symbols)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut_len = np.zeros(65536, dtype=np.uint8)
+    lut_sym = np.zeros(65536, dtype=np.uint8)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = symbols[k]
+            lo = code << (16 - ln)
+            lut_len[lo:lo + (1 << (16 - ln))] = ln
+            lut_sym[lo:lo + (1 << (16 - ln))] = symbols[k]
             code += 1
             k += 1
         code <<= 1
+    out = (lut_len.tolist(), lut_sym.tolist())
+    if len(_LUT_CACHE) < 64:  # bound the cache (~0.6 MB per table pair)
+        _LUT_CACHE[key] = out
     return out
 
 
@@ -135,90 +156,123 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81) — before a restart
+        marker or the end of the scan."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81)
+            self.write((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+def _split_scan_segments(d: bytes, pos: int) -> list:
+    """Unstuff the entropy-coded scan starting at ``pos`` in one pass:
+    drop the 0x00 stuffed after data 0xFF bytes, split at RSTn markers
+    (any number of 0xFF fill bytes before a marker allowed, T.81
+    B.1.1.2), stop at the first other marker. Returns one uint8 array
+    per restart interval, in stream order."""
+    b = np.frombuffer(d, dtype=np.uint8)[pos:]
+    n = len(b)
+    segments = []
+    drops: list[int] = []
+    start = 0
+    end = n
 
-    def _fill(self) -> bool:
-        d = self.data
-        p = self.pos
-        if p >= len(d):
-            return False
-        b = d[p]
-        if b == 0xFF:
-            if p + 1 < len(d) and d[p + 1] == 0x00:
-                self.pos = p + 2          # stuffed byte
-            else:
-                return False              # marker → scan data ends
+    def close(upto: int) -> None:
+        seg = b[start:upto]
+        if drops:
+            mask = np.ones(upto - start, dtype=bool)
+            mask[[q - start for q in drops]] = False
+            seg = seg[mask]
+        segments.append(seg)
+
+    for p in np.flatnonzero(b == 0xFF).tolist():
+        if p < start:
+            continue  # inside a consumed marker
+        if p + 1 >= n:
+            end = p
+            break
+        nxt = b[p + 1]
+        if nxt == 0x00:
+            drops.append(p + 1)       # stuffed zero after a data 0xFF
+        elif nxt == 0xFF:
+            drops.append(p)           # fill byte; re-examine the next
+        elif 0xD0 <= nxt <= 0xD7:     # RSTn → segment boundary
+            close(p)
+            drops = []
+            start = p + 2
         else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-        return True
-
-    def read_bit(self) -> int | None:
-        if self.nbits == 0 and not self._fill():
-            return None
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.read_bit()
-            if b is None:
-                return None
-            v = (v << 1) | b
-        return v
-
-    def at_marker(self) -> int | None:
-        """The marker byte after 0xFF at the current byte boundary, if
-        any (RSTn handling). T.81 B.1.1.2 allows any number of 0xFF
-        fill bytes before the marker — skip them (and advance pos so
-        skip_marker() lands past the real marker), else a conformant
-        DRI stream with padded RSTn markers failed to decode."""
-        d = self.data
-        if self.nbits != 0:
-            return None
-        p = self.pos
-        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
-            p += 1
-        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
-            self.pos = p
-            return d[p + 1]
-        return None
-
-    def skip_marker(self) -> None:
-        self.pos += 2
-        self.acc = 0
-        self.nbits = 0
-
-    def byte_align(self) -> None:
-        self.nbits = 0
-        self.acc = 0
+            end = p                   # real marker → scan data ends
+            break
+    close(end)
+    return segments
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int | None:
-    code = 0
-    for ln in range(1, 17):
-        b = br.read_bit()
-        if b is None:
-            return None
-        code = (code << 1) | b
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    return None
+def _decode_segment(seg, comps, n_mcus: int) -> bool:
+    """Decode ``n_mcus`` MCUs from ONE unstuffed restart interval via
+    the 16-bit-lookahead LUTs. The per-symbol loop is still Python, but
+    each symbol costs one list index + integer shifts instead of up to
+    16 method-dispatched read_bit() calls."""
+    n = len(seg)
+    padded = np.empty(n + 4, dtype=np.uint32)
+    padded[:n] = seg
+    padded[n:] = 0xFF  # bounded slack: overrun → IndexError → None
+    w32 = ((padded[:-3] << 24) | (padded[1:-2] << 16)
+           | (padded[2:-1] << 8) | padded[3:]).tolist()
+    bp = 0
+    for _m in range(n_mcus):
+        for c in comps:
+            dlen, dsym = c["dc"]
+            alen, asym = c["ac"]
+            coefs = c["coefs"]
+            pred = c["pred"]
+            for _b in range(c["v"] * c["h"]):
+                row = coefs[c["nb"]]
+                c["nb"] += 1
+                wrd = (w32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                ln = dlen[wrd]
+                if ln == 0:
+                    return False
+                s = dsym[wrd]
+                bp += ln
+                if s:
+                    v = (w32[bp >> 3] >> (32 - (bp & 7) - s)) \
+                        & ((1 << s) - 1)
+                    bp += s
+                    if v < (1 << (s - 1)):   # T.81 F.2.2.1 EXTEND
+                        v -= (1 << s) - 1
+                    pred += v
+                row[0] = pred
+                k = 1
+                while k < 64:
+                    wrd = (w32[bp >> 3] >> (16 - (bp & 7))) & 0xFFFF
+                    ln = alen[wrd]
+                    if ln == 0:
+                        return False
+                    rs = asym[wrd]
+                    bp += ln
+                    if rs == 0x00:           # EOB
+                        break
+                    if rs == 0xF0:           # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        return False
+                    s = rs & 0x0F
+                    if s:
+                        v = (w32[bp >> 3] >> (32 - (bp & 7) - s)) \
+                            & ((1 << s) - 1)
+                        bp += s
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        row[k] = v
+                    k += 1
+            c["pred"] = pred
+    return bp <= n * 8
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -228,12 +282,6 @@ def _magnitude(v: int) -> tuple[int, int]:
         return 0, 0
     size = int(abs(v)).bit_length()
     return size, (v if v > 0 else v + (1 << size) - 1)
-
-
-def _extend(code: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return code if code >= (1 << (size - 1)) else code - (1 << size) + 1
 
 
 # ---------------------------------------------------------------------------
@@ -274,11 +322,15 @@ def _block_grid(plane: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return pad.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "4:4:4",
+                restart_mcus: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes (generated canonical
     Huffman tables, flat quant — see module docstring).
     ``subsampling``: "4:4:4" (default) or "4:2:0" (2×2-averaged
-    chroma, Y at 2×2 sampling factors)."""
+    chroma, Y at 2×2 sampling factors). ``restart_mcus`` > 0 writes a
+    DRI segment and an RSTn marker after every that many MCUs (DC
+    predictors reset) — the stream shape real encoders emit for
+    error-resilience, and the decode path's restart coverage."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -344,6 +396,12 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
 
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            m = my * mcus_x + mx
+            if restart_mcus and m and m % restart_mcus == 0:
+                bw.align()
+                bw.buf += bytes([0xFF,
+                                 0xD0 + ((m // restart_mcus - 1) & 7)])
+                pred[:] = [0, 0, 0]
             for ci in range(3):
                 ch, cv = hv[ci]
                 for by in range(cv):
@@ -370,6 +428,8 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "4:4:4") -> bytes:
                               (0x01, _DC_BITS, _DC_SYMS),
                               (0x11, _AC_BITS, _AC_SYMS)):
         out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(syms))
+    if restart_mcus:
+        out += seg(0xDD, struct.pack(">H", restart_mcus))      # DRI
     sos = bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + \
         bytes([3, 0x11]) + bytes([0, 63, 0])
     out += seg(0xDA, sos)                                      # SOS
@@ -437,7 +497,7 @@ def _decode_jpeg(d: bytes) -> np.ndarray | None:
                 bits = list(seg[i + 1:i + 17])
                 n = sum(bits)
                 syms = list(seg[i + 17:i + 17 + n])
-                huff[tc_th] = _build_decode_map(bits, syms)
+                huff[tc_th] = _decode_lut(bits, syms)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -470,70 +530,46 @@ def _decode_scan(d, pos, h, w, comps, quant, restart):
         return None
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    for c in comps:
-        bw = mcus_x * c["h"]
-        bh = mcus_y * c["v"]
-        c["plane"] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        c["pred"] = 0
-    br = _BitReader(d, pos)
     n_mcu = mcus_x * mcus_y
-    coef = np.zeros(64, dtype=np.int64)
-    for m in range(n_mcu):
-        if restart and m and m % restart == 0:
-            br.byte_align()
-            mk = br.at_marker()
-            if mk is not None and 0xD0 <= mk <= 0xD7:
-                br.skip_marker()
-                for c in comps:
-                    c["pred"] = 0
-        my, mx = divmod(m, mcus_x)
-        for c in comps:
-            q = quant[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef[:] = 0
-                    s = _huff_decode(br, c["dc"])
-                    if s is None:
-                        return None
-                    bits = br.read_bits(s) if s else 0
-                    if bits is None:
-                        return None
-                    c["pred"] += _extend(bits, s)
-                    coef[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, c["ac"])
-                        if rs is None:
-                            return None
-                        if rs == 0x00:      # EOB
-                            break
-                        run, size = rs >> 4, rs & 0x0F
-                        if rs == 0xF0:      # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            return None
-                        bits = br.read_bits(size)
-                        if bits is None:
-                            return None
-                        coef[k] = _extend(bits, size)
-                        k += 1
-                    # coef is in ZIGZAG order, q in natural order —
-                    # reindex q to zigzag for the multiply (with a
-                    # non-flat table, e.g. Annex K, the unaligned
-                    # multiply decodes to garbage; regression-tested
-                    # with a planted non-flat table)
-                    dq = (coef * q[_ZIGZAG]).astype(np.float64)
-                    blk = np.empty(64)
-                    blk[_ZIGZAG] = dq
-                    px = _DCT.T @ blk.reshape(8, 8) @ _DCT + 128.0
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+    for c in comps:
+        c["coefs"] = np.zeros((n_mcu * c["v"] * c["h"], 64),
+                              dtype=np.int64)
+        c["pred"] = 0
+        c["nb"] = 0
+    # Entropy decode: unstuff + split at RSTn once, then a LUT loop per
+    # restart interval. T.81 requires an RSTn after EVERY `restart`
+    # MCUs when DRI is set, so interval k holds exactly `restart` MCUs
+    # (the last one: the remainder); DC predictors reset per interval.
+    done = 0
+    for si, seg in enumerate(_split_scan_segments(d, pos)):
+        if done >= n_mcu:
+            break
+        if si:
+            for c in comps:
+                c["pred"] = 0
+        todo = min(restart, n_mcu - done) if restart else n_mcu - done
+        if not _decode_segment(seg, comps, todo):
+            return None
+        done += todo
+    if done < n_mcu:
+        return None
     planes = []
     for c in comps:
-        p = c.pop("plane")
+        # coefs are in ZIGZAG order, q in natural order — reindex q to
+        # zigzag for the multiply (with a non-flat table, e.g. Annex K,
+        # the unaligned multiply decodes to garbage; regression-tested
+        # with a planted non-flat table). Dequant + IDCT run BATCHED
+        # over every block of the component: two (nblocks,8,8) matmuls
+        # instead of per-block 8x8 ones.
+        q = quant[c["tq"]]
+        dq = (c.pop("coefs") * q[_ZIGZAG]).astype(np.float64)
+        blk = np.zeros((len(dq), 64))
+        blk[:, _ZIGZAG] = dq
+        px = _DCT.T @ blk.reshape(-1, 8, 8) @ _DCT + 128.0
+        # stream order is (mcu, by, bx) with mcu = my*mcus_x + mx
+        grid = px.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+        p = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
+            mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)

@@ -326,3 +326,25 @@ def test_audio_zero_frame_duration_is_zero():
     stage = AudioFeatureStage(strict=True)
     out = stage(pa.table({"payload": pa.array([empty], pa.binary())}))
     assert out["duration_sec"][0].as_py() == 0.0
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: encode with restart intervals (DC predictors
+    reset, RSTn cycling D0-D7), decode through the segment-split LUT
+    path, and match the no-restart decode exactly — restart markers
+    change the stream framing, not the pixels."""
+    import numpy as np
+
+    from etlray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        plain = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        for interval in (1, 2, 5):  # exercises >8 RSTs → index cycling
+            enc = encode_jpeg(img, subsampling=sub,
+                              restart_mcus=interval)
+            assert b"\xff\xdd" in enc  # DRI present
+            out = decode_jpeg(enc)
+            assert out is not None
+            assert np.array_equal(out, plain), (sub, interval)
