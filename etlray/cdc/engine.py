@@ -132,10 +132,27 @@ def _fetch_payload_rows(pf, rows_needed: "np.ndarray", col: str):
 
 _LOC_KEY_SHIFT = 40  # (file_idx << 40) | row_ordinal — rows/file < 2^40
 
-# _attach_contents scatter-slice sizing (module-level so tests can
+# _attach_contents scatter-slice byte budget (module-level so tests can
 # force multi-slice paths on small data)
 _ATTACH_SLICE_BYTES = 256 << 20
-_ATTACH_MIN_ROWS = 4096
+
+
+def _col_row_bytes(col: "pa.ChunkedArray", n: int) -> "np.ndarray":
+    """Per-row payload bytes for slice-boundary decisions: EXACT (from
+    the varlen value lengths) for string/binary columns, mean-based for
+    fixed-width types. Exactness matters — a mean-sized slice over
+    skewed blob data (a clustered run of multi-hundred-KB rows) can
+    still blow past the int32 offset limit the slicing exists to
+    avoid. Nulls count 0."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        ln = pc.fill_null(pc.binary_length(col), 0)
+        return ln.combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+    return np.full(n, col.nbytes / max(n, 1))
 
 
 def _loc_key(sf: "np.ndarray", rows: "np.ndarray") -> "np.ndarray":
@@ -267,15 +284,24 @@ def _attach_contents(t: pa.Table, contents: pa.Table | None,
         # Scatter in byte-bounded SLICES: combining either side whole
         # overflows int32 string offsets at blob scale (a merge bucket
         # carries the full base snapshot's content in `orig`, and the
-        # fetch tables can exceed 2 GB too). Per slice, the contiguous
-        # concat+take is bounded; the output column stays chunked.
-        bpr = (orig.nbytes / max(n, 1)) + \
-            (cvals.nbytes / max(len(cvals), 1))
-        step = int(max(_ATTACH_MIN_ROWS,
-                       min(n, _ATTACH_SLICE_BYTES / max(bpr, 1.0))))
+        # fetch tables can exceed 2 GB too). Slice boundaries come from
+        # CUMULATIVE ACTUAL bytes (orig value lengths + fetched value
+        # lengths at hit rows), not a global mean — a mean-sized slice
+        # over skewed data can itself exceed the 2 GB limit. Per slice,
+        # the contiguous concat+take is bounded; output stays chunked.
+        per_row = _col_row_bytes(orig, n)
+        if hit.any():
+            flen = _col_row_bytes(cvals, len(cvals))
+            per_row = per_row.copy()
+            per_row[hit] += flen[cidx[hit]]
+        cum = np.cumsum(per_row)
         chunks = []
-        for s in range(0, n, step):
-            e = min(s + step, n)
+        s = 0
+        while s < n:
+            prev = cum[s - 1] if s else 0.0
+            e = int(np.searchsorted(cum, prev + _ATTACH_SLICE_BYTES,
+                                    side="right"))
+            e = min(n, max(e, s + 1))
             o_sl = orig.slice(s, e - s).combine_chunks()
             m = hit[s:e]
             lp = np.flatnonzero(m)
@@ -285,6 +311,7 @@ def _attach_contents(t: pa.Table, contents: pa.Table | None,
             tk = np.arange(e - s, dtype=np.int64)
             tk[lp] = (e - s) + np.arange(len(lp))
             chunks.append(pa.concat_arrays([o_sl, f_sl]).take(pa.array(tk)))
+            s = e
         newcol = pa.chunked_array(chunks, type=orig.type)
         if content_col in t.column_names:
             t = t.set_column(t.column_names.index(content_col),

@@ -737,17 +737,20 @@ def _ngram_jaccard_dense(ds, explode, threshold: float):
     # the sparse path anyway. Running distinct-doc/shingle counts give
     # an exact lower bound on the final n*v after each batch.
     inc_parts = []
-    run_docs = np.array([], dtype=np.int64)
-    run_vocab = np.array([], dtype=np.int64)
+    # set.update of per-batch uniques is O(batch) per batch; np.union1d
+    # on the RUNNING arrays would re-sort the whole accumulated vocab
+    # (up to ~10^7 entries) on every batch — O(batches × V log V).
+    run_docs: set = set()
+    run_vocab: set = set()
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
         p = explode(b)
         if p.num_rows == 0:
             continue
         inc_parts.append(p)
-        run_docs = np.union1d(
-            run_docs, p["doc"].to_numpy(zero_copy_only=False))
-        run_vocab = np.union1d(
-            run_vocab, p["shingle"].to_numpy(zero_copy_only=False))
+        run_docs.update(
+            np.unique(p["doc"].to_numpy(zero_copy_only=False)).tolist())
+        run_vocab.update(np.unique(
+            p["shingle"].to_numpy(zero_copy_only=False)).tolist())
         if len(run_docs) * len(run_vocab) > _NGRAM_DENSE_CELLS:
             return None
     if not inc_parts:

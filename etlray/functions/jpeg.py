@@ -103,7 +103,7 @@ def _build_codes(bits, symbols) -> dict[int, tuple[int, int]]:
     return out
 
 
-_LUT_CACHE: dict[bytes, tuple[list, list]] = {}
+_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list, list]] = {}
 
 
 def _decode_lut(bits, symbols) -> tuple[list, list]:
@@ -112,7 +112,11 @@ def _decode_lut(bits, symbols) -> tuple[list, list]:
     in CPython — no numpy-scalar boxing per symbol). Cached on the
     table bytes: canonical tables repeat across every image of a
     dataset, so the build amortizes to zero per actor process."""
-    key = bytes(bits) + b"\x00" + bytes(symbols)
+    # tuple key: a flat bits+sep+syms concatenation is ambiguous for
+    # truncated DHT tables (the separator byte also occurs inside
+    # bits/syms), which could alias a malformed table onto a cached
+    # valid LUT instead of failing the decode.
+    key = (bytes(bits), bytes(symbols))
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -211,19 +215,46 @@ def _split_scan_segments(d: bytes, pos: int) -> list:
     return segments
 
 
+# entropy-decode window sizing (module-level so tests can force the
+# refill path on small streams); slack must exceed a worst-case MCU
+_SEG_WINDOW_BYTES = 1 << 20
+_SEG_SLACK_BYTES = 1 << 16
+
+
 def _decode_segment(seg, comps, n_mcus: int) -> bool:
     """Decode ``n_mcus`` MCUs from ONE unstuffed restart interval via
     the 16-bit-lookahead LUTs. The per-symbol loop is still Python, but
     each symbol costs one list index + integer shifts instead of up to
     16 method-dispatched read_bit() calls."""
     n = len(seg)
-    padded = np.empty(n + 4, dtype=np.uint32)
+    padded = np.empty(n + 4, dtype=np.uint8)
     padded[:n] = seg
     padded[n:] = 0xFF  # bounded slack: overrun → IndexError → None
-    w32 = ((padded[:-3] << 24) | (padded[1:-2] << 16)
-           | (padded[2:-1] << 8) | padded[3:]).tolist()
+
+    # The lookahead list is built per bounded WINDOW, not for the whole
+    # scan: .tolist() boxes one Python int per scan byte (~40× the scan
+    # bytes), so a restart-free multi-MB scan would cost hundreds of MB
+    # transient per image — multiplied across the decode actor pool.
+    # Refills happen at MCU boundaries only; the 64 KiB slack dwarfs a
+    # worst-case baseline MCU (≤12 blocks × ~1.7 kbit ≈ 2.5 KiB).
+    _W = _SEG_WINDOW_BYTES
+    _SLACK_BITS = (_W - _SEG_SLACK_BYTES) * 8
+
+    def _window(at: int) -> list:
+        pw = padded[at:at + _W + 4].astype(np.uint32)
+        return ((pw[:-3] << 24) | (pw[1:-2] << 16)
+                | (pw[2:-1] << 8) | pw[3:]).tolist()
+
+    base = 0
+    w32 = _window(0)
+    refill = _SLACK_BITS if n + 4 - base > _W + 4 else 1 << 62
     bp = 0
     for _m in range(n_mcus):
+        if bp >= refill:
+            base += bp >> 3
+            bp &= 7
+            w32 = _window(base)
+            refill = _SLACK_BITS if n + 4 - base > _W + 4 else 1 << 62
         for c in comps:
             dlen, dsym = c["dc"]
             alen, asym = c["ac"]
@@ -272,7 +303,7 @@ def _decode_segment(seg, comps, n_mcus: int) -> bool:
                         row[k] = v
                     k += 1
             c["pred"] = pred
-    return bp <= n * 8
+    return base * 8 + bp <= n * 8
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -335,6 +366,9 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "4:4:4",
         raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if restart_mcus and not 0 < restart_mcus <= 0xFFFF:
+        raise ValueError("restart_mcus must be in 1..65535 "
+                         "(the DRI interval is a 2-byte field)")
     h, w = pixels.shape[:2]
     ycc = _rgb_to_ycbcr(pixels)
     sub = subsampling == "4:2:0"

@@ -348,3 +348,38 @@ def test_jpeg_restart_markers_roundtrip():
             out = decode_jpeg(enc)
             assert out is not None
             assert np.array_equal(out, plain), (sub, interval)
+
+
+def test_jpeg_encode_rejects_bad_restart_interval():
+    """The DRI interval is a 2-byte field: out-of-range values must be
+    an up-front ValueError, not a struct.error after the full encode."""
+    import numpy as np
+
+    from etlray.functions.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for bad in (70000, -3):
+        with pytest.raises(ValueError, match="restart_mcus"):
+            encode_jpeg(img, restart_mcus=bad)
+
+
+def test_jpeg_windowed_entropy_decode_refill(monkeypatch):
+    """The per-window lookahead list (memory fix: no whole-scan boxed
+    int list) must decode identically when the scan spans MANY refill
+    windows. Forced by shrinking the window to 4 KiB on a noise image
+    whose restart-free scan is tens of KiB."""
+    import numpy as np
+
+    from etlray.functions import jpeg as J
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    enc = J.encode_jpeg(img)  # no restarts → ONE entropy segment
+    assert len(enc) > 16384  # scan large enough to need >1 window
+    plain = J.decode_jpeg(enc)
+    assert plain is not None
+    monkeypatch.setattr(J, "_SEG_WINDOW_BYTES", 4096)
+    monkeypatch.setattr(J, "_SEG_SLACK_BYTES", 2048)
+    out = J.decode_jpeg(enc)
+    assert out is not None
+    assert np.array_equal(out, plain)

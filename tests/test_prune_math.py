@@ -141,8 +141,7 @@ def test_attach_contents_multi_slice_interleaved(monkeypatch):
     rows have real payloads; only pruned event rows scatter)."""
     import etlray.cdc.engine as eng
 
-    monkeypatch.setattr(eng, "_ATTACH_MIN_ROWS", 3)
-    monkeypatch.setattr(eng, "_ATTACH_SLICE_BYTES", 1)  # → step == 3
+    monkeypatch.setattr(eng, "_ATTACH_SLICE_BYTES", 20)  # → multi-row slices
 
     n = 20
     # even rows carry inline content (no locator), odd rows are pruned
@@ -218,3 +217,41 @@ def test_fan_out_small_never_executes_unsized_plans(ray_session):
     out = fan_out_small(ds)
     assert out is ds            # untouched: size unknown from metadata
     assert calls["n"] == 0      # and nothing executed driver-side
+
+
+def test_attach_contents_skewed_rows_respect_byte_budget(monkeypatch):
+    """Slice boundaries must come from CUMULATIVE ACTUAL bytes: with a
+    global-mean step, a clustered run of huge rows inside one slice
+    could exceed the int32-offset limit the slicing exists to avoid.
+    Each output chunk's payload must stay <= max(budget, one row)."""
+    import etlray.cdc.engine as eng
+
+    budget = 2000
+    monkeypatch.setattr(eng, "_ATTACH_SLICE_BYTES", budget)
+
+    n = 60
+    # tiny rows everywhere, a clustered run of huge rows in the middle
+    sizes = [4] * 20 + [900] * 20 + [4] * 20
+    sf = [0 if i % 3 == 0 else None for i in range(n)]
+    rows = [i if i % 3 == 0 else None for i in range(n)]
+    orig = [None if i % 3 == 0 else "o" * sizes[i] for i in range(n)]
+    t = pa.table({
+        SRC_FILE_COL: pa.array(sf, type=pa.int32()),
+        SRC_ROW_COL: pa.array(rows, type=pa.int64()),
+        "content": pa.array(orig, type=pa.string()),
+    })
+    hit_rows = [i for i in range(n) if i % 3 == 0]
+    contents = pa.table({
+        SRC_FILE_COL: pa.array([0] * len(hit_rows), type=pa.int32()),
+        SRC_ROW_COL: pa.array(hit_rows, type=pa.int64()),
+        "content": pa.array(["f" * sizes[r] for r in hit_rows]),
+    })
+    got = eng._attach_contents(t, contents, "content")
+    want = [("f" if i % 3 == 0 else "o") * sizes[i] for i in range(n)]
+    assert got["content"].to_pylist() == want
+    col = got["content"]
+    assert col.num_chunks >= 2
+    max_row = max(sizes) * 2  # concat carries orig null + fetched value
+    for ch in col.chunks:
+        payload = sum(len(v) for v in ch.to_pylist() if v is not None)
+        assert payload <= max(budget, max_row)
