@@ -2115,6 +2115,198 @@ def grouping_sets_lineitem(sf_dir: str):
         exact_int=True).apply(ds)
 
 
+@register(
+    "moving_minmax_user_value",
+    """
+    SELECT event_id, user_id, ts, value,
+           min(value) OVER w AS value_wmin,
+           max(value) OVER w AS value_wmax
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_minmax_user_value(sf_dir: str):
+    """Bounded-frame MIN/MAX window — min/max select existing values
+    (no arithmetic), so the float64 columns are bit-equal to SQL by
+    construction; NULL values exercise the valid-count path."""
+    from etlray.stages import MovingMinMaxTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    return MovingMinMaxTransform("ts", "user_id", "value", window=4,
+                                 order_tiebreak="event_id").apply(ds)
+
+
+@register(
+    "unpivot_event_counts",
+    """
+    WITH c AS (
+      SELECT user_id, event_type AS name, count(*) AS value
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase', 'error')
+      GROUP BY user_id, event_type
+    )
+    SELECT u.user_id, t.name, coalesce(c.value, 0) AS value
+    FROM (SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('click', 'view', 'purchase', 'error')) u
+    CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('error'))
+      t(name)
+    LEFT JOIN c ON c.user_id = u.user_id AND c.name = t.name
+    """,
+)
+def unpivot_event_counts(sf_dir: str):
+    """pivot → unpivot round trip: the wide per-user count matrix
+    stacked back to long form (zero cells kept — pivot fills 0, so the
+    oracle densifies with a cross join)."""
+    from etlray.stages import PivotTransform, UnpivotTransform
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"]).read()
+    wide = PivotTransform("user_id", "event_type",
+                          values=["click", "view", "purchase",
+                                  "error"]).apply(ds)
+    return UnpivotTransform("user_id",
+                            ["click", "view", "purchase", "error"]
+                            ).apply(wide)
+
+
+@register(
+    "corr_qty_discount_by_flag",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           count(*) AS n,
+           CASE WHEN (count(*) * sum(x*x) - sum(x) * sum(x)) = 0
+                  OR (count(*) * sum(y*y) - sum(y) * sum(y)) = 0
+                THEN NULL
+                ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                     / (sqrt(CAST(count(*) * sum(x*x)
+                                  - sum(x) * sum(x) AS DOUBLE))
+                        * sqrt(CAST(count(*) * sum(y*y)
+                                    - sum(y) * sum(y) AS DOUBLE)))
+           END AS corr,
+           CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+             / CAST(count(*) * count(*) AS DOUBLE) AS covar_pop,
+           CASE WHEN (count(*) * sum(x*x) - sum(x) * sum(x)) = 0 THEN NULL
+                ELSE CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                     / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE)
+           END AS regr_slope,
+           CASE WHEN (count(*) * sum(x*x) - sum(x) * sum(x)) = 0 THEN NULL
+                ELSE (CAST(sum(y) AS DOUBLE)
+                      - (CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+                         / CAST(count(*) * sum(x*x)
+                                - sum(x) * sum(x) AS DOUBLE))
+                        * CAST(sum(x) AS DOUBLE))
+                     / CAST(count(*) AS DOUBLE)
+           END AS regr_intercept
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def corr_qty_discount_by_flag(sf_dir: str):
+    """Per-group Pearson corr + covar_pop + least-squares slope and
+    intercept from exact int64 moments — every moment stays below 2^53
+    at sf0.1 so each int→double cast is exact and the one-op-per-node
+    closed forms are bit-equal to the SQL expressions over integer
+    SUMs (see CorrStatsTransform)."""
+    from etlray.stages import CorrStatsTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_discount"]).read()
+    ds = _scale_int_cols(ds, {"l_quantity": 1.0, "l_discount": 100.0})
+    return CorrStatsTransform(["l_returnflag"], "l_quantity", "l_discount",
+                              with_regression=True).apply(ds)
+
+
+@register(
+    "date_parts_events",
+    """
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(isodow(ts) AS BIGINT) AS dow_iso,
+           date_trunc('day', ts) AS day_ts
+    FROM events
+    """,
+)
+def date_parts_events(sf_dir: str):
+    """Temporal scalar-function width — Arrow's temporal kernels
+    against DuckDB's: component extraction plus day truncation. The
+    one convention trap is day-of-week: Arrow counts Monday=0 by
+    default while SQL isodow is Monday=1 — pinned explicitly with
+    count_from_zero=False/week_start=1 rather than by adding 1."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts"]).read()
+
+    def parts(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        out = t.select(["event_id"])
+        out = out.append_column("y", pc.cast(pc.year(ts), pa.int64()))
+        out = out.append_column("m", pc.cast(pc.month(ts), pa.int64()))
+        out = out.append_column("d", pc.cast(pc.day(ts), pa.int64()))
+        out = out.append_column("h", pc.cast(pc.hour(ts), pa.int64()))
+        out = out.append_column(
+            "dow_iso",
+            pc.cast(pc.day_of_week(ts, count_from_zero=False,
+                                   week_start=1), pa.int64()))
+        return out.append_column("day_ts", pc.floor_temporal(ts,
+                                                             unit="day"))
+
+    return BatchMapTransform(parts).apply(ds)
+
+
+@register(
+    "string_funcs_docs",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 16)) AS head_upper,
+           length(text) AS text_chars,
+           replace(lang, '-', '_') AS lang_norm,
+           contains(text, 'the') AS has_the,
+           source || ':' || lang AS src_lang
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def string_funcs_docs(sf_dir: str):
+    """Scalar string-function width over Arrow's utf8 kernels —
+    character-based slicing (utf8_slice_codeunits slices codepoints,
+    matching SQL substr), unicode upper, codepoint length, literal
+    replace, substring containment and separator concat; each kernel
+    byte-equal to its DuckDB twin."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "documents",
+             columns=["doc_id", "text", "lang", "source"],
+             filter=pc.field("text").is_valid()).read()
+
+    def funcs(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        out = t.select(["doc_id"])
+        out = out.append_column(
+            "head_upper",
+            pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 16)))
+        out = out.append_column(
+            "text_chars", pc.cast(pc.utf8_length(text), pa.int64()))
+        out = out.append_column(
+            "lang_norm", pc.replace_substring(t["lang"], "-", "_"))
+        out = out.append_column("has_the", pc.match_substring(text, "the"))
+        out = out.append_column(
+            "src_lang",
+            pc.binary_join_element_wise(t["source"], t["lang"], ":"))
+        return out
+
+    return BatchMapTransform(funcs).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2152,6 +2344,11 @@ _GATE_TAIL = [
     "first_last_value_by_user",       # window family (full-frame first/last)
     "percent_rank_value_by_type",     # window family (rank stats)
     "grouping_sets_lineitem",         # rollup family: rollup in-window
+    "moving_minmax_user_value",       # window family (bounded-frame min/max)
+    "unpivot_event_counts",           # pivot family (wide→long inverse)
+    "corr_qty_discount_by_flag",      # agg family (exact-int corr/covar)
+    "string_funcs_docs",              # scalar-function width (utf8 kernels)
+    "date_parts_events",              # scalar-function width (temporal)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

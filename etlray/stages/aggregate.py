@@ -755,3 +755,123 @@ class RollupTransform(Transform):
         for extra in levels:
             out = extra if out is None else UnionTransform(extra).apply(out)
         return out if out is not None else finest
+
+
+class CorrStatsTransform(Transform):
+    """Per-group Pearson correlation + population covariance of two
+    INTEGER-VALUED columns, computed from EXACT int64 partial sums —
+    the bit-determinism companion to ``exact_int`` sums. A naive
+    streaming-float corr accumulates partials in nondeterministic
+    block order, so its low bits wobble across runs/parallelism and
+    can never hash-match a SQL oracle; here every moment (n, Σx, Σy,
+    Σxy, Σx², Σy²) is an exact integer, and the closed forms
+
+        corr      = num / (sqrt(denx) · sqrt(deny))
+        covar_pop = num / n²
+        num  = n·Σxy − Σx·Σy
+        denx = n·Σx² − (Σx)²,  deny = n·Σy² − (Σy)²
+
+    are evaluated with ONE IEEE op per node (int→double cast, sqrt,
+    mul, div — each correctly rounded in both engines), so the float64
+    output is bit-equal to a SQL oracle that writes the same
+    expression over integer SUMs. Zero-variance groups emit NULL corr
+    (mirror the SQL with a CASE, not a 0/0).
+
+    Caller contract: x/y are non-null integer-valued columns (route
+    decimals through the shared round-to-int scaling first) and every
+    intermediate — per-group n·Σx² and the like — fits int64;
+    ``multiply_checked`` raises rather than wrapping if a batch
+    violates the square/product bound. For bit-equality the moments
+    must also stay below 2^53 (exact int→double); that holds through
+    sf0.1-scale groups of small ints by orders of magnitude.
+
+    Scale shape: one vectorized product stage (map_batches), then the
+    shared partial-exchange aggregate — the shuffle carries one
+    6-moment row per (group, block) — then a driver-light finish over
+    the ≤|groups| result rows (Python-int bigint math on a handful of
+    rows, not a data-sized loop).
+
+    ``with_regression=True`` adds ``regr_slope`` (num/denx — one
+    division over exact casts) and ``regr_intercept`` (ȳ − slope·x̄,
+    evaluated as ``(Σy − slope·Σx)/n`` — mul, sub, div over already-
+    identical doubles, so still bit-equal; the all-integer single-
+    division form would push numerators past 2^53 where HUGEINT→double
+    rounding is engine-defined). Zero-variance x → NULL slope and
+    intercept, mirroring SQL regr_slope."""
+
+    def __init__(self, group_by: Sequence[str], x_col: str, y_col: str,
+                 n_col: str = "n", corr_col: str = "corr",
+                 covar_col: str = "covar_pop",
+                 with_regression: bool = False) -> None:
+        self.group_by = list(group_by)
+        self.x_col = x_col
+        self.y_col = y_col
+        self.n_col = n_col
+        self.corr_col = corr_col
+        self.covar_col = covar_col
+        self.with_regression = with_regression
+
+    def apply(self, ds):
+        gb, x, y = self.group_by, self.x_col, self.y_col
+        n_col, corr_col, covar_col = self.n_col, self.corr_col, self.covar_col
+        with_regression = self.with_regression
+        xy, x2, y2 = "__xy", "__x2", "__y2"
+
+        def prods(t: pa.Table) -> pa.Table:
+            xa = pc.cast(t[x], pa.int64())
+            ya = pc.cast(t[y], pa.int64())
+            t = t.append_column(xy, pc.multiply_checked(xa, ya))
+            t = t.append_column(x2, pc.multiply_checked(xa, xa))
+            return t.append_column(y2, pc.multiply_checked(ya, ya))
+
+        ds = ds.map_batches(prods, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        agg = AggregateTransform(
+            gb, [(x, "count"), (x, "sum"), (y, "sum"),
+                 (xy, "sum"), (x2, "sum"), (y2, "sum")],
+            exact_int=True).apply(ds)
+
+        def finish(t: pa.Table) -> pa.Table:
+            import math
+
+            n = t[f"{x}_count"].to_pylist()
+            sx = t[f"{x}_sum"].to_pylist()
+            sy = t[f"{y}_sum"].to_pylist()
+            sxy = t[f"{xy}_sum"].to_pylist()
+            sx2 = t[f"{x2}_sum"].to_pylist()
+            sy2 = t[f"{y2}_sum"].to_pylist()
+            corr, covar, slope, intercept = [], [], [], []
+            for i in range(t.num_rows):
+                num = n[i] * sxy[i] - sx[i] * sy[i]
+                denx = n[i] * sx2[i] - sx[i] * sx[i]
+                deny = n[i] * sy2[i] - sy[i] * sy[i]
+                if denx == 0 or deny == 0:
+                    corr.append(None)
+                else:
+                    corr.append(float(num)
+                                / (math.sqrt(float(denx))
+                                   * math.sqrt(float(deny))))
+                covar.append(float(num) / float(n[i] * n[i]))
+                if denx == 0:
+                    slope.append(None)
+                    intercept.append(None)
+                else:
+                    b = float(num) / float(denx)
+                    slope.append(b)
+                    intercept.append((float(sy[i]) - b * float(sx[i]))
+                                     / float(n[i]))
+            out = t.select(gb)
+            out = out.append_column(n_col, pa.array(n, type=pa.int64()))
+            out = out.append_column(corr_col,
+                                    pa.array(corr, type=pa.float64()))
+            out = out.append_column(covar_col,
+                                    pa.array(covar, type=pa.float64()))
+            if with_regression:
+                out = out.append_column(
+                    "regr_slope", pa.array(slope, type=pa.float64()))
+                out = out.append_column(
+                    "regr_intercept",
+                    pa.array(intercept, type=pa.float64()))
+            return out
+
+        return agg.map_batches(finish, batch_format="pyarrow")

@@ -678,6 +678,146 @@ class MovingAverageTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class MovingMinMaxTransform(Transform):
+    """Per-key trailing moving MIN and MAX over the last ``window``
+    rows in (ts, tie-break) order — SQL ``min(v) OVER (PARTITION BY
+    key ORDER BY ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`` (and ``max``) is the oracle. min/max SELECT an existing
+    value — no arithmetic — so float64 output is bit-equal to SQL by
+    construction (unlike sum/avg, no rounding contract needed).
+
+    Scale shape: the same single hash exchange on the partition key as
+    every per-key window stage; per bucket one vectorized sort plus
+    ``window-1`` shifted elementwise min/max folds masked at key
+    boundaries — O(n·window) in pure numpy, the right trade for the
+    small frames (≤ a few dozen rows) bounded window queries use. A
+    monotonic-deque pass would be O(n) for very large frames; swap it
+    in behind this same signature if a workload needs ROWS BETWEEN
+    10000 PRECEDING. NULL values are ignored (SQL semantics): a window
+    whose valid-count is zero emits NULL."""
+
+    def __init__(self, ts_col: str, by: str | Sequence[str],
+                 value_col: str, window: int,
+                 order_tiebreak: str | None = None) -> None:
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.ts_col = ts_col
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.window = int(window)
+        self.order_tiebreak = order_tiebreak
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        ts_col, by, vc, w = self.ts_col, self.by, self.value_col, self.window
+        tie = self.order_tiebreak
+        min_col, max_col = f"{vc}_wmin", f"{vc}_wmax"
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            if t.num_rows == 0:
+                t = t.append_column(min_col, pa.array([], type=pa.float64()))
+                return t.append_column(max_col,
+                                       pa.array([], type=pa.float64()))
+            sort_keys = [(c, "ascending") for c in by] + \
+                [(ts_col, "ascending")] + \
+                ([(tie, "ascending")] if tie else [])
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+            v = pc.cast(t[vc], pa.float64()).to_numpy(zero_copy_only=False)
+            n = len(v)
+            change = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            starts = np.flatnonzero(change)
+            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            valid = ~np.isnan(v)
+            vmin = np.where(valid, v, np.inf)
+            vmax = np.where(valid, v, -np.inf)
+            mins, maxs = vmin.copy(), vmax.copy()
+            idx = np.arange(n)
+            for s in range(1, w):
+                ok = idx - s >= key_start
+                sh_min = np.full(n, np.inf)
+                sh_max = np.full(n, -np.inf)
+                if s < n:
+                    sh_min[s:] = vmin[:-s]
+                    sh_max[s:] = vmax[:-s]
+                np.minimum(mins, np.where(ok, sh_min, np.inf), out=mins)
+                np.maximum(maxs, np.where(ok, sh_max, -np.inf), out=maxs)
+            # windows holding no valid value → NULL, detected by a
+            # windowed valid-count (an ∞ sentinel check would misread
+            # legitimate ±inf data values as empty windows)
+            cnt = np.concatenate(([0], np.cumsum(valid)))
+            lo = np.maximum(idx - w + 1, key_start)
+            empty = (cnt[idx + 1] - cnt[lo]) == 0
+            mins = np.where(empty, np.nan, mins)
+            maxs = np.where(empty, np.nan, maxs)
+            t = t.append_column(min_col, pa.array(mins, type=pa.float64(),
+                                                  from_pandas=True))
+            return t.append_column(max_col, pa.array(maxs, type=pa.float64(),
+                                                     from_pandas=True))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class UnpivotTransform(Transform):
+    """Wide→long unpivot (the inverse of PivotTransform) — SQL
+    ``UNPIVOT (value FOR name IN (c1, c2, …))`` / a stacked UNION ALL
+    is the oracle. Per batch each measure column becomes a
+    (id_cols…, name, value) slice and the slices concatenate — pure
+    per-block column rearrangement: shuffle-free, streaming, output
+    rows = input rows × len(value_cols). Measure columns are cast to
+    one common type (the first column's type unless ``value_type`` is
+    given); pass ``drop_null=True`` for SQL UNPIVOT's default
+    NULL-dropping behavior."""
+
+    def __init__(self, id_cols: str | Sequence[str],
+                 value_cols: Sequence[str], name_col: str = "name",
+                 value_col: str = "value", value_type=None,
+                 drop_null: bool = False) -> None:
+        self.id_cols = [id_cols] if isinstance(id_cols, str) \
+            else list(id_cols)
+        if not value_cols:
+            raise ValueError("value_cols must be non-empty")
+        self.value_cols = list(value_cols)
+        self.name_col = name_col
+        self.value_col = value_col
+        self.value_type = value_type
+        self.drop_null = drop_null
+
+    def apply(self, ds):
+        ids, vcs = self.id_cols, self.value_cols
+        name_col, value_col = self.name_col, self.value_col
+        vtype, drop_null = self.value_type, self.drop_null
+
+        def unpivot(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            out_vtype = vtype or t.schema.field(vcs[0]).type
+            zeros = np.zeros(t.num_rows, dtype=np.int64)
+            parts = []
+            for c in vcs:
+                vals = pc.cast(t[c], out_vtype)
+                part = t.select(ids) \
+                    .append_column(name_col,
+                                   pa.array([c]).take(zeros)) \
+                    .append_column(value_col, vals)
+                if drop_null:
+                    part = part.filter(pc.is_valid(part[value_col]))
+                parts.append(part)
+            if not parts:
+                return t.select(ids)
+            return pa.concat_tables(parts)
+
+        return ds.map_batches(unpivot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 class WindowLagTransform(Transform):
     """Per-key ordered LAG + ROW_NUMBER — SQL ``lag(v) OVER (PARTITION
     BY key ORDER BY ts, tie)`` / ``row_number() OVER (...)`` is the

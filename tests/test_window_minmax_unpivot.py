@@ -1,0 +1,109 @@
+"""MovingMinMaxTransform (bounded-frame window min/max),
+UnpivotTransform (wide→long) and CorrStatsTransform (exact-int
+corr/covar) — brute-force pandas/numpy references on small inputs;
+the DuckDB window/UNPIVOT/closed-form SQL oracles gate the same
+operators at scale (scripts/check_oracles.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from etlray.sources import MemorySource
+from etlray.stages import (
+    CorrStatsTransform,
+    MovingMinMaxTransform,
+    UnpivotTransform,
+)
+
+
+def _events():
+    # two keys, interleaved ts, one NULL value and one all-null key
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": 5.0},
+        {"id": 2, "k": "a", "t": 20, "v": 1.0},
+        {"id": 3, "k": "a", "t": 30, "v": None},
+        {"id": 4, "k": "a", "t": 40, "v": 9.0},
+        {"id": 5, "k": "a", "t": 50, "v": 2.0},
+        {"id": 6, "k": "b", "t": 10, "v": 7.0},
+        {"id": 7, "k": "b", "t": 20, "v": 3.0},
+        {"id": 8, "k": "c", "t": 10, "v": None},
+        {"id": 9, "k": "c", "t": 20, "v": None},
+    ]
+    return MemorySource(rows).read()
+
+
+def test_moving_minmax_matches_pandas_rolling(ray_session):
+    out = MovingMinMaxTransform("t", "k", "v", window=3,
+                                order_tiebreak="id").apply(_events())
+    got = {r["id"]: (r["v_wmin"], r["v_wmax"]) for r in out.take_all()}
+    import pandas as pd
+
+    df = pd.DataFrame([r for r in _events().take_all()]) \
+        .sort_values(["k", "t", "id"])
+    ref_min = df.groupby("k")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).min())
+    ref_max = df.groupby("k")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).max())
+    for rid, mn, mx in zip(df["id"], ref_min, ref_max):
+        gmn, gmx = got[rid]
+        if np.isnan(mn):
+            assert gmn is None and gmx is None
+        else:
+            assert gmn == mn and gmx == mx
+
+
+def test_moving_minmax_window_wider_than_key(ray_session):
+    # frame longer than any key's run: min/max degrade to running
+    out = MovingMinMaxTransform("t", "k", "v", window=100,
+                                order_tiebreak="id").apply(_events())
+    got = {r["id"]: (r["v_wmin"], r["v_wmax"]) for r in out.take_all()}
+    assert got[5] == (1.0, 9.0)      # whole key-a prefix
+    assert got[1] == (5.0, 5.0)      # first row sees itself only
+    assert got[7] == (3.0, 7.0)      # key b never sees key a
+    assert got[9] == (None, None)    # all-null key stays NULL
+
+
+def test_unpivot_round_trip(ray_session):
+    wide = MemorySource([
+        {"uid": 1, "click": 3, "view": 0},
+        {"uid": 2, "click": 0, "view": None},
+    ]).read()
+    out = UnpivotTransform("uid", ["click", "view"]).apply(wide)
+    got = {(r["uid"], r["name"]): r["value"] for r in out.take_all()}
+    assert got == {(1, "click"): 3, (1, "view"): 0,
+                   (2, "click"): 0, (2, "view"): None}
+    # SQL UNPIVOT default: NULL measures dropped
+    out2 = UnpivotTransform("uid", ["click", "view"],
+                            drop_null=True).apply(wide)
+    assert len(out2.take_all()) == 3
+
+
+def test_corr_stats_exact_vs_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 50, 400)
+    y = (x // 3 + rng.integers(0, 10, 400)).astype(np.int64)
+    rows = [{"g": "p" if i % 2 else "q", "x": int(a), "y": int(b)}
+            for i, (a, b) in enumerate(zip(x, y))]
+    # one zero-variance group → NULL corr, covar 0
+    rows += [{"g": "z", "x": 4, "y": int(v)} for v in (1, 2, 3)]
+    ds = MemorySource(rows).read()
+    out = {r["g"]: r for r in
+           CorrStatsTransform(["g"], "x", "y",
+                              with_regression=True).apply(ds).take_all()}
+    for g in ("p", "q"):
+        xs = np.array([r["x"] for r in rows if r["g"] == g], dtype=float)
+        ys = np.array([r["y"] for r in rows if r["g"] == g], dtype=float)
+        assert out[g]["n"] == len(xs)
+        assert math.isclose(out[g]["corr"],
+                            np.corrcoef(xs, ys)[0, 1], rel_tol=1e-12)
+        assert math.isclose(out[g]["covar_pop"],
+                            np.cov(xs, ys, bias=True)[0, 1], rel_tol=1e-12)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert math.isclose(out[g]["regr_slope"], slope, rel_tol=1e-9)
+        assert math.isclose(out[g]["regr_intercept"], intercept,
+                            rel_tol=1e-9)
+    assert out["z"]["corr"] is None
+    assert out["z"]["covar_pop"] == 0.0
+    assert out["z"]["regr_slope"] is None
+    assert out["z"]["regr_intercept"] is None
