@@ -2129,7 +2129,9 @@ def grouping_sets_lineitem(sf_dir: str):
 def moving_minmax_user_value(sf_dir: str):
     """Bounded-frame MIN/MAX window — min/max select existing values
     (no arithmetic), so the float64 columns are bit-equal to SQL by
-    construction; NULL values exercise the valid-count path."""
+    construction. events.value carries no NULLs in the generated
+    testdata, so the empty-window/NaN paths are gated by the unit
+    tests (tests/test_window_minmax_unpivot.py), not this oracle."""
     from etlray.stages import MovingMinMaxTransform
 
     ds = _pq(sf_dir, "events",
@@ -2152,16 +2154,20 @@ def moving_minmax_user_value(sf_dir: str):
           WHERE event_type IN ('click', 'view', 'purchase', 'error')) u
     CROSS JOIN (VALUES ('click'), ('view'), ('purchase'), ('error'))
       t(name)
-    LEFT JOIN c ON c.user_id = u.user_id AND c.name = t.name
+    LEFT JOIN c ON c.user_id IS NOT DISTINCT FROM u.user_id
+               AND c.name = t.name
     """,
 )
 def unpivot_event_counts(sf_dir: str):
     """pivot → unpivot round trip: the wide per-user count matrix
     stacked back to long form (zero cells kept — pivot fills 0, so the
-    oracle densifies with a cross join)."""
+    oracle densifies with a cross join; IS NOT DISTINCT FROM keeps a
+    NULL user group joinable, matching pivot's dropna=False)."""
     from etlray.stages import PivotTransform, UnpivotTransform
 
-    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"]).read()
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type"],
+             filter=pc.field("event_type").isin(
+                 ["click", "view", "purchase", "error"])).read()
     wide = PivotTransform("user_id", "event_type",
                           values=["click", "view", "purchase",
                                   "error"]).apply(ds)

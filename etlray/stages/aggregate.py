@@ -820,6 +820,16 @@ class CorrStatsTransform(Transform):
         def prods(t: pa.Table) -> pa.Table:
             xa = pc.cast(t[x], pa.int64())
             ya = pc.cast(t[y], pa.int64())
+            if isinstance(xa, pa.ChunkedArray):
+                xa = xa.combine_chunks()
+            if isinstance(ya, pa.ChunkedArray):
+                ya = ya.combine_chunks()
+            # replace x/y with their int64 casts so Σx/Σy aggregate as
+            # exact integers too — summing a float-typed (but
+            # integer-valued) source column would mix block-order-
+            # dependent float partial sums into the exact moments
+            t = t.set_column(t.column_names.index(x), x, xa)
+            t = t.set_column(t.column_names.index(y), y, ya)
             t = t.append_column(xy, pc.multiply_checked(xa, ya))
             t = t.append_column(x2, pc.multiply_checked(xa, xa))
             return t.append_column(y2, pc.multiply_checked(ya, ya))

@@ -96,6 +96,35 @@ def key_change_mask(arrays, n: int):
     return change
 
 
+def frame_sort(t: "pa.Table", by, ts_col: str, tie: str | None):
+    """Shared per-bucket frame prep for every ordered window stage:
+    drop the exchange bucket column and sort by (by…, ts, tie). One
+    definition so frame-semantics fixes don't have to be applied in
+    lockstep across the window transforms."""
+    from etlray.cdc.apply import BUCKET_COL
+
+    if BUCKET_COL in t.column_names:
+        t = t.drop_columns([BUCKET_COL])
+    sort_keys = [(c, "ascending") for c in by] + \
+        [(ts_col, "ascending")] + \
+        ([(tie, "ascending")] if tie else [])
+    return t.take(pc.sort_indices(t, sort_keys=sort_keys))
+
+
+def frame_bounds(t: "pa.Table", by, n: int, window: int):
+    """Per-row frame bounds over a frame_sort-ed table: ``key_start``
+    (index of the row's key-run start) and ``lo`` (inclusive lower
+    frame edge, ``max(i-window+1, key_start)``)."""
+    import numpy as np
+
+    change = key_change_mask(
+        [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+    starts = np.flatnonzero(change)
+    key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+    lo = np.maximum(np.arange(n) - window + 1, key_start)
+    return key_start, lo
+
+
 class Transform:
     """Base: subclasses set ``batch_size`` (None = block-native) and
     implement ``apply``."""
@@ -635,44 +664,44 @@ class MovingAverageTransform(Transform):
     def apply(self, ds):
         import numpy as np
 
-        from etlray.cdc.apply import BUCKET_COL
         from etlray.exchange import hash_exchange
 
         ts_col, by, vc, w = self.ts_col, self.by, self.value_col, self.window
         tie, out_col = self.order_tiebreak, self.out_col
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            if BUCKET_COL in t.column_names:
-                t = t.drop_columns([BUCKET_COL])
+            t = frame_sort(t, by, ts_col, tie)
             if t.num_rows == 0:
                 return t.append_column(out_col, pa.array([], type=pa.float64()))
-            sort_keys = [(c, "ascending") for c in by] + \
-                [(ts_col, "ascending")] + \
-                ([(tie, "ascending")] if tie else [])
-            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-            v = pc.cast(t[vc], pa.float64()).to_numpy(zero_copy_only=False)
-            n = len(v)
-            change = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
-            starts = np.flatnonzero(change)
-            # null-masked window sums: SQL's avg() ignores NULLs, so a
-            # NULL value must not poison its windows — average the
-            # non-null values only, and emit NULL when a window holds
-            # none (matching the oracle exactly)
-            valid = ~np.isnan(v)
-            cum = np.concatenate(([0.0], np.cumsum(np.where(valid, v, 0.0))))
+            n = t.num_rows
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            # null-masked window sums: SQL's avg() ignores NULLs (a
+            # NULL must not poison its windows; a window of no valid
+            # values emits NULL) but a real NaN VALUE is a value —
+            # sum/avg over it is NaN, exactly as the oracle computes.
+            # is_null distinguishes the two (to_numpy maps both to NaN).
+            null = pc.is_null(col).to_numpy(zero_copy_only=False)
+            nan_val = np.isnan(v) & ~null
+            valid = ~null
+            key_start, lo = frame_bounds(t, by, n, w)
+            cum = np.concatenate(
+                ([0.0], np.cumsum(np.where(valid & ~nan_val, v, 0.0))))
             cnt = np.concatenate(([0], np.cumsum(valid)))
-            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
-            lo = np.maximum(np.arange(n) - w + 1, key_start)
-            wsum = cum[np.arange(n) + 1] - cum[lo]
-            wcnt = cnt[np.arange(n) + 1] - cnt[lo]
+            ncnt = np.concatenate(([0], np.cumsum(nan_val)))
+            hi = np.arange(n) + 1
+            wsum = cum[hi] - cum[lo]
+            wcnt = cnt[hi] - cnt[lo]
+            wnan = ncnt[hi] - ncnt[lo]
             mavg = np.divide(wsum, wcnt, out=np.full(n, np.nan),
                              where=wcnt > 0)
+            mavg = np.where(wnan > 0, np.nan, mavg)
+            # explicit mask: NULL only for empty windows — a NaN result
+            # from NaN data stays NaN (from_pandas would swallow it)
             return t.append_column(
-                out_col, pa.array(mavg, type=pa.float64(),
-                                  from_pandas=True))  # NaN → NULL
+                out_col, pa.array(np.where(wcnt == 0, 0.0, mavg),
+                                  type=pa.float64(), mask=wcnt == 0))
 
         return hash_exchange(ds, by, default_exchange_buckets(),
                              reduce_bucket, bucket_col=None)
@@ -683,8 +712,10 @@ class MovingMinMaxTransform(Transform):
     rows in (ts, tie-break) order — SQL ``min(v) OVER (PARTITION BY
     key ORDER BY ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT
     ROW)`` (and ``max``) is the oracle. min/max SELECT an existing
-    value — no arithmetic — so float64 output is bit-equal to SQL by
-    construction (unlike sum/avg, no rounding contract needed).
+    value — no arithmetic — so the output is bit-equal to SQL by
+    construction (unlike sum/avg, no rounding contract needed):
+    integer value columns stay int64 end to end (no 2^53 float
+    truncation), floats stay float64.
 
     Scale shape: the same single hash exchange on the partition key as
     every per-key window stage; per bucket one vectorized sort plus
@@ -693,8 +724,14 @@ class MovingMinMaxTransform(Transform):
     small frames (≤ a few dozen rows) bounded window queries use. A
     monotonic-deque pass would be O(n) for very large frames; swap it
     in behind this same signature if a workload needs ROWS BETWEEN
-    10000 PRECEDING. NULL values are ignored (SQL semantics): a window
-    whose valid-count is zero emits NULL."""
+    10000 PRECEDING.
+
+    Null semantics match the oracle exactly: NULLs are ignored and a
+    window holding no valid value emits NULL; a real NaN VALUE
+    (distinguished from NULL via is_null — to_numpy maps both to NaN)
+    follows SQL's float total order where NaN sorts above +inf: max of
+    any window containing a NaN is NaN, min is NaN only when the
+    window's valid values are ALL NaN."""
 
     def __init__(self, ts_col: str, by: str | Sequence[str],
                  value_col: str, window: int,
@@ -710,56 +747,75 @@ class MovingMinMaxTransform(Transform):
     def apply(self, ds):
         import numpy as np
 
-        from etlray.cdc.apply import BUCKET_COL
         from etlray.exchange import hash_exchange
 
         ts_col, by, vc, w = self.ts_col, self.by, self.value_col, self.window
         tie = self.order_tiebreak
         min_col, max_col = f"{vc}_wmin", f"{vc}_wmax"
 
-        def reduce_bucket(t: pa.Table) -> pa.Table:
-            if BUCKET_COL in t.column_names:
-                t = t.drop_columns([BUCKET_COL])
-            if t.num_rows == 0:
-                t = t.append_column(min_col, pa.array([], type=pa.float64()))
-                return t.append_column(max_col,
-                                       pa.array([], type=pa.float64()))
-            sort_keys = [(c, "ascending") for c in by] + \
-                [(ts_col, "ascending")] + \
-                ([(tie, "ascending")] if tie else [])
-            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-            v = pc.cast(t[vc], pa.float64()).to_numpy(zero_copy_only=False)
-            n = len(v)
-            change = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
-            starts = np.flatnonzero(change)
-            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
-            valid = ~np.isnan(v)
-            vmin = np.where(valid, v, np.inf)
-            vmax = np.where(valid, v, -np.inf)
-            mins, maxs = vmin.copy(), vmax.copy()
+        def fold(vals, sentinel, op, n, w, key_start):
+            """window-length shifted elementwise folds of ``op`` over
+            ``vals``, frame edges masked to ``sentinel``."""
+            out = vals.copy()
             idx = np.arange(n)
             for s in range(1, w):
                 ok = idx - s >= key_start
-                sh_min = np.full(n, np.inf)
-                sh_max = np.full(n, -np.inf)
+                sh = np.full(n, sentinel, dtype=vals.dtype)
                 if s < n:
-                    sh_min[s:] = vmin[:-s]
-                    sh_max[s:] = vmax[:-s]
-                np.minimum(mins, np.where(ok, sh_min, np.inf), out=mins)
-                np.maximum(maxs, np.where(ok, sh_max, -np.inf), out=maxs)
-            # windows holding no valid value → NULL, detected by a
-            # windowed valid-count (an ∞ sentinel check would misread
-            # legitimate ±inf data values as empty windows)
-            cnt = np.concatenate(([0], np.cumsum(valid)))
-            lo = np.maximum(idx - w + 1, key_start)
-            empty = (cnt[idx + 1] - cnt[lo]) == 0
-            mins = np.where(empty, np.nan, mins)
-            maxs = np.where(empty, np.nan, maxs)
-            t = t.append_column(min_col, pa.array(mins, type=pa.float64(),
-                                                  from_pandas=True))
-            return t.append_column(max_col, pa.array(maxs, type=pa.float64(),
-                                                     from_pandas=True))
+                    sh[s:] = vals[:-s]
+                op(out, np.where(ok, sh, sentinel), out=out)
+            return out
+
+        def windowed_count(flags, n, w, lo):
+            cnt = np.concatenate(([0], np.cumsum(flags)))
+            return cnt[np.arange(n) + 1] - cnt[lo]
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            t = frame_sort(t, by, ts_col, tie)
+            is_int = pa.types.is_integer(t.schema.field(vc).type)
+            out_type = pa.int64() if is_int else pa.float64()
+            if t.num_rows == 0:
+                t = t.append_column(min_col, pa.array([], type=out_type))
+                return t.append_column(max_col, pa.array([], type=out_type))
+            n = t.num_rows
+            key_start, lo = frame_bounds(t, by, n, w)
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            null = pc.is_null(col).to_numpy(zero_copy_only=False)
+            valid = ~null
+            empty = windowed_count(valid, n, w, lo) == 0
+            if is_int:
+                # exact path: int64 end to end, iinfo sentinels
+                v = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                lo_s = np.iinfo(np.int64).min
+                hi_s = np.iinfo(np.int64).max
+                mins = fold(np.where(valid, v, hi_s), hi_s, np.minimum,
+                            n, w, key_start)
+                maxs = fold(np.where(valid, v, lo_s), lo_s, np.maximum,
+                            n, w, key_start)
+                t = t.append_column(
+                    min_col, pa.array(np.where(empty, 0, mins), mask=empty))
+                return t.append_column(
+                    max_col, pa.array(np.where(empty, 0, maxs), mask=empty))
+            v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            nan_val = np.isnan(v) & ~null  # real NaN values, not NULLs
+            vno_nan = np.where(valid & ~nan_val, v, np.inf)
+            mins = fold(vno_nan, np.inf, np.minimum, n, w, key_start)
+            maxs = fold(np.where(valid & ~nan_val, v, -np.inf), -np.inf,
+                        np.maximum, n, w, key_start)
+            wnan = windowed_count(nan_val, n, w, lo)
+            wvalid = windowed_count(valid, n, w, lo)
+            # SQL float total order: NaN > +inf — max sees any NaN,
+            # min falls to NaN only once NaNs are the only valid values
+            mins = np.where((wnan > 0) & (wnan == wvalid), np.nan, mins)
+            maxs = np.where(wnan > 0, np.nan, maxs)
+            t = t.append_column(
+                min_col, pa.array(np.where(empty, 0.0, mins),
+                                  type=pa.float64(), mask=empty))
+            return t.append_column(
+                max_col, pa.array(np.where(empty, 0.0, maxs),
+                                  type=pa.float64(), mask=empty))
 
         return hash_exchange(ds, by, default_exchange_buckets(),
                              reduce_bucket, bucket_col=None)
@@ -796,22 +852,16 @@ class UnpivotTransform(Transform):
         vtype, drop_null = self.value_type, self.drop_null
 
         def unpivot(t: pa.Table) -> pa.Table:
-            import numpy as np
-
             out_vtype = vtype or t.schema.field(vcs[0]).type
-            zeros = np.zeros(t.num_rows, dtype=np.int64)
             parts = []
-            for c in vcs:
+            for c in vcs:  # __init__ guarantees at least one
                 vals = pc.cast(t[c], out_vtype)
                 part = t.select(ids) \
-                    .append_column(name_col,
-                                   pa.array([c]).take(zeros)) \
+                    .append_column(name_col, pa.repeat(c, t.num_rows)) \
                     .append_column(value_col, vals)
                 if drop_null:
                     part = part.filter(pc.is_valid(part[value_col]))
                 parts.append(part)
-            if not parts:
-                return t.select(ids)
             return pa.concat_tables(parts)
 
         return ds.map_batches(unpivot, batch_format="pyarrow",

@@ -64,6 +64,61 @@ def test_moving_minmax_window_wider_than_key(ray_session):
     assert got[9] == (None, None)    # all-null key stays NULL
 
 
+def test_moving_minmax_integer_stays_exact_int64(ray_session):
+    big = 2**53 + 1  # would round under a float64 detour
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": big},
+        {"id": 2, "k": "a", "t": 20, "v": 3},
+        {"id": 3, "k": "a", "t": 30, "v": None},
+    ]
+    out = MovingMinMaxTransform("t", "k", "v", window=2,
+                                order_tiebreak="id") \
+        .apply(MemorySource(rows).read())
+    got = {r["id"]: (r["v_wmin"], r["v_wmax"]) for r in out.take_all()}
+    assert got[1] == (big, big)          # exact, not 2**53
+    assert got[2] == (3, big)
+    assert got[3] == (3, 3)              # NULL ignored
+    assert all(isinstance(x, int) for pair in got.values() for x in pair)
+
+
+def test_moving_minmax_nan_value_is_not_null(ray_session):
+    # SQL float total order: NaN sorts above +inf — max sees any NaN,
+    # min only when NaNs are the window's only valid values
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": 1.0},
+        {"id": 2, "k": "a", "t": 20, "v": float("nan")},
+        {"id": 3, "k": "a", "t": 30, "v": float("nan")},
+        {"id": 4, "k": "a", "t": 40, "v": None},
+    ]
+    out = MovingMinMaxTransform("t", "k", "v", window=2,
+                                order_tiebreak="id") \
+        .apply(MemorySource(rows).read())
+    got = {r["id"]: (r["v_wmin"], r["v_wmax"]) for r in out.take_all()}
+    assert got[1] == (1.0, 1.0)
+    assert got[2][0] == 1.0 and math.isnan(got[2][1])      # {1.0, NaN}
+    assert math.isnan(got[3][0]) and math.isnan(got[3][1])  # {NaN, NaN}
+    assert math.isnan(got[4][0]) and math.isnan(got[4][1])  # {NaN, NULL}
+
+
+def test_moving_average_nan_value_is_not_null(ray_session):
+    from etlray.stages import MovingAverageTransform
+
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": 2.0},
+        {"id": 2, "k": "a", "t": 20, "v": float("nan")},
+        {"id": 3, "k": "a", "t": 30, "v": None},
+        {"id": 4, "k": "a", "t": 40, "v": 6.0},
+    ]
+    out = MovingAverageTransform("t", "k", "v", window=2,
+                                 order_tiebreak="id") \
+        .apply(MemorySource(rows).read())
+    got = {r["id"]: r["v_mavg"] for r in out.take_all()}
+    assert got[1] == 2.0
+    assert math.isnan(got[2])            # avg({2.0, NaN}) = NaN
+    assert math.isnan(got[3])            # avg({NaN, NULL}) = NaN
+    assert got[4] == 6.0                 # NULL ignored, window {6.0}
+
+
 def test_unpivot_round_trip(ray_session):
     wide = MemorySource([
         {"uid": 1, "click": 3, "view": 0},
