@@ -2269,6 +2269,68 @@ def date_parts_events(sf_dir: str):
 
 
 @register(
+    "embedding_list_stats",
+    """
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS embedding_dim,
+           CAST(list_min(embedding) AS DOUBLE) AS embedding_min,
+           CAST(list_max(embedding) AS DOUBLE) AS embedding_max,
+           list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             AS embedding_sum
+    FROM embeddings
+    """,
+)
+def embedding_list_stats(sf_dir: str):
+    """Per-row list aggregates over the embedding column — segmented
+    numpy reduces over the flat child values, shuffle-free. min/max
+    are exact float32 selections widened to float64 (exact); the sum
+    accumulates in float64 on both engines (numpy's pairwise vs SQL's
+    sequential order differ below the 4-dp agreement bar)."""
+    from etlray.stages import ListStatsTransform
+
+    ds = _pq(sf_dir, "embeddings",
+             columns=["vec_id", "label", "embedding"]).read()
+    return ListStatsTransform("embedding").apply(ds)
+
+
+@register(
+    "regex_extract_docs",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, 'the ([a-z]+)', 1) AS after_the,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS digits_masked
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def regex_extract_docs(sf_dir: str):
+    """Regex scalar suite — both engines run RE2, so extraction,
+    matching and global replacement are byte-equal; the one convention
+    gap is no-match extraction (SQL returns '' where Arrow's
+    extract_regex returns a NULL struct), closed with fill_null."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=pc.field("text").is_valid()).read()
+
+    def rex(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        out = t.select(["doc_id"])
+        ex = pc.extract_regex(text, r"the (?P<w>[a-z]+)")
+        out = out.append_column(
+            "after_the", pc.fill_null(pc.struct_field(ex, "w"), ""))
+        out = out.append_column(
+            "has_digit", pc.match_substring_regex(text, "[0-9]"))
+        return out.append_column(
+            "digits_masked",
+            pc.replace_substring_regex(text, "[0-9]+", "#"))
+
+    return BatchMapTransform(rex).apply(ds)
+
+
+@register(
     "string_funcs_docs",
     """
     SELECT doc_id,
@@ -2355,6 +2417,8 @@ _GATE_TAIL = [
     "corr_qty_discount_by_flag",      # agg family (exact-int corr/covar)
     "string_funcs_docs",              # scalar-function width (utf8 kernels)
     "date_parts_events",              # scalar-function width (temporal)
+    "embedding_list_stats",           # list-column per-row aggregates
+    "regex_extract_docs",             # scalar-function width (regex)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

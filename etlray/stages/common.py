@@ -868,6 +868,74 @@ class UnpivotTransform(Transform):
                               zero_copy_batch=True)
 
 
+class ListStatsTransform(Transform):
+    """Per-row aggregates over a ``list<numeric>`` column — SQL
+    ``len(l) / list_min(l) / list_max(l) / list_sum(l)`` are the
+    oracle. Shuffle-free: one segmented numpy reduce per batch over
+    the list column's flat values (list_flatten respects slices and
+    nulls), no per-row Python. min/max are exact selections in the
+    element type then widened to float64 (float32→float64 is exact);
+    the sum accumulates in float64. Empty or NULL lists emit NULL
+    min/max/sum (and dim 0 / NULL respectively), matching SQL."""
+
+    def __init__(self, list_col: str, out_prefix: str | None = None) -> None:
+        self.list_col = list_col
+        self.out_prefix = out_prefix if out_prefix is not None else list_col
+
+    def apply(self, ds):
+        lc, prefix = self.list_col, self.out_prefix
+
+        def stats(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            col = t[lc]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            null = pc.is_null(col).to_numpy(zero_copy_only=False)
+            lens = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            n = t.num_rows
+            out = t.drop_columns([lc])
+            if n == 0 or len(flat) == 0:
+                empty_f = pa.nulls(n, type=pa.float64())
+                out = out.append_column(
+                    f"{prefix}_dim",
+                    pa.array(lens, mask=null))
+                for name in ("min", "max", "sum"):
+                    out = out.append_column(f"{prefix}_{name}", empty_f)
+                return out
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # reduceat over the NONEMPTY lists' starts only — an empty
+            # list contributes no flat elements and no boundary, so
+            # consecutive nonempty starts delimit exact segments
+            # (reduceat's empty-segment quirk — it yields the element
+            # AT a repeated index — never arises); scatter back and
+            # mask empties to NULL
+            empty = (lens == 0) | null
+            ne = ~empty
+            ne_starts = starts[ne]
+            vmin = np.zeros(n)
+            vmax = np.zeros(n)
+            vsum = np.zeros(n)
+            vmin[ne] = np.minimum.reduceat(flat, ne_starts)
+            vmax[ne] = np.maximum.reduceat(flat, ne_starts)
+            vsum[ne] = np.add.reduceat(flat, ne_starts)
+            out = out.append_column(f"{prefix}_dim",
+                                    pa.array(lens, mask=null))
+            for name, vals in (("min", vmin), ("max", vmax),
+                               ("sum", vsum)):
+                out = out.append_column(
+                    f"{prefix}_{name}",
+                    pa.array(np.where(empty, 0.0, vals),
+                             type=pa.float64(), mask=empty))
+            return out
+
+        return ds.map_batches(stats, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 class WindowLagTransform(Transform):
     """Per-key ordered LAG + ROW_NUMBER — SQL ``lag(v) OVER (PARTITION
     BY key ORDER BY ts, tie)`` / ``row_number() OVER (...)`` is the

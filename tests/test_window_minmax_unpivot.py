@@ -162,3 +162,29 @@ def test_corr_stats_exact_vs_numpy(ray_session):
     assert out["z"]["covar_pop"] == 0.0
     assert out["z"]["regr_slope"] is None
     assert out["z"]["regr_intercept"] is None
+
+
+def test_list_stats_empty_null_and_middle_empty(ray_session):
+    import pyarrow as pa
+
+    from etlray.sources import MemorySource
+    from etlray.stages import ListStatsTransform
+
+    t = pa.table({
+        "rid": [1, 2, 3, 4],
+        "v": pa.array([[1.0, 2.0], [], [3.0], None],
+                      type=pa.list_(pa.float32())),
+    })
+    ds = MemorySource(t).read()
+    out = {r["rid"]: r for r in
+           ListStatsTransform("v").apply(ds).take_all()}
+    assert out[1]["v_dim"] == 2 and out[1]["v_min"] == 1.0 \
+        and out[1]["v_max"] == 2.0 and out[1]["v_sum"] == 3.0
+    # empty list: dim 0, NULL aggregates (SQL list_min([]) IS NULL) —
+    # and the empty middle segment must NOT corrupt its neighbors
+    assert out[2]["v_dim"] == 0 and out[2]["v_min"] is None \
+        and out[2]["v_sum"] is None
+    assert out[3]["v_dim"] == 1 and out[3]["v_min"] == 3.0 \
+        and out[3]["v_sum"] == 3.0
+    # NULL list: NULL dim and aggregates (SQL len(NULL) IS NULL)
+    assert out[4]["v_dim"] is None and out[4]["v_max"] is None
