@@ -2269,6 +2269,54 @@ def date_parts_events(sf_dir: str):
 
 
 @register(
+    "event_lag2_per_user",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value, 2, -1.0) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS value_lag,
+           lead(value, 2, -1.0) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS value_lead,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def event_lag2_per_user(sf_dir: str):
+    """lag/lead with offset 2 and a non-NULL default — the general
+    SQL lag(v, k, d) form; the default applies only past partition
+    bounds (a lagged source NULL stays NULL, matching SQL)."""
+    from etlray.stages import WindowLagTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    return WindowLagTransform(
+        "ts", "user_id", "value", order_tiebreak="event_id",
+        gap_col=None, with_lead=True, lag_offset=2,
+        lag_default=-1.0).apply(ds)
+
+
+@register(
+    "ratio_to_report_value_by_user",
+    """
+    SELECT event_id, user_id, value,
+           value / sum(value) OVER (PARTITION BY user_id) AS value_ratio
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def ratio_to_report_value_by_user(sf_dir: str):
+    """Per-row share of its partition total (RATIO_TO_REPORT) — small
+    per-user partitions keep the ratios well above the 4-dp agreement
+    bar; division-by-zero partitions emit NULL, matching SQL."""
+    from etlray.stages import RatioToReportTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "value"],
+             filter=pc.field("value").is_valid()).read()
+    return RatioToReportTransform("user_id", "value",
+                                  out_col="value_ratio").apply(ds)
+
+
+@register(
     "embedding_list_stats",
     """
     SELECT vec_id, label,
@@ -2419,6 +2467,8 @@ _GATE_TAIL = [
     "date_parts_events",              # scalar-function width (temporal)
     "embedding_list_stats",           # list-column per-row aggregates
     "regex_extract_docs",             # scalar-function width (regex)
+    "event_lag2_per_user",            # window family (lag/lead offset k)
+    "ratio_to_report_value_by_user",  # window family (partition share)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -950,17 +950,21 @@ class WindowLagTransform(Transform):
     downstream); per bucket a vectorized sort + shift segmented at key
     boundaries. No per-key Python loop; output is ∝ input.
 
-    Emits ``<value>_lag`` (previous row's value, NULL at each key's
-    first row), ``rn`` (1-based row number per key) and, when
-    ``ts_col`` is a timestamp, ``gap_us`` (microseconds since the
-    previous row, NULL at first rows). ``with_lead=True`` adds
-    ``<value>_lead`` (next row's value, NULL at each key's last row —
-    SQL ``lead(v) OVER w``)."""
+    Emits ``<value>_lag`` (the value ``lag_offset`` rows back, NULL —
+    or ``lag_default`` — where the key holds fewer prior rows, exactly
+    SQL ``lag(v, k, d)``), ``rn`` (1-based row number per key) and,
+    when ``ts_col`` is a timestamp, ``gap_us`` (microseconds since the
+    previous row, NULL at first rows; always offset 1).
+    ``with_lead=True`` adds ``<value>_lead`` (the value ``lag_offset``
+    rows ahead, same default rule — SQL ``lead(v, k, d) OVER w``)."""
 
     def __init__(self, ts_col: str, by: str | Sequence[str],
                  value_col: str, order_tiebreak: str | None = None,
                  gap_col: str | None = "gap_us",
-                 rank_col: str = "rn", with_lead: bool = False) -> None:
+                 rank_col: str = "rn", with_lead: bool = False,
+                 lag_offset: int = 1, lag_default=None) -> None:
+        if lag_offset < 1:
+            raise ValueError("lag_offset must be >= 1")
         self.ts_col = ts_col
         self.by = [by] if isinstance(by, str) else list(by)
         self.value_col = value_col
@@ -968,6 +972,8 @@ class WindowLagTransform(Transform):
         self.gap_col = gap_col
         self.rank_col = rank_col
         self.with_lead = with_lead
+        self.lag_offset = int(lag_offset)
+        self.lag_default = lag_default
 
     def apply(self, ds):
         import numpy as np
@@ -981,6 +987,7 @@ class WindowLagTransform(Transform):
                                   self.rank_col)
         lag_col, with_lead = f"{vc}_lag", self.with_lead
         lead_col = f"{vc}_lead"
+        k, lag_default = self.lag_offset, self.lag_default
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
             if BUCKET_COL in t.column_names:
@@ -1002,28 +1009,28 @@ class WindowLagTransform(Transform):
             change = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             first = change  # row starts a new key
-            # lag(value): shift by one, NULL where a key starts
-            shifted = t[vc].combine_chunks().slice(0, n - 1) \
-                if n > 1 else pa.array([], type=vtype)
-            lag_arr = pa.concat_arrays(
-                [pa.array([None], type=vtype), shifted]) \
-                if n > 1 else pa.array([None], type=vtype)
-            lag_arr = pc.if_else(pa.array(first), pa.scalar(None, vtype),
-                                 lag_arr)
+            starts = np.flatnonzero(first)
+            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            pos = np.arange(n, dtype=np.int64) - key_start  # 0-based
+            fill = pa.scalar(lag_default, type=vtype)
+            # lag(value, k, d): shift by k, default where the key holds
+            # fewer than k prior rows
+            vals = t[vc].combine_chunks()
+            shifted = pa.concat_arrays(
+                [pa.nulls(min(k, n), type=vtype), vals.slice(0, n - k)]) \
+                if n > k else pa.nulls(n, type=vtype)
+            lag_arr = pc.if_else(pa.array(pos < k), fill, shifted)
             t = t.append_column(lag_col, lag_arr)
             if with_lead:
-                # lead(value): shift the other way, NULL where the NEXT
-                # row starts a new key (this row is its key's last)
-                last = np.empty(n, dtype=bool)
-                last[:-1] = first[1:]
-                last[-1] = True
-                nxt = t[vc].combine_chunks().slice(1, n - 1) \
-                    if n > 1 else pa.array([], type=vtype)
-                lead_arr = pa.concat_arrays(
-                    [nxt, pa.array([None], type=vtype)]) \
-                    if n > 1 else pa.array([None], type=vtype)
-                lead_arr = pc.if_else(pa.array(last),
-                                      pa.scalar(None, vtype), lead_arr)
+                # lead(value, k, d): shift the other way, default where
+                # the key holds fewer than k following rows
+                key_len = np.repeat(np.diff(np.append(starts, n)),
+                                    np.diff(np.append(starts, n)))
+                from_end = key_len - 1 - pos
+                nxt = pa.concat_arrays(
+                    [vals.slice(k, n - k), pa.nulls(min(k, n), type=vtype)]) \
+                    if n > k else pa.nulls(n, type=vtype)
+                lead_arr = pc.if_else(pa.array(from_end < k), fill, nxt)
                 t = t.append_column(lead_col, lead_arr)
             if gap_col and is_ts:
                 us = t[ts_col].combine_chunks().cast(pa.int64()) \
@@ -1044,10 +1051,65 @@ class WindowLagTransform(Transform):
                     gaps[1:] = us[1:] - us[:-1]
                     t = t.append_column(gap_col,
                                         pa.array(gaps, mask=first))
-            starts = np.flatnonzero(first)
-            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
-            rn = np.arange(n, dtype=np.int64) - key_start + 1
-            return t.append_column(rank_col, pa.array(rn))
+            return t.append_column(rank_col, pa.array(pos + 1))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class RatioToReportTransform(Transform):
+    """Per-row share of its partition's total — SQL ``v / sum(v) OVER
+    (PARTITION BY key)`` is the oracle (Oracle's RATIO_TO_REPORT).
+
+    Scale shape: the same single hash exchange on the partition key;
+    per bucket one sort on the key only (no ordering column — the
+    ratio is order-independent), segmented reduceat sums scattered
+    back, one vectorized divide. NULL values are excluded from the
+    partition sum and emit NULL ratios (SQL sum/NULL semantics); a
+    real NaN value poisons its partition's sum exactly as SQL's
+    does."""
+
+    def __init__(self, by: str | Sequence[str], value_col: str,
+                 out_col: str | None = None) -> None:
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.value_col = value_col
+        self.out_col = out_col or f"{value_col}_ratio"
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.exchange import hash_exchange
+
+        by, vc, out_col = self.by, self.value_col, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            from etlray.cdc.apply import BUCKET_COL
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            if t.num_rows == 0:
+                return t.append_column(out_col,
+                                       pa.array([], type=pa.float64()))
+            t = t.take(pc.sort_indices(
+                t, sort_keys=[(c, "ascending") for c in by]))
+            n = t.num_rows
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            null = pc.is_null(col).to_numpy(zero_copy_only=False)
+            change = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            starts = np.flatnonzero(change)
+            gsum = np.add.reduceat(np.where(null, 0.0, v), starts)
+            gsum = np.repeat(gsum, np.diff(np.append(starts, n)))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = v / gsum
+            # SQL double division by zero is NULL, not IEEE ±inf — a
+            # partition summing to exactly 0 emits NULL ratios
+            mask = null | (gsum == 0.0)
+            return t.append_column(
+                out_col, pa.array(np.where(mask, 0.0, ratio),
+                                  type=pa.float64(), mask=mask))
 
         return hash_exchange(ds, by, default_exchange_buckets(),
                              reduce_bucket, bucket_col=None)

@@ -188,3 +188,42 @@ def test_list_stats_empty_null_and_middle_empty(ray_session):
         and out[3]["v_sum"] == 3.0
     # NULL list: NULL dim and aggregates (SQL len(NULL) IS NULL)
     assert out[4]["v_dim"] is None and out[4]["v_max"] is None
+
+
+def test_window_lag_offset_and_default(ray_session):
+    from etlray.stages import WindowLagTransform
+
+    rows = [
+        {"id": 1, "k": "a", "t": 10, "v": 1.0},
+        {"id": 2, "k": "a", "t": 20, "v": None},  # source NULL
+        {"id": 3, "k": "a", "t": 30, "v": 3.0},
+        {"id": 4, "k": "a", "t": 40, "v": 4.0},
+        {"id": 5, "k": "b", "t": 10, "v": 5.0},   # short key: all default
+    ]
+    out = WindowLagTransform("t", "k", "v", order_tiebreak="id",
+                             gap_col=None, with_lead=True, lag_offset=2,
+                             lag_default=-1.0) \
+        .apply(MemorySource(rows).read())
+    got = {r["id"]: (r["v_lag"], r["v_lead"]) for r in out.take_all()}
+    assert got[1] == (-1.0, 3.0)      # default past bounds, lead skips 2
+    assert got[2] == (-1.0, 4.0)
+    assert got[3] == (1.0, -1.0)
+    # a lagged source NULL stays NULL — the default is bounds-only
+    assert got[4] == (None, -1.0)
+    assert got[5] == (-1.0, -1.0)     # key of 1 row: both defaulted
+
+
+def test_ratio_to_report_null_and_zero_partition(ray_session):
+    from etlray.stages import RatioToReportTransform
+
+    rows = [
+        {"k": "a", "v": 1.0}, {"k": "a", "v": 3.0}, {"k": "a", "v": None},
+        {"k": "z", "v": 2.0}, {"k": "z", "v": -2.0},  # sums to 0 → NULL
+    ]
+    out = RatioToReportTransform("k", "v").apply(
+        MemorySource(rows).read()).take_all()
+    got = sorted(((r["k"], r["v"], r["v_ratio"]) for r in out),
+                 key=lambda x: (x[0], x[1] is None,
+                                x[1] if x[1] is not None else 0.0))
+    assert got == [("a", 1.0, 0.25), ("a", 3.0, 0.75), ("a", None, None),
+                   ("z", -2.0, None), ("z", 2.0, None)]
