@@ -993,6 +993,11 @@ class WindowLagTransform(Transform):
             if BUCKET_COL in t.column_names:
                 t = t.drop_columns([BUCKET_COL])
             vtype = t.schema.field(vc).type
+            if pa.types.is_null(vtype) and lag_default is not None:
+                # an all-NULL block infers the typeless null type; a
+                # typed non-null default can't live in it — widen to
+                # the default's type (the NULL values cast losslessly)
+                vtype = pa.scalar(lag_default).type
             is_ts = pa.types.is_timestamp(t.schema.field(ts_col).type)
             if t.num_rows == 0:
                 t = t.append_column(lag_col, pa.array([], type=vtype))
@@ -1015,7 +1020,7 @@ class WindowLagTransform(Transform):
             fill = pa.scalar(lag_default, type=vtype)
             # lag(value, k, d): shift by k, default where the key holds
             # fewer than k prior rows
-            vals = t[vc].combine_chunks()
+            vals = pc.cast(t[vc].combine_chunks(), vtype)
             shifted = pa.concat_arrays(
                 [pa.nulls(min(k, n), type=vtype), vals.slice(0, n - k)]) \
                 if n > k else pa.nulls(n, type=vtype)

@@ -220,3 +220,88 @@ def test_weighted_sample_is_topk_by_key(ray_session, rows):
     want = sorted(r["id"] for r in
                   sorted(rows, key=key, reverse=True)[:5])
     assert got == want
+
+
+@st.composite
+def keyed_valued_rows(draw, keys="abc", max_rows=24):
+    n = draw(st.integers(1, max_rows))
+    ks = draw(st.lists(st.sampled_from(list(keys)), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    vs = draw(st.lists(
+        st.one_of(st.none(),
+                  st.floats(-100, 100, allow_nan=False,
+                            allow_infinity=False)),
+        min_size=n, max_size=n))
+    return [{"id": i, "k": k, "t": t, "v": v}
+            for i, (k, t, v) in enumerate(zip(ks, ts, vs))]
+
+
+@given(rows=keyed_valued_rows())
+@settings(**_SETTINGS)
+def test_moving_minmax_matches_pandas_rolling_property(ray_session, rows):
+    from etlray.stages import MovingMinMaxTransform
+
+    out = MovingMinMaxTransform("t", "k", "v", window=3,
+                                order_tiebreak="id") \
+        .apply(MemorySource(rows).read()).take_all()
+    got = {r["id"]: (r["v_wmin"], r["v_wmax"]) for r in out}
+    df = pd.DataFrame(rows).sort_values(["k", "t", "id"])
+    ref_min = df.groupby("k")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).min())
+    ref_max = df.groupby("k")["v"].transform(
+        lambda s: s.rolling(3, min_periods=1).max())
+    for rid, mn, mx in zip(df["id"], ref_min, ref_max):
+        if pd.isna(mn):
+            assert got[rid] == (None, None)
+        else:
+            assert got[rid] == (mn, mx)
+
+
+@given(rows=keyed_valued_rows())
+@settings(**_SETTINGS)
+def test_lag_offset_matches_bruteforce_property(ray_session, rows):
+    from etlray.stages import WindowLagTransform
+
+    out = WindowLagTransform("t", "k", "v", order_tiebreak="id",
+                             gap_col=None, with_lead=True, lag_offset=2,
+                             lag_default=-7.0) \
+        .apply(MemorySource(rows).read()).take_all()
+    got = {r["id"]: (r["v_lag"], r["v_lead"]) for r in out}
+    df = pd.DataFrame(rows).sort_values(["k", "t", "id"])
+    for k, g in df.groupby("k"):
+        vals = list(g["v"])
+        ids = list(g["id"])
+        for i, rid in enumerate(ids):
+            want_lag = vals[i - 2] if i >= 2 else -7.0
+            want_lead = vals[i + 2] if i + 2 < len(vals) else -7.0
+            want_lag = None if want_lag is not None and pd.isna(want_lag) \
+                else want_lag
+            want_lead = None if want_lead is not None \
+                and pd.isna(want_lead) else want_lead
+            assert got[rid] == (want_lag, want_lead), (k, rid)
+
+
+@given(rows=keyed_valued_rows())
+@settings(**_SETTINGS)
+def test_ratio_to_report_matches_pandas_property(ray_session, rows):
+    from etlray.stages import RatioToReportTransform
+
+    out = RatioToReportTransform("k", "v").apply(
+        MemorySource(rows).read()).take_all()
+    # reattach ids via (k, v) is ambiguous — compare multisets per key
+    got = {}
+    for r in out:
+        got.setdefault(r["k"], []).append(
+            None if r["v_ratio"] is None else round(r["v_ratio"], 9))
+    df = pd.DataFrame(rows)
+    want = {}
+    for k, g in df.groupby("k"):
+        s = g["v"].sum(skipna=True)
+        for v in g["v"]:
+            if pd.isna(v) or s == 0.0:
+                want.setdefault(k, []).append(None)
+            else:
+                want.setdefault(k, []).append(round(v / s, 9))
+    for k in want:
+        assert sorted(got[k], key=lambda x: (x is None, x)) == \
+            sorted(want[k], key=lambda x: (x is None, x)), k
