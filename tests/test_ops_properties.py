@@ -15,11 +15,17 @@ _SETTINGS = dict(max_examples=6, deadline=None,
 
 
 @st.composite
-def keyed_rows(draw, keys="abc", max_rows=24, vmax=50):
+def keyed_rows(draw, keys="abc", max_rows=24, vmax=50, values=None):
     n = draw(st.integers(1, max_rows))
     ks = draw(st.lists(st.sampled_from(list(keys)), min_size=n, max_size=n))
     ts = draw(st.lists(st.integers(0, vmax), min_size=n, max_size=n))
-    return [{"id": i, "k": k, "t": t} for i, (k, t) in enumerate(zip(ks, ts))]
+    rows = [{"id": i, "k": k, "t": t}
+            for i, (k, t) in enumerate(zip(ks, ts))]
+    if values is not None:  # optional value column strategy
+        vs = draw(st.lists(values, min_size=n, max_size=n))
+        for r, v in zip(rows, vs):
+            r["v"] = v
+    return rows
 
 
 @given(left=keyed_rows(), right=keyed_rows())
@@ -222,18 +228,20 @@ def test_weighted_sample_is_topk_by_key(ray_session, rows):
     assert got == want
 
 
-@st.composite
-def keyed_valued_rows(draw, keys="abc", max_rows=24):
-    n = draw(st.integers(1, max_rows))
-    ks = draw(st.lists(st.sampled_from(list(keys)), min_size=n, max_size=n))
-    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
-    vs = draw(st.lists(
-        st.one_of(st.none(),
-                  st.floats(-100, 100, allow_nan=False,
-                            allow_infinity=False)),
-        min_size=n, max_size=n))
-    return [{"id": i, "k": k, "t": t, "v": v}
-            for i, (k, t, v) in enumerate(zip(ks, ts, vs))]
+_MIXED_VALUES = st.one_of(
+    st.none(), st.floats(-100, 100, allow_nan=False, allow_infinity=False))
+# positive-only values for the ratio oracle: pandas' and reduceat's
+# float summation orders differ in the low bits, so a near-cancelling
+# partition would flip the exact-zero branch / amplify ulp noise past
+# any tolerance — sums bounded away from 0 make the comparison stable
+# (the zero-sum and NULL branches are pinned by the deterministic
+# unit test instead)
+_POSITIVE_VALUES = st.one_of(
+    st.none(), st.floats(0.5, 100, allow_nan=False, allow_infinity=False))
+
+
+def keyed_valued_rows(values=_MIXED_VALUES):
+    return keyed_rows(values=values)
 
 
 @given(rows=keyed_valued_rows())
@@ -281,7 +289,7 @@ def test_lag_offset_matches_bruteforce_property(ray_session, rows):
             assert got[rid] == (want_lag, want_lead), (k, rid)
 
 
-@given(rows=keyed_valued_rows())
+@given(rows=keyed_valued_rows(values=_POSITIVE_VALUES))
 @settings(**_SETTINGS)
 def test_ratio_to_report_matches_pandas_property(ray_session, rows):
     from etlray.stages import RatioToReportTransform
@@ -291,8 +299,7 @@ def test_ratio_to_report_matches_pandas_property(ray_session, rows):
     # reattach ids via (k, v) is ambiguous — compare multisets per key
     got = {}
     for r in out:
-        got.setdefault(r["k"], []).append(
-            None if r["v_ratio"] is None else round(r["v_ratio"], 9))
+        got.setdefault(r["k"], []).append(r["v_ratio"])
     df = pd.DataFrame(rows)
     want = {}
     for k, g in df.groupby("k"):
@@ -301,7 +308,16 @@ def test_ratio_to_report_matches_pandas_property(ray_session, rows):
             if pd.isna(v) or s == 0.0:
                 want.setdefault(k, []).append(None)
             else:
-                want.setdefault(k, []).append(round(v / s, 9))
+                want.setdefault(k, []).append(v / s)
+    import math
+
     for k in want:
-        assert sorted(got[k], key=lambda x: (x is None, x)) == \
-            sorted(want[k], key=lambda x: (x is None, x)), k
+        gs = sorted(got[k], key=lambda x: (x is None, x or 0.0))
+        ws = sorted(want[k], key=lambda x: (x is None, x or 0.0))
+        assert len(gs) == len(ws), k
+        for a, b in zip(gs, ws):
+            if b is None:
+                assert a is None, k
+            else:
+                assert a is not None and \
+                    math.isclose(a, b, rel_tol=1e-9), (k, a, b)
