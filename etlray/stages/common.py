@@ -871,12 +871,20 @@ class UnpivotTransform(Transform):
 class ListStatsTransform(Transform):
     """Per-row aggregates over a ``list<numeric>`` column — SQL
     ``len(l) / list_min(l) / list_max(l) / list_sum(l)`` are the
-    oracle. Shuffle-free: one segmented numpy reduce per batch over
-    the list column's flat values (list_flatten respects slices and
-    nulls), no per-row Python. min/max are exact selections in the
-    element type then widened to float64 (float32→float64 is exact);
-    the sum accumulates in float64. Empty or NULL lists emit NULL
-    min/max/sum (and dim 0 / NULL respectively), matching SQL."""
+    oracle. Shuffle-free: segmented numpy reduces per batch over the
+    list column's flat values (list_flatten respects slices and
+    nulls), no per-row Python.
+
+    Element semantics match DuckDB exactly (probed, 2026-08): NULL
+    elements are skipped and a list with no valid element emits NULL
+    aggregates (len counts NULLs); a real NaN element follows the
+    float total order — max and sum of any NaN-containing list are
+    NaN, min is NaN only when the valid elements are all NaN. Integer
+    element types stay exact: min/max emit int64 (the element type,
+    as SQL) and the sum accumulates in int64 — exact to ±2^63, a
+    documented narrowing of SQL's HUGEINT list_sum. Float min/max are
+    exact element selections widened to float64 (float32→float64 is
+    exact); the float sum accumulates in float64."""
 
     def __init__(self, list_col: str, out_prefix: str | None = None) -> None:
         self.list_col = list_col
@@ -891,45 +899,81 @@ class ListStatsTransform(Transform):
             col = t[lc]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            is_int = pa.types.is_integer(col.type.value_type)
+            agg_type = pa.int64() if is_int else pa.float64()
             null = pc.is_null(col).to_numpy(zero_copy_only=False)
-            lens = pc.fill_null(pc.list_value_length(col), 0) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col), 0)
+                .to_numpy(zero_copy_only=False), dtype=np.int64)
+            flat_arr = pc.list_flatten(col)
             n = t.num_rows
             out = t.drop_columns([lc])
-            if n == 0 or len(flat) == 0:
-                empty_f = pa.nulls(n, type=pa.float64())
-                out = out.append_column(
-                    f"{prefix}_dim",
-                    pa.array(lens, mask=null))
+            out = out.append_column(f"{prefix}_dim",
+                                    pa.array(lens, mask=null))
+            if n == 0 or len(flat_arr) == 0:
                 for name in ("min", "max", "sum"):
-                    out = out.append_column(f"{prefix}_{name}", empty_f)
+                    out = out.append_column(f"{prefix}_{name}",
+                                            pa.nulls(n, type=agg_type))
                 return out
+            elem_null = pc.is_null(flat_arr).to_numpy(zero_copy_only=False)
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             # reduceat over the NONEMPTY lists' starts only — an empty
             # list contributes no flat elements and no boundary, so
             # consecutive nonempty starts delimit exact segments
             # (reduceat's empty-segment quirk — it yields the element
-            # AT a repeated index — never arises); scatter back and
-            # mask empties to NULL
-            empty = (lens == 0) | null
-            ne = ~empty
-            ne_starts = starts[ne]
-            vmin = np.zeros(n)
-            vmax = np.zeros(n)
-            vsum = np.zeros(n)
-            vmin[ne] = np.minimum.reduceat(flat, ne_starts)
-            vmax[ne] = np.maximum.reduceat(flat, ne_starts)
-            vsum[ne] = np.add.reduceat(flat, ne_starts)
-            out = out.append_column(f"{prefix}_dim",
-                                    pa.array(lens, mask=null))
+            # AT a repeated index — never arises); scatter back
+            nonempty = (lens > 0) & ~null
+            ne_starts = starts[nonempty]
+
+            def seg(op, vals, dtype):
+                full = np.zeros(n, dtype=dtype)
+                full[nonempty] = op.reduceat(vals, ne_starts)
+                return full
+
+            if is_int:
+                flat = np.asarray(
+                    pc.fill_null(pc.cast(flat_arr, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False), dtype=np.int64)
+                lo_s, hi_s = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+                vmin = seg(np.minimum, np.where(elem_null, hi_s, flat),
+                           np.int64)
+                vmax = seg(np.maximum, np.where(elem_null, lo_s, flat),
+                           np.int64)
+                vsum = seg(np.add, np.where(elem_null, 0, flat), np.int64)
+                nvalid = seg(np.add,
+                             np.asarray(~elem_null, dtype=np.int64),
+                             np.int64)
+                mask = nvalid == 0  # covers empty, all-null, null lists
+                for name, vals in (("min", vmin), ("max", vmax),
+                                   ("sum", vsum)):
+                    out = out.append_column(
+                        f"{prefix}_{name}",
+                        pa.array(np.where(mask, 0, vals), mask=mask))
+                return out
+            flat = np.asarray(flat_arr.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+            nan_val = np.isnan(flat) & ~elem_null
+            dead = elem_null | nan_val
+            vmin = seg(np.minimum, np.where(dead, np.inf, flat), np.float64)
+            vmax = seg(np.maximum, np.where(dead, -np.inf, flat),
+                       np.float64)
+            vsum = seg(np.add, np.where(dead, 0.0, flat), np.float64)
+            nvalid = seg(np.add, np.asarray(~elem_null, dtype=np.int64),
+                         np.int64)
+            nnan = seg(np.add, np.asarray(nan_val, dtype=np.int64),
+                       np.int64)
+            mask = nvalid == 0
+            # DuckDB float total order (probed): max/sum see any NaN;
+            # min falls to NaN only once NaNs are the only valid values
+            vmin = np.where((nnan > 0) & (nnan == nvalid), np.nan, vmin)
+            vmax = np.where(nnan > 0, np.nan, vmax)
+            vsum = np.where(nnan > 0, np.nan, vsum)
             for name, vals in (("min", vmin), ("max", vmax),
                                ("sum", vsum)):
                 out = out.append_column(
                     f"{prefix}_{name}",
-                    pa.array(np.where(empty, 0.0, vals),
-                             type=pa.float64(), mask=empty))
+                    pa.array(np.where(mask, 0.0, vals),
+                             type=pa.float64(), mask=mask))
             return out
 
         return ds.map_batches(stats, batch_format="pyarrow",

@@ -227,3 +227,43 @@ def test_ratio_to_report_null_and_zero_partition(ray_session):
                                 x[1] if x[1] is not None else 0.0))
     assert got == [("a", 1.0, 0.25), ("a", 3.0, 0.75), ("a", None, None),
                    ("z", -2.0, None), ("z", 2.0, None)]
+
+
+def test_list_stats_element_nulls_nan_and_int_exactness(ray_session):
+    import pyarrow as pa
+
+    from etlray.sources import MemorySource
+    from etlray.stages import ListStatsTransform
+
+    # float path: element NULLs skipped; NaN follows the float total
+    # order (max/sum poisoned, min only when NaNs are all that's valid)
+    tf = pa.table({
+        "rid": [1, 2, 3],
+        "v": pa.array([[1.0, None], [1.0, float("nan")],
+                       [float("nan"), None]],
+                      type=pa.list_(pa.float64())),
+    })
+    out = {r["rid"]: r for r in ListStatsTransform("v").apply(
+        MemorySource(tf).read()).take_all()}
+    assert (out[1]["v_min"], out[1]["v_max"], out[1]["v_sum"]) == \
+        (1.0, 1.0, 1.0)
+    assert out[2]["v_min"] == 1.0 and math.isnan(out[2]["v_max"]) \
+        and math.isnan(out[2]["v_sum"])
+    assert math.isnan(out[3]["v_min"]) and math.isnan(out[3]["v_sum"])
+    assert out[3]["v_dim"] == 2
+
+    # int path: exact beyond 2^53, element type preserved, all-null
+    # list -> NULL aggregates
+    big = 2**53 + 1
+    ti = pa.table({
+        "rid": [1, 2],
+        "v": pa.array([[big, 1, None], [None, None]],
+                      type=pa.list_(pa.int64())),
+    })
+    out = {r["rid"]: r for r in ListStatsTransform("v").apply(
+        MemorySource(ti).read()).take_all()}
+    assert out[1]["v_sum"] == big + 1          # not 2^53 + 2 - 1 rounded
+    assert out[1]["v_min"] == 1 and out[1]["v_max"] == big
+    assert isinstance(out[1]["v_sum"], int)
+    assert out[2]["v_min"] is None and out[2]["v_sum"] is None \
+        and out[2]["v_dim"] == 2
