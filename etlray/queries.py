@@ -2424,6 +2424,153 @@ def string_funcs_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 width: NTH_VALUE, arg_max, conditional aggregates (the SQL
+# FILTER clause as indicator columns), semi/anti joins.
+# ---------------------------------------------------------------------------
+@register(
+    "nth_value_event_per_user",
+    """
+    SELECT event_id, user_id, value,
+           nth_value(value, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_value
+    FROM events
+    """,
+)
+def nth_value_event_per_user(sf_dir: str):
+    """Full-frame NTH_VALUE(v, 2): every row carries its user's
+    second-earliest value (NULL for single-event users). Unique
+    (ts, event_id) ordering makes the pick deterministic on both
+    engines; NULL values are not skipped, matching SQL's default."""
+    from etlray.stages import NthValueTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"]).read()
+    ds = NthValueTransform("user_id", "ts", "value", n=2,
+                           tiebreak="event_id",
+                           out_col="second_value").apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "user_id", "value", "second_value"]).apply(ds)
+
+
+@register(
+    "argmax_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+    """,
+)
+def argmax_event_per_user(sf_dir: str):
+    """ARG_MAX / max_by: each user's single highest-value event row,
+    ties broken by event_id ascending — the deterministic form QUALIFY
+    row_number()=1 spells exactly. NULL-value rows never win and
+    all-NULL users are absent (the transform's documented QUALIFY
+    reading; the oracle's WHERE makes SQL agree). Partial-combine:
+    each batch keeps at most one row per user before the exchange."""
+    from etlray.stages import ArgMinMaxTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "value"]).read()
+    return ArgMinMaxTransform("user_id", "value",
+                              tiebreak="event_id", mode="max").apply(ds)
+
+
+@register(
+    "conditional_agg_events",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE value > 100) AS n_big,
+           COALESCE(sum(value) FILTER (WHERE value > 100), 0.0)
+               AS sum_big
+    FROM events GROUP BY event_type
+    """,
+)
+def conditional_agg_events(sf_dir: str):
+    """SQL FILTER-clause aggregates as indicator columns: count FILTER
+    is the sum of a 0/1 indicator (NULL predicate -> 0, matching
+    FILTER's exclusion) and sum FILTER is the sum of the masked value
+    with 0 elsewhere (matching the oracle's COALESCE(.., 0.0) — the
+    engine's Sum-empty->0.0 reference semantics). One computed-column
+    pass then the ordinary partial-combine aggregate; no extra
+    shuffle beyond the groups-sized one."""
+    from etlray.stages import AggregateTransform, BatchMapTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+
+    def prep(t: pa.Table) -> pa.Table:
+        big = pc.fill_null(pc.greater(t["value"], 100.0), False)
+        out = t.select(["event_type"])
+        out = out.append_column("big", pc.cast(big, pa.int64()))
+        return out.append_column(
+            "big_value",
+            pc.if_else(big, pc.fill_null(t["value"], 0.0), 0.0))
+
+    ds = BatchMapTransform(prep).apply(ds)
+    ds = AggregateTransform(
+        ["event_type"],
+        [("event_type", "count"), ("big", "sum"), ("big_value", "sum")],
+        exact_int=True,
+    ).apply(ds)
+    return RenameColumnsTransform({
+        "event_type_count": "n_events", "big_sum": "n_big",
+        "big_value_sum": "sum_big"}).apply(ds)
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(sf_dir: str):
+    """LEFT SEMI join (SQL EXISTS): customers with at least one order,
+    left columns only, no duplication however many orders match. The
+    partitioned hash join's semi mode — the right side ships only its
+    join key through the exchange."""
+    from etlray.stages import PartitionedHashJoinTransform
+
+    cust = _pq(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_acctbal"]).read()
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"]).read()
+    return PartitionedHashJoinTransform(
+        orders, on="c_custkey", right_on="o_custkey",
+        how="left_semi").apply(cust)
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+    """,
+)
+def join_anti_customers_without_orders(sf_dir: str):
+    """LEFT ANTI join (SQL NOT EXISTS): customers with no big-ticket
+    order (the o_totalprice floor keeps the result non-vacuous at
+    every test scale — an unfiltered NOT EXISTS is empty at sf0.001).
+    Same exchange shape as the semi join, right side pre-filtered at
+    the scan; NULL keys on the left survive, matching NOT EXISTS."""
+    from etlray.stages import PartitionedHashJoinTransform
+
+    cust = _pq(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_acctbal"]).read()
+    orders = _pq(sf_dir, "orders", columns=["o_custkey"],
+                 filter=pc.field("o_totalprice") > 450000).read()
+    return PartitionedHashJoinTransform(
+        orders, on="c_custkey", right_on="o_custkey",
+        how="left_anti").apply(cust)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()``; a
@@ -2469,6 +2616,11 @@ _GATE_TAIL = [
     "regex_extract_docs",             # scalar-function width (regex)
     "event_lag2_per_user",            # window family (lag/lead offset k)
     "ratio_to_report_value_by_user",  # window family (partition share)
+    "nth_value_event_per_user",       # window family (full-frame nth)
+    "argmax_event_per_user",          # agg family (max_by / arg_max)
+    "conditional_agg_events",         # agg family (FILTER-clause form)
+    "join_semi_customers_with_orders",   # join family (EXISTS)
+    "join_anti_customers_without_orders",  # join family (NOT EXISTS)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -1362,6 +1362,145 @@ class FirstLastValueTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class NthValueTransform(Transform):
+    """Per-key NTH_VALUE over the FULL partition — SQL ``nth_value(v,
+    n) OVER (PARTITION BY key ORDER BY o [, tiebreak] ROWS BETWEEN
+    UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``: every row carries
+    the value at 1-based ordered position ``n`` of its partition, NULL
+    when the partition has fewer than ``n`` rows. NULL values are NOT
+    skipped (no IGNORE NULLS), matching SQL's default. Negative ``n``
+    counts from the partition end (-1 = last row) — an extension SQL
+    would spell as nth_value over the reversed order.
+
+    Scale shape: the shared single key exchange
+    (``default_exchange_buckets`` reduce width); per bucket one sort +
+    change mask, then ONE arrow ``take`` whose index array carries
+    NULLs for too-short partitions (Arrow take propagates a null index
+    to a null output) — value types (strings, timestamps, decimals)
+    pass through untouched, no numpy round trip."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, n: int,
+                 tiebreak: str | None = None,
+                 out_col: str = "nth_value") -> None:
+        if n == 0:
+            raise TransformError("nth_value position n is 1-based; "
+                                 "n=0 is meaningless (negative counts "
+                                 "from the end)")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.n = n
+        self.tiebreak = tiebreak
+        self.out_col = out_col
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.order_col, self.value_col
+        nth, tie, out = self.n, self.tiebreak, self.out_col
+        _s = ds.schema()
+        vtype = dict(zip(_s.names, _s.types)).get(vc)
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            n_rows = t.num_rows
+            if n_rows == 0:
+                return t.append_column(out, pa.array([], type=vtype))
+            local = t.schema.field(vc).type
+            if vtype is not None and not pa.types.is_null(vtype) \
+                    and local != vtype:
+                t = t.set_column(t.column_names.index(vc), vc,
+                                 t[vc].cast(vtype))
+            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
+            if tie:
+                keys.append((tie, "ascending"))
+            t = t.take(pc.sort_indices(t, sort_keys=keys))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by],
+                n_rows)
+            starts = np.flatnonzero(kc)
+            sizes = np.diff(np.append(starts, n_rows))
+            key_idx = np.repeat(np.arange(len(starts)), sizes)
+            if nth > 0:
+                idx = starts[key_idx] + (nth - 1)
+                short = sizes[key_idx] < nth
+            else:
+                idx = starts[key_idx] + sizes[key_idx] + nth
+                short = sizes[key_idx] < -nth
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            return t.append_column(
+                out, col.take(pa.array(np.where(short, 0, idx),
+                                       mask=short)))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
+class ArgMinMaxTransform(Transform):
+    """Per-group ARG_MAX / ARG_MIN (SQL max_by/min_by): ONE output row
+    per group — the input row whose ``order_col`` is the group's max
+    (``mode="max"``) or min (``"min"``), ties broken by the REQUIRED
+    ``tiebreak`` column ascending so the winner is deterministic and
+    an exact SQL oracle exists (``QUALIFY row_number() OVER (PARTITION
+    BY g ORDER BY o DESC, tie ASC) = 1``). All non-key columns of the
+    winning row are carried through untouched. Rows whose
+    ``order_col`` is NULL never win, and a group containing ONLY
+    NULL-order rows is absent from the output (the QUALIFY/window
+    reading; SQL's aggregate ``arg_max`` would emit a NULL row for it
+    — pre-filter with ``WHERE o IS NOT NULL`` in the oracle).
+
+    Scale shape: partial-combine — each batch keeps at most one row
+    per group (one sort + change mask + take) BEFORE the exchange, so
+    the shuffle carries ~|groups| rows per block regardless of input
+    size, and each reduce bucket replays the same selection on the
+    concatenated partials (the selection is associative: the best of
+    per-batch bests is the global best)."""
+
+    def __init__(self, group_by: str | Sequence[str], order_col: str,
+                 tiebreak: str, mode: str = "max") -> None:
+        if mode not in ("max", "min"):
+            raise TransformError(f"mode must be 'max' or 'min', not {mode!r}")
+        self.group_by = [group_by] if isinstance(group_by, str) \
+            else list(group_by)
+        self.order_col = order_col
+        self.tiebreak = tiebreak
+        self.mode = mode
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        gb, oc, tie = self.group_by, self.order_col, self.tiebreak
+        direction = "descending" if self.mode == "max" else "ascending"
+
+        def best_rows(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            t = t.filter(pc.is_valid(t[oc]))
+            n = t.num_rows
+            if n == 0:
+                return t
+            keys = [(c, "ascending") for c in gb] + \
+                [(oc, direction), (tie, "ascending")]
+            t = t.take(pc.sort_indices(t, sort_keys=keys))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in gb], n)
+            return t.take(pa.array(np.flatnonzero(kc)))
+
+        pre = ds.map_batches(best_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        return hash_exchange(pre, gb, default_exchange_buckets(),
+                             best_rows, bucket_col=None)
+
+
 class RankStatsTransform(Transform):
     """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
     ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =
