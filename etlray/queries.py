@@ -2570,6 +2570,70 @@ def join_anti_customers_without_orders(sf_dir: str):
         how="left_anti").apply(cust)
 
 
+@register(
+    "array_agg_events_per_user",
+    """
+    SELECT user_id,
+           array_to_string(list(event_id ORDER BY ts, event_id), ',')
+               AS event_ids
+    FROM events GROUP BY user_id
+    """,
+)
+def array_agg_events_per_user(sf_dir: str):
+    """Ordered per-group ARRAY_AGG: each user's event_ids as a real
+    ``list<int64>`` column in (ts, event_id) order, then joined to a
+    comma string — integer formatting is engine-identical, so the
+    string form is the hashable oracle surface for a nested result
+    (the list itself is pytest-gated). One sort + one
+    LargeListArray.from_arrays per bucket, no per-row Python."""
+    from etlray.stages import ArrayAggTransform, BatchMapTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "ts", "user_id"]).read()
+    ds = ArrayAggTransform("user_id", "event_id", order_col="ts",
+                           tiebreak="event_id",
+                           out_col="event_ids").apply(ds)
+
+    def stringify(t: pa.Table) -> pa.Table:
+        lst = t["event_ids"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        joined = pc.binary_join(
+            pc.cast(lst, pa.large_list(pa.string())), ",")
+        return t.set_column(t.column_names.index("event_ids"),
+                            "event_ids", joined)
+
+    return BatchMapTransform(stringify).apply(ds)
+
+
+@register(
+    "range_window_sum_user_value",
+    """
+    SELECT event_id, user_id, ts, value,
+           sum(value) OVER w AS sum_1h,
+           count(value) OVER w AS cnt_1h
+    FROM events WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def range_window_sum_user_value(sf_dir: str):
+    """Sliding time-RANGE window: per row, the sum/count of the same
+    user's values in the trailing hour (peers included, SQL RANGE
+    semantics; all-NULL windows emit NULL sum). The tumbling
+    windowed_agg's sliding sibling — two vectorized searchsorted
+    bounds + prefix-sum differences per bucket."""
+    from etlray.stages import RangeWindowAggTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"],
+             filter=pc.field("ts").is_valid()).read()
+    return RangeWindowAggTransform(
+        "user_id", "ts", "value", preceding=3_600_000_000,
+        out_sum="sum_1h", out_count="cnt_1h").apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2621,6 +2685,8 @@ _GATE_TAIL = [
     "conditional_agg_events",         # agg family (FILTER-clause form)
     "join_semi_customers_with_orders",   # join family (EXISTS)
     "join_anti_customers_without_orders",  # join family (NOT EXISTS)
+    "array_agg_events_per_user",      # agg family (nested list output)
+    "range_window_sum_user_value",    # window family (sliding RANGE)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",
