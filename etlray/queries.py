@@ -2634,6 +2634,39 @@ def range_window_sum_user_value(sf_dir: str):
         out_sum="sum_1h", out_count="cnt_1h").apply(ds)
 
 
+@register(
+    "gapfill_hourly_user_events",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS ts_bucket,
+             count(*) AS n_rows, sum(value) AS value_sum
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT user_id, min(ts_bucket) AS mn, max(ts_bucket) AS mx
+          FROM b GROUP BY 1),
+    g AS (SELECT r.user_id,
+                 unnest(generate_series(r.mn, r.mx, INTERVAL 1 HOUR))
+                     AS ts_bucket
+          FROM r)
+    SELECT g.user_id, g.ts_bucket,
+           COALESCE(b.n_rows, 0) AS n_rows, b.value_sum
+    FROM g LEFT JOIN b USING (user_id, ts_bucket)
+    """,
+)
+def gapfill_hourly_user_events(sf_dir: str):
+    """Sparse→dense time series: every hour bucket between each
+    user's first and last event, count 0 / NULL sum for the silent
+    hours (and NULL sum for present-but-all-NULL buckets, SQL
+    sum-of-nothing). One exchange keyed on user only — the per-bucket
+    aggregate and the repeat/arange densify ride the same shuffle."""
+    from etlray.stages import GapFillAggTransform
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"],
+             filter=pc.field("ts").is_valid()).read()
+    return GapFillAggTransform(
+        "user_id", "ts", stride=3_600_000_000, value_col="value",
+        out_sum="value_sum").apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2687,6 +2720,7 @@ _GATE_TAIL = [
     "join_anti_customers_without_orders",  # join family (NOT EXISTS)
     "array_agg_events_per_user",      # agg family (nested list output)
     "range_window_sum_user_value",    # window family (sliding RANGE)
+    "gapfill_hourly_user_events",     # time-series densification
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -1680,6 +1680,141 @@ class RangeWindowAggTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class GapFillAggTransform(Transform):
+    """Sparse→dense time-series densification: bucket each key's rows
+    to ``stride``-wide bins of ``time_col`` (floor division, =
+    ``date_trunc`` for positive epochs), aggregate count + sum of
+    ``value_col`` per (key, bucket), and EMIT A ROW FOR EVERY bucket
+    between the key's min and max — gaps get count 0 / NULL sum, a
+    present bucket whose values are all NULL gets its count and a
+    NULL sum (SQL sum-of-nothing). The oracle shape is DuckDB's
+    ``generate_series`` per key LEFT JOINed to the grouped aggregate.
+
+    Scale shape: ONE exchange keyed on ``by`` (not (key, bucket) — the
+    densify needs a whole key in one reduce anyway, so the aggregate
+    rides the same shuffle); per bucket one sort + change masks, then
+    the dense grid is built with repeat/arange and the sparse
+    aggregates scattered into it — no per-row or per-bucket Python.
+    ``max_buckets`` guards the grid explosion a single key spanning an
+    enormous time range would cause (raise, don't OOM — densifying a
+    years-wide key at second stride is a pipeline bug, not a need)."""
+
+    def __init__(self, by: str | Sequence[str], time_col: str,
+                 stride: int, value_col: str,
+                 out_bucket: str | None = None,
+                 out_count: str = "n_rows",
+                 out_sum: str | None = None,
+                 max_buckets: int = 50_000_000) -> None:
+        if stride <= 0:
+            raise TransformError("stride must be a positive integer")
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.time_col = time_col
+        self.stride = int(stride)
+        self.value_col = value_col
+        self.out_bucket = out_bucket or f"{time_col}_bucket"
+        self.out_count = out_count
+        self.out_sum = out_sum or f"{value_col}_sum"
+        self.max_buckets = max_buckets
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.cdc.apply import BUCKET_COL
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.time_col, self.value_col
+        stride, ob = self.stride, self.out_bucket
+        ocnt, osum, maxb = self.out_count, self.out_sum, self.max_buckets
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            otype = t.schema.field(oc).type
+            is_ts = pa.types.is_timestamp(otype)
+            if t.num_rows == 0:
+                cols = {c: pa.array([], type=t.schema.field(c).type)
+                        for c in by}
+                cols[ob] = pa.array([], type=otype)
+                cols[ocnt] = pa.array([], type=pa.int64())
+                cols[osum] = pa.array([], type=pa.float64())
+                return pa.table(cols)
+            if pc.any(pc.is_null(t[oc])).as_py():
+                raise TransformError(
+                    f"GapFillAgg time column {oc!r} has NULLs — "
+                    "pre-filter them")
+            order_arr = t[oc].combine_chunks() \
+                if isinstance(t[oc], pa.ChunkedArray) else t[oc]
+            order = order_arr.cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False) if is_ts else np.asarray(
+                order_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+            bucket = (order // stride) * stride
+            t2 = t.append_column("__b", pa.array(bucket))
+            t2 = t2.take(pc.sort_indices(
+                t2, sort_keys=[(c, "ascending") for c in by] +
+                [("__b", "ascending")]))
+            n = t2.num_rows
+            key_arrays = [t2[c].to_numpy(zero_copy_only=False)
+                          for c in by]
+            bsorted = t2["__b"].to_numpy(zero_copy_only=False)
+            kc = key_change_mask(key_arrays, n)           # per-key runs
+            sc = key_change_mask(key_arrays + [bsorted], n)  # per-seg
+            key_starts = np.flatnonzero(kc)
+            key_sizes = np.diff(np.append(key_starts, n))
+            seg_starts = np.flatnonzero(sc)
+            seg_sizes = np.diff(np.append(seg_starts, n))
+            # which key each segment belongs to
+            seg_key = np.searchsorted(key_starts, seg_starts,
+                                      side="right") - 1
+            seg_bucket = bsorted[seg_starts]
+            vals_arr = t2[vc]
+            valid = pc.is_valid(vals_arr).to_numpy(zero_copy_only=False)
+            vals = np.where(valid, np.asarray(
+                pc.fill_null(pc.cast(vals_arr, pa.float64()), 0.0)
+                .to_numpy(zero_copy_only=False), dtype=np.float64), 0.0)
+
+            def seg_reduce(arr, dtype):
+                out = np.add.reduceat(arr, seg_starts)
+                return out.astype(dtype, copy=False)
+
+            seg_cnt = seg_sizes
+            seg_nvalid = seg_reduce(valid.astype(np.int64), np.int64)
+            seg_sum = seg_reduce(vals, np.float64)
+            # dense grid per key
+            key_last = key_starts + key_sizes - 1
+            mn = bsorted[key_starts]
+            mx = bsorted[key_last]
+            m = (mx - mn) // stride + 1
+            total = int(m.sum())
+            if total > maxb:
+                raise TransformError(
+                    f"GapFillAgg would emit {total} bucket rows in one "
+                    f"reduce (> max_buckets={maxb}); widen the stride "
+                    "or narrow the time range")
+            grid_starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+            key_full = np.repeat(np.arange(len(key_starts)), m)
+            within = np.arange(total) - grid_starts[key_full]
+            bucket_full = mn[key_full] + within * stride
+            pos = grid_starts[seg_key] + \
+                (seg_bucket - mn[seg_key]) // stride
+            cnt_full = np.zeros(total, dtype=np.int64)
+            cnt_full[pos] = seg_cnt
+            sum_full = np.zeros(total, dtype=np.float64)
+            sum_full[pos] = seg_sum
+            nv_full = np.zeros(total, dtype=np.int64)
+            nv_full[pos] = seg_nvalid
+            keys_tbl = t2.select(by).take(pa.array(key_starts))
+            cols = {c: keys_tbl[c].take(pa.array(key_full)) for c in by}
+            barr = pa.array(bucket_full)
+            cols[ob] = barr.cast(otype) if is_ts else barr
+            cols[ocnt] = pa.array(cnt_full)
+            cols[osum] = pa.array(np.where(nv_full == 0, 0.0, sum_full),
+                                  mask=nv_full == 0)
+            return pa.table(cols)
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class RankStatsTransform(Transform):
     """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
     ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =
