@@ -2667,6 +2667,69 @@ def gapfill_hourly_user_events(sf_dir: str):
         out_sum="value_sum").apply(ds)
 
 
+@register(
+    "stddev_value_by_type",
+    """
+    SELECT event_type,
+           var_pop(value) AS var_pop,
+           var_samp(value) AS var_samp,
+           stddev_samp(value) AS stddev_samp
+    FROM events GROUP BY event_type
+    """,
+)
+def stddev_value_by_type(sf_dir: str):
+    """Per-group variance / stddev from float64 moments (n, Σx, Σx²)
+    — the moments ride the ordinary partial-combine aggregate (one
+    indicator-summed row per (group, block)), the closed forms run
+    once per group. DuckDB evaluates Welford-style; both land ~1e-10
+    relative on this data, far inside the 4-dp agreement bar. n=1
+    groups emit var_pop 0 and NULL samp forms; negative rounding
+    residue is clamped before the sqrt."""
+    from etlray.stages import AggregateTransform, BatchMapTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+
+    def prep(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t["value"])
+        v = pc.fill_null(t["value"], 0.0)
+        out = t.select(["event_type"])
+        out = out.append_column("nv", pc.cast(valid, pa.int64()))
+        out = out.append_column("s1", v)
+        return out.append_column("s2", pc.multiply(v, v))
+
+    ds = BatchMapTransform(prep).apply(ds)
+    ds = AggregateTransform(
+        ["event_type"],
+        [("nv", "sum"), ("s1", "sum"), ("s2", "sum")],
+        exact_int=True,
+    ).apply(ds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = np.asarray(t["nv_sum"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        s1 = t["s1_sum"].to_numpy(zero_copy_only=False)
+        s2 = t["s2_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / n
+            vpop = np.maximum(s2 / n - mean * mean, 0.0)
+            vsamp = np.maximum((s2 - n * mean * mean), 0.0) / (n - 1)
+        out = t.select(["event_type"])
+        out = out.append_column(
+            "var_pop", pa.array(np.where(n == 0, 0.0, vpop),
+                                mask=n == 0))
+        m1 = n <= 1
+        out = out.append_column(
+            "var_samp", pa.array(np.where(m1, 0.0, vsamp), mask=m1))
+        return out.append_column(
+            "stddev_samp",
+            pa.array(np.where(m1, 0.0, np.sqrt(np.maximum(vsamp, 0.0))),
+                     mask=m1))
+
+    return BatchMapTransform(finish).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2721,6 +2784,7 @@ _GATE_TAIL = [
     "array_agg_events_per_user",      # agg family (nested list output)
     "range_window_sum_user_value",    # window family (sliding RANGE)
     "gapfill_hourly_user_events",     # time-series densification
+    "stddev_value_by_type",           # agg family (variance closed forms)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",
