@@ -1630,13 +1630,19 @@ class RangeWindowAggTransform(Transform):
             order_arr = t[oc].combine_chunks() \
                 if isinstance(t[oc], pa.ChunkedArray) else t[oc]
             otype = order_arr.type
-            if pa.types.is_timestamp(otype) or pa.types.is_temporal(otype):
+            if pa.types.is_temporal(otype):
                 order = order_arr.cast(pa.int64()) \
                     .to_numpy(zero_copy_only=False)
-            else:
+            elif pa.types.is_integer(otype):
                 order = np.asarray(
                     order_arr.to_numpy(zero_copy_only=False),
                     dtype=np.int64)
+            else:
+                # np.asarray(int64) would silently TRUNCATE floats —
+                # an integer `preceding` has no honest meaning there
+                raise TransformError(
+                    f"RangeWindowAgg order column {oc!r} must be "
+                    f"integer or temporal, not {otype}")
             kc = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             starts = np.flatnonzero(kc)
@@ -1744,9 +1750,22 @@ class GapFillAggTransform(Transform):
                     "pre-filter them")
             order_arr = t[oc].combine_chunks() \
                 if isinstance(t[oc], pa.ChunkedArray) else t[oc]
-            order = order_arr.cast(pa.int64()) \
-                .to_numpy(zero_copy_only=False) if is_ts else np.asarray(
-                order_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+            if is_ts:
+                order = order_arr.cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+            elif pa.types.is_integer(otype):
+                order = np.asarray(
+                    order_arr.to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+            else:
+                # np.asarray(int64) would silently TRUNCATE floats
+                # (toward zero, not floor — wrong bucketing for
+                # negatives), and non-timestamp temporals couldn't
+                # round-trip back through the int64 grid; cast
+                # upstream instead
+                raise TransformError(
+                    f"GapFillAgg time column {oc!r} must be integer "
+                    f"or timestamp, not {otype}")
             bucket = (order // stride) * stride
             t2 = t.append_column("__b", pa.array(bucket))
             t2 = t2.take(pc.sort_indices(

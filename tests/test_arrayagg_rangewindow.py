@@ -85,6 +85,20 @@ def test_range_window_overflow_fallback_matches(ray_session):
     assert (out[3]["range_sum"], out[4]["range_sum"]) == (3.0, 7.0)
 
 
+def test_range_window_and_gapfill_reject_float_order(ray_session):
+    # np.asarray(int64) would silently truncate a float order column;
+    # both operators must refuse instead
+    from etlray.stages import GapFillAggTransform
+
+    t = pa.table({"k": ["a", "a"], "t": [1.5, 2.5], "v": [1.0, 2.0]})
+    with pytest.raises(Exception, match="integer or temporal"):
+        RangeWindowAggTransform("k", "t", "v", preceding=1).apply(
+            MemorySource(t).read()).take_all()
+    with pytest.raises(Exception, match="integer or timestamp"):
+        GapFillAggTransform("k", "t", stride=1, value_col="v").apply(
+            MemorySource(t).read()).take_all()
+
+
 def test_range_window_rejects_null_order(ray_session):
     import ray.exceptions
 
