@@ -1397,7 +1397,6 @@ class NthValueTransform(Transform):
     def apply(self, ds):
         import numpy as np
 
-        from etlray.cdc.apply import BUCKET_COL
         from etlray.exchange import hash_exchange
 
         by, oc, vc = self.by, self.order_col, self.value_col
@@ -1406,8 +1405,7 @@ class NthValueTransform(Transform):
         vtype = dict(zip(_s.names, _s.types)).get(vc)
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
-            if BUCKET_COL in t.column_names:
-                t = t.drop_columns([BUCKET_COL])
+            t = frame_sort(t, by, oc, tie)
             n_rows = t.num_rows
             if n_rows == 0:
                 return t.append_column(out, pa.array([], type=vtype))
@@ -1416,10 +1414,6 @@ class NthValueTransform(Transform):
                     and local != vtype:
                 t = t.set_column(t.column_names.index(vc), vc,
                                  t[vc].cast(vtype))
-            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
-            if tie:
-                keys.append((tie, "ascending"))
-            t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in by],
                 n_rows)
@@ -1530,15 +1524,13 @@ class ArrayAggTransform(Transform):
     def apply(self, ds):
         import numpy as np
 
-        from etlray.cdc.apply import BUCKET_COL
         from etlray.exchange import hash_exchange
 
         gb, vc, oc = self.group_by, self.value_col, self.order_col
         tie, out = self.tiebreak, self.out_col
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
-            if BUCKET_COL in t.column_names:
-                t = t.drop_columns([BUCKET_COL])
+            t = frame_sort(t, gb, oc, tie)
             n = t.num_rows
             vtype = t.schema.field(vc).type
             if n == 0:
@@ -1546,10 +1538,6 @@ class ArrayAggTransform(Transform):
                         for c in gb}
                 cols[out] = pa.array([], type=pa.large_list(vtype))
                 return pa.table(cols)
-            keys = [(c, "ascending") for c in gb] + [(oc, "ascending")]
-            if tie:
-                keys.append((tie, "ascending"))
-            t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in gb], n)
             starts = np.flatnonzero(kc)
@@ -1605,28 +1593,26 @@ class RangeWindowAggTransform(Transform):
     def apply(self, ds):
         import numpy as np
 
-        from etlray.cdc.apply import BUCKET_COL
         from etlray.exchange import hash_exchange
 
         by, oc, vc = self.by, self.order_col, self.value_col
         prec, osum, ocnt = self.preceding, self.out_sum, self.out_count
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
-            if BUCKET_COL in t.column_names:
-                t = t.drop_columns([BUCKET_COL])
+            t = frame_sort(t, by, oc, None)
             n = t.num_rows
             if n == 0:
-                if osum:
-                    t = t.append_column(osum, pa.array([], pa.float64()))
+                # same append order as the non-empty path — an empty
+                # bucket's block must carry the identical schema
                 if ocnt:
                     t = t.append_column(ocnt, pa.array([], pa.int64()))
+                if osum:
+                    t = t.append_column(osum, pa.array([], pa.float64()))
                 return t
             if pc.any(pc.is_null(t[oc])).as_py():
                 raise TransformError(
                     f"RangeWindowAgg order column {oc!r} has NULLs — "
                     "pre-filter them")
-            keys = [(c, "ascending") for c in by] + [(oc, "ascending")]
-            t = t.take(pc.sort_indices(t, sort_keys=keys))
             order_arr = t[oc].combine_chunks() \
                 if isinstance(t[oc], pa.ChunkedArray) else t[oc]
             otype = order_arr.type
@@ -1666,9 +1652,9 @@ class RangeWindowAggTransform(Transform):
                                                       side="right")
             vals_arr = t[vc]
             valid = pc.is_valid(vals_arr).to_numpy(zero_copy_only=False)
-            vals = np.where(valid, np.asarray(
+            vals = np.asarray(
                 pc.fill_null(pc.cast(vals_arr, pa.float64()), 0.0)
-                .to_numpy(zero_copy_only=False), dtype=np.float64), 0.0)
+                .to_numpy(zero_copy_only=False), dtype=np.float64)
             ccnt = np.concatenate(
                 ([0], np.cumsum(valid.astype(np.int64))))
             wcnt = ccnt[hi] - ccnt[lo]
@@ -1767,10 +1753,8 @@ class GapFillAggTransform(Transform):
                     f"GapFillAgg time column {oc!r} must be integer "
                     f"or timestamp, not {otype}")
             bucket = (order // stride) * stride
-            t2 = t.append_column("__b", pa.array(bucket))
-            t2 = t2.take(pc.sort_indices(
-                t2, sort_keys=[(c, "ascending") for c in by] +
-                [("__b", "ascending")]))
+            t2 = frame_sort(t.append_column("__b", pa.array(bucket)),
+                            by, "__b", None)
             n = t2.num_rows
             key_arrays = [t2[c].to_numpy(zero_copy_only=False)
                           for c in by]
@@ -1787,9 +1771,9 @@ class GapFillAggTransform(Transform):
             seg_bucket = bsorted[seg_starts]
             vals_arr = t2[vc]
             valid = pc.is_valid(vals_arr).to_numpy(zero_copy_only=False)
-            vals = np.where(valid, np.asarray(
+            vals = np.asarray(
                 pc.fill_null(pc.cast(vals_arr, pa.float64()), 0.0)
-                .to_numpy(zero_copy_only=False), dtype=np.float64), 0.0)
+                .to_numpy(zero_copy_only=False), dtype=np.float64)
 
             def seg_reduce(arr, dtype):
                 out = np.add.reduceat(arr, seg_starts)
@@ -1803,12 +1787,15 @@ class GapFillAggTransform(Transform):
             mn = bsorted[key_starts]
             mx = bsorted[key_last]
             m = (mx - mn) // stride + 1
-            total = int(m.sum())
-            if total > maxb:
+            # per-key check FIRST: one astronomic key could wrap the
+            # int64 total negative and slip past the sum check; once
+            # every m <= maxb the sum of <= n of them cannot overflow
+            if int(m.max()) > maxb or (total := int(m.sum())) > maxb:
+                worst = int(m.max())
                 raise TransformError(
-                    f"GapFillAgg would emit {total} bucket rows in one "
-                    f"reduce (> max_buckets={maxb}); widen the stride "
-                    "or narrow the time range")
+                    f"GapFillAgg would emit {max(worst, int(m.sum()))} "
+                    f"bucket rows in one reduce (> max_buckets={maxb});"
+                    " widen the stride or narrow the time range")
             grid_starts = np.concatenate(([0], np.cumsum(m)[:-1]))
             key_full = np.repeat(np.arange(len(key_starts)), m)
             within = np.arange(total) - grid_starts[key_full]
@@ -1824,7 +1811,11 @@ class GapFillAggTransform(Transform):
             keys_tbl = t2.select(by).take(pa.array(key_starts))
             cols = {c: keys_tbl[c].take(pa.array(key_full)) for c in by}
             barr = pa.array(bucket_full)
-            cols[ob] = barr.cast(otype) if is_ts else barr
+            # the bucket column keeps the INPUT type (empty buckets
+            # emit it too, so every block must agree); grid values lie
+            # between the input's min and max, so a narrowing cast
+            # back to e.g. int32 cannot overflow
+            cols[ob] = barr if otype == pa.int64() else barr.cast(otype)
             cols[ocnt] = pa.array(cnt_full)
             cols[osum] = pa.array(np.where(nv_full == 0, 0.0, sum_full),
                                   mask=nv_full == 0)

@@ -100,12 +100,29 @@ def test_range_window_and_gapfill_reject_float_order(ray_session):
 
 
 def test_range_window_rejects_null_order(ray_session):
-    import ray.exceptions
-
-    from etlray.errors import TransformError
-
-    t = pa.table({"k": ["a"], "t": [None], "v": [1.0]})
-    with pytest.raises((TransformError, ray.exceptions.RayTaskError,
-                        Exception)):
+    t = pa.table({"k": ["a"], "t": pa.array([None], pa.int64()),
+                  "v": [1.0]})
+    with pytest.raises(Exception, match="has NULLs"):
         RangeWindowAggTransform("k", "t", "v", preceding=10).apply(
             MemorySource(t).read()).take_all()
+
+
+def test_range_window_empty_buckets_share_schema(ray_session):
+    # one key -> every other exchange bucket reduces EMPTY; a
+    # schema-strict consumer (parquet write) must still succeed, i.e.
+    # empty blocks must carry the same column order and types
+    import glob
+    import tempfile
+
+    t = pa.table({"k": ["a", "a", "a"], "t": [1, 2, 3],
+                  "v": [1.0, 2.0, 3.0]})
+    out = RangeWindowAggTransform("k", "t", "v", preceding=1).apply(
+        MemorySource(t).read())
+    with tempfile.TemporaryDirectory() as d:
+        out.write_parquet(d)
+        got = pa.concat_tables(
+            [__import__("pyarrow.parquet", fromlist=["pq"])
+             .read_table(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
+    assert got.num_rows == 3
+    assert got.schema.field("range_count").type == pa.int64()
+    assert got.schema.field("range_sum").type == pa.float64()

@@ -80,13 +80,36 @@ def test_gapfill_across_blocks_matches_pandas(ray_session):
 
 
 def test_gapfill_bucket_explosion_guard(ray_session):
-    import ray.exceptions
-
-    from etlray.errors import TransformError
-
     t = pa.table({"k": ["a", "a"], "o": [0, 10**12], "v": [1.0, 2.0]})
-    with pytest.raises((TransformError, ray.exceptions.RayTaskError,
-                        Exception)):
+    with pytest.raises(Exception, match="max_buckets"):
         GapFillAggTransform("k", "o", stride=1, value_col="v",
                             max_buckets=1000).apply(
             MemorySource(t).read()).take_all()
+    # int64-wrap bypass: keys individually under 2^63 buckets whose
+    # SUM wraps negative must still raise, not attempt the grid
+    t2 = pa.table({"k": ["a", "a", "b", "b"],
+                   "o": [0, (1 << 62), 0, (1 << 62)],
+                   "v": [1.0, 2.0, 3.0, 4.0]})
+    with pytest.raises(Exception, match="max_buckets"):
+        GapFillAggTransform("k", "o", stride=1, value_col="v").apply(
+            MemorySource(t2).read()).take_all()
+
+
+def test_gapfill_int32_time_and_empty_bucket_schema(ray_session):
+    # bucket column keeps the INPUT type across non-empty AND empty
+    # exchange buckets; parquet write (schema-strict) must succeed
+    import glob
+    import tempfile
+
+    t = pa.table({"k": ["a", "a"],
+                  "o": pa.array([5, 25], pa.int32()),
+                  "v": [1.0, 2.0]})
+    out = GapFillAggTransform("k", "o", stride=10, value_col="v").apply(
+        MemorySource(t).read())
+    with tempfile.TemporaryDirectory() as d:
+        out.write_parquet(d)
+        got = pa.concat_tables(
+            [__import__("pyarrow.parquet", fromlist=["pq"])
+             .read_table(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
+    assert got.num_rows == 3                  # buckets 0,10,20
+    assert got.schema.field("o_bucket").type == pa.int32()
