@@ -2730,6 +2730,34 @@ def stddev_value_by_type(sf_dir: str):
     return BatchMapTransform(finish).apply(ds)
 
 
+@register(
+    "locf_fill_user_value",
+    """
+    SELECT event_id, user_id, value,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_locf
+    FROM events
+    """,
+)
+def locf_fill_user_value(sf_dir: str):
+    """Last-observation-carried-forward: each NULL value takes its
+    user's most recent non-NULL value in (ts, event_id) order; leading
+    all-NULL prefixes stay NULL. One segmented maximum.accumulate over
+    source indices + one arrow take per bucket — the value column
+    never round-trips through numpy."""
+    from etlray.stages import LocfFillTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"]).read()
+    ds = LocfFillTransform("user_id", "ts", "value",
+                           tiebreak="event_id",
+                           out_col="value_locf").apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "user_id", "value", "value_locf"]).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2785,6 +2813,7 @@ _GATE_TAIL = [
     "range_window_sum_user_value",    # window family (sliding RANGE)
     "gapfill_hourly_user_events",     # time-series densification
     "stddev_value_by_type",           # agg family (variance closed forms)
+    "locf_fill_user_value",           # time-series LOCF repair
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -1825,6 +1825,73 @@ class GapFillAggTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class LocfFillTransform(Transform):
+    """Last-observation-carried-forward fill per key — SQL
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY o
+    [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)``:
+    every NULL value takes the key's most recent non-NULL value in
+    event order; a leading all-NULL prefix stays NULL (nothing to
+    carry). The time-series densify/repair companion to
+    GapFillAggTransform.
+
+    Scale shape: the shared key exchange + frame_sort; the carry is
+    ONE segmented ``np.maximum.accumulate`` over source-row indices
+    (valid rows carry their own index, NULL rows inherit the running
+    max, key starts reset via an offset trick) followed by ONE arrow
+    ``take`` — value types pass through untouched, no numpy round
+    trip of the values themselves."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, tiebreak: str | None = None,
+                 out_col: str | None = None) -> None:
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.tiebreak = tiebreak
+        self.out_col = out_col or f"{value_col}_locf"
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.order_col, self.value_col
+        tie, out = self.tiebreak, self.out_col
+        _s = ds.schema()
+        vtype = dict(zip(_s.names, _s.types)).get(vc)
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            t = frame_sort(t, by, oc, tie)
+            n = t.num_rows
+            if n == 0:
+                return t.append_column(out, pa.array([], type=vtype))
+            local = t.schema.field(vc).type
+            if vtype is not None and not pa.types.is_null(vtype) \
+                    and local != vtype:
+                t = t.set_column(t.column_names.index(vc), vc,
+                                 t[vc].cast(vtype))
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            starts = np.flatnonzero(kc)
+            key_start = np.repeat(starts,
+                                  np.diff(np.append(starts, n)))
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            # carry source index: valid rows own their index, NULL
+            # rows inherit the running max; -1 (never seen) under a
+            # key start means a leading all-NULL prefix -> stays NULL
+            src = np.where(valid, np.arange(n), -1)
+            src = np.maximum.accumulate(src)
+            lead = src < key_start      # carried from a PREVIOUS key
+            return t.append_column(
+                out, col.take(pa.array(np.where(lead, 0, src),
+                                       mask=lead)))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class RankStatsTransform(Transform):
     """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
     ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =

@@ -79,6 +79,57 @@ def test_gapfill_across_blocks_matches_pandas(ray_session):
         for _, g in df.groupby("k"))
 
 
+def test_locf_fill_leading_nulls_and_key_isolation(ray_session):
+    from etlray.stages import LocfFillTransform
+
+    # key a starts with NULLs (stay NULL — nothing to carry), then
+    # carries 5.0 across two NULLs; key b must NOT inherit a's value
+    t = pa.table({
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "k": ["a", "a", "a", "a", "a", "b", "b"],
+        "o": [10, 20, 30, 40, 50, 10, 20],
+        "v": [None, None, 5.0, None, 7.0, None, 3.0],
+    })
+    got = {r["id"]: r["v_locf"] for r in LocfFillTransform(
+        "k", "o", "v", tiebreak="id").apply(
+        MemorySource(t).read()).take_all()}
+    assert got == {1: None, 2: None, 3: 5.0, 4: 5.0, 5: 7.0,
+                   6: None, 7: 3.0}
+    # string values pass through without a numpy round trip
+    ts = pa.table({"id": [1, 2, 3], "k": ["a"] * 3, "o": [1, 2, 3],
+                   "v": ["x", None, "y"]})
+    got = {r["id"]: r["v_locf"] for r in LocfFillTransform(
+        "k", "o", "v", tiebreak="id").apply(
+        MemorySource(ts).read()).take_all()}
+    assert got == {1: "x", 2: "x", 3: "y"}
+
+
+def test_locf_matches_pandas_ffill(ray_session):
+    import pandas as pd
+
+    from etlray.stages import LocfFillTransform
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    v = rng.normal(size=n)
+    v[rng.random(n) < 0.4] = np.nan
+    t = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 8, n),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": pa.array([None if np.isnan(x) else float(x) for x in v]),
+    })
+    ds = MemorySource(t).read().repartition(9)
+    got = {r["id"]: r["v_locf"] for r in LocfFillTransform(
+        "k", "o", "v", tiebreak="id").apply(ds).take_all()}
+    df = t.to_pandas().sort_values(["k", "o", "id"])
+    df["want"] = df.groupby("k")["v"].ffill()
+    for _, row in df.iterrows():
+        w = None if pd.isna(row["want"]) else row["want"]
+        g = got[row["id"]]
+        assert (g is None and w is None) or abs(g - w) < 1e-12
+
+
 def test_gapfill_bucket_explosion_guard(ray_session):
     t = pa.table({"k": ["a", "a"], "o": [0, 10**12], "v": [1.0, 2.0]})
     with pytest.raises(Exception, match="max_buckets"):
