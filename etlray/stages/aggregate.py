@@ -885,3 +885,158 @@ class CorrStatsTransform(Transform):
             return out
 
         return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_UFUNC_AGGS: dict[str, tuple[Any, Any, str]] = {
+    # fn -> (associative+commutative ufunc, identity, value kind)
+    "bit_and": (None, -1, "int"),
+    "bit_or": (None, 0, "int"),
+    "bit_xor": (None, 0, "int"),
+    "product": (None, 1.0, "float"),
+    "bool_and": (None, 1, "bool"),
+    "bool_or": (None, 0, "bool"),
+}
+
+
+class UfuncAggTransform(Transform):
+    """Per-group aggregates whose combine step is an associative,
+    commutative ufunc — SQL ``bit_and / bit_or / bit_xor``, ``product``
+    and ``bool_and / bool_or`` (DuckDB names; each is the oracle).
+    Beyond the reference surface (its AggregateTransform stops at
+    count/sum/avg/min/max — /root/reference/src/transform/common.rs:
+    258-371); added because fold-style reductions are the natural next
+    family once the partial-exchange shape exists.
+
+    NULL semantics probed against DuckDB: NULLs are ignored
+    (``bool_and(TRUE, NULL) = TRUE``); an empty or all-NULL group
+    yields NULL. Output column ``{col}_{fn}``; ``bit_*`` emit int64
+    (inputs cast from any integer width; two's-complement matches SQL),
+    ``product`` float64, ``bool_*`` bool.
+
+    Scale shape: identical to AggregateTransform's partial-exchange
+    path — every block collapses to one row per (group, block) with a
+    single argsort + ``ufunc.reduceat`` sweep, ONE hash exchange moves
+    those partials, and the same kernel merges each bucket (all six
+    folds compose: and-of-ands, product-of-products, ...). The shuffle
+    is sized by group cardinality, never input rows.
+    """
+
+    def __init__(self, group_by: str | Sequence[str],
+                 aggregations: Sequence[tuple[str, str]],
+                 batch_size: int | None = None) -> None:
+        self.group_by = ([group_by] if isinstance(group_by, str)
+                         else list(group_by))
+        if not self.group_by:
+            raise TransformError("UfuncAggTransform needs group keys")
+        self.aggregations = []
+        for col, fn in aggregations:
+            f = fn.lower()
+            if f not in _UFUNC_AGGS:
+                raise TransformError(
+                    f"unknown ufunc aggregate: {fn} "
+                    f"(supported: {sorted(_UFUNC_AGGS)})")
+            self.aggregations.append((col, f))
+        self.batch_size = batch_size
+
+    @staticmethod
+    def _op(fn: str):
+        import numpy as np
+
+        return {"bit_and": np.bitwise_and, "bit_or": np.bitwise_or,
+                "bit_xor": np.bitwise_xor, "product": np.multiply,
+                "bool_and": np.bitwise_and, "bool_or": np.bitwise_or}[fn]
+
+    def apply(self, ds):
+        from etlray.exchange import hash_exchange
+        from etlray.stages.common import default_exchange_buckets
+
+        keys = list(self.group_by)
+        aggs = list(self.aggregations)
+        s = ds.schema()
+        if s is None:
+            raise TransformError("UfuncAggTransform: input has no schema")
+        in_types = dict(zip(s.names, s.types))
+        missing = [c for c in keys + [c for c, _ in aggs]
+                   if c not in in_types]
+        if missing:
+            raise TransformError(f"UfuncAggTransform: missing {missing}")
+
+        fields = [pa.field(k, in_types[k]) for k in keys]
+        for col, fn in aggs:
+            kind = _UFUNC_AGGS[fn][2]
+            t = {"int": pa.int64(), "float": pa.float64(),
+                 "bool": pa.bool_()}[kind]
+            fields.append(pa.field(f"{col}_{fn}", t))
+        out_schema = pa.schema(fields)
+        op_of, ident_of, kind_of = self._op, {}, {}
+        for col, fn in aggs:
+            _u, ident, kind = _UFUNC_AGGS[fn]
+            ident_of[(col, fn)] = ident
+            kind_of[(col, fn)] = kind
+
+        def collapse(t: pa.Table) -> pa.Table:
+            """One row per group: fold each agg column with its ufunc.
+
+            Used for BOTH stages — the per-block partial reads raw
+            input columns, the per-bucket merge reads partial columns
+            (same names, same fold; "output NULL iff every input is
+            NULL" composes across stages because a NULL partial marks
+            an all-NULL block)."""
+            import numpy as np
+
+            if t.num_rows == 0:
+                return out_schema.empty_table()
+            if len(keys) == 1:
+                karr = t[keys[0]]
+                if isinstance(karr, pa.ChunkedArray):
+                    karr = karr.combine_chunks()
+                codes = karr.dictionary_encode().indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            else:
+                import pandas as pd
+
+                mi = pd.MultiIndex.from_arrays(
+                    [t[k].to_numpy(zero_copy_only=False) for k in keys])
+                codes, _uniq = pd.factorize(mi, use_na_sentinel=False)
+                codes = np.asarray(codes, dtype=np.int64)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(sc)) + 1))
+            first_idx = pa.array(order[starts])
+            cols = {k: pc.take(t[k], first_idx) for k in keys}
+            for colname, fn in aggs:
+                # merge stage reads the partial column {col}_{fn}; the
+                # partial stage reads the raw column
+                src = (f"{colname}_{fn}"
+                       if f"{colname}_{fn}" in t.column_names else colname)
+                arr = t[src]
+                kind = kind_of[(colname, fn)]
+                ident = ident_of[(colname, fn)]
+                cast_t = {"int": pa.int64(), "float": pa.float64(),
+                          "bool": pa.uint8()}[kind]
+                valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+                vals = pc.fill_null(pc.cast(arr, cast_t), ident) \
+                    .to_numpy(zero_copy_only=False)
+                red = op_of(fn).reduceat(vals[order], starts)
+                nv = np.add.reduceat(
+                    valid[order].astype(np.int64), starts)
+                mask = nv == 0
+                if kind == "bool":
+                    out = pa.array(red.astype(bool), mask=mask)
+                else:
+                    out = pa.array(red, mask=mask)
+                cols[f"{colname}_{fn}"] = out
+            return pa.table(cols).cast(out_schema)
+
+        pre = ds.map_batches(collapse, **self._mb_kwargs())
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            from etlray.cdc.apply import BUCKET_COL
+
+            if BUCKET_COL in t.column_names:
+                t = t.drop_columns([BUCKET_COL])
+            return collapse(t)
+
+        return hash_exchange(pre, keys, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
