@@ -2759,6 +2759,51 @@ def locf_fill_user_value(sf_dir: str):
 
 
 @register(
+    "interp_fill_user_value",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             last_value(value IGNORE NULLS) OVER pb AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN ts END
+                        IGNORE NULLS) OVER pb AS pt,
+             first_value(value IGNORE NULLS) OVER fb AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN ts END
+                         IGNORE NULLS) OVER fb AS nt
+      FROM events WHERE ts IS NOT NULL
+      WINDOW pb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id, value,
+           CASE WHEN value IS NOT NULL THEN value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * (epoch_us(ts) - epoch_us(pt))
+                          / (epoch_us(nt) - epoch_us(pt))
+           END AS value_interp
+    FROM w
+    """,
+)
+def interp_fill_user_value(sf_dir: str):
+    """Linear-interpolation repair: each NULL value estimated from its
+    user's surrounding non-NULL observations, time-weighted; edges
+    (no earlier or no later observation) stay NULL, order ties carry
+    the previous value. Completes the time-series repair family
+    (gap-fill densify → LOCF carry → two-sided interpolate) on the
+    same single key exchange."""
+    from etlray.stages import InterpFillTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "ts", "user_id", "value"],
+             filter=pc.field("ts").is_valid()).read()
+    ds = InterpFillTransform("user_id", "ts", "value",
+                             tiebreak="event_id",
+                             out_col="value_interp").apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "user_id", "value", "value_interp"]).apply(ds)
+
+
+@register(
     "bitwise_bool_aggs_lineitem",
     """
     SELECT l_returnflag,
@@ -3002,6 +3047,7 @@ _GATE_TAIL = [
     "product_discount_by_order",      # agg family (ufunc folds)
     "skew_kurt_value_by_type",        # agg family (higher moments)
     "entropy_event_type_by_user",     # agg family (category entropy)
+    "interp_fill_user_value",         # time-series two-sided interp
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

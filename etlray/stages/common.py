@@ -1892,6 +1892,99 @@ class LocfFillTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class InterpFillTransform(Transform):
+    """Linear-interpolation fill per key — LocfFillTransform's
+    two-sided sibling: each NULL value is interpolated between its
+    key's previous and next non-NULL values, weighted by the order
+    column's distance (``pv + (nv - pv) * (o - po) / (no - po)``).
+    Edge rows with no previous OR no next observation stay NULL; when
+    the two neighbors tie on the order value the previous value
+    carries (no 0/0). Output is always float64 (interpolation is
+    inherently fractional). The SQL oracle spells the same rule with
+    two IGNORE NULLS window scans and a CASE.
+
+    Scale shape: the shared key exchange + frame_sort; the neighbor
+    search is ONE ``np.maximum.accumulate`` forward and ONE
+    ``np.minimum.accumulate`` backward over source-row indices (key
+    bounds mask cross-key carries), then pure vectorized arithmetic.
+    Order column must be integer or temporal — a float order would be
+    silently truncated, same guard as RangeWindowAggTransform."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, tiebreak: str | None = None,
+                 out_col: str | None = None) -> None:
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.tiebreak = tiebreak
+        self.out_col = out_col or f"{value_col}_interp"
+
+    def apply(self, ds):
+        import numpy as np
+
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.order_col, self.value_col
+        tie, out = self.tiebreak, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            t = frame_sort(t, by, oc, tie)
+            n = t.num_rows
+            if n == 0:
+                return t.append_column(out, pa.array([], pa.float64()))
+            if pc.any(pc.is_null(t[oc])).as_py():
+                raise TransformError(
+                    f"InterpFill order column {oc!r} has NULLs — "
+                    "pre-filter them")
+            order_arr = t[oc].combine_chunks() \
+                if isinstance(t[oc], pa.ChunkedArray) else t[oc]
+            otype = order_arr.type
+            if pa.types.is_temporal(otype):
+                o = order_arr.cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False).astype(np.float64)
+            elif pa.types.is_integer(otype):
+                o = np.asarray(order_arr.to_numpy(zero_copy_only=False),
+                               dtype=np.float64)
+            else:
+                raise TransformError(
+                    f"InterpFill order column {oc!r} must be integer "
+                    f"or temporal, not {otype}")
+            col = t[vc].combine_chunks() \
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(pc.cast(col, pa.float64()), 0.0) \
+                .to_numpy(zero_copy_only=False)
+            kc = key_change_mask(
+                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+            starts = np.flatnonzero(kc)
+            sizes = np.diff(np.append(starts, n))
+            key_start = np.repeat(starts, sizes)
+            key_end = np.repeat(starts + sizes - 1, sizes)
+            idx = np.arange(n)
+            fwd = np.maximum.accumulate(np.where(valid, idx, -1))
+            bwd = np.minimum.accumulate(
+                np.where(valid, idx, 2 * n)[::-1])[::-1]
+            has_prev = fwd >= key_start        # -1 never >= start
+            has_next = bwd <= key_end
+            both = has_prev & has_next & ~valid
+            # clip so the gathers stay in bounds on masked-out rows
+            pv = vals[np.clip(fwd, 0, n - 1)]
+            nv = vals[np.clip(bwd, 0, n - 1)]
+            po = o[np.clip(fwd, 0, n - 1)]
+            no = o[np.clip(bwd, 0, n - 1)]
+            d2 = no - po
+            with np.errstate(invalid="ignore", divide="ignore"):
+                interp = pv + (nv - pv) * (o - po) / d2
+            filled = np.where(d2 == 0, pv, interp)
+            res = np.where(valid, vals, np.where(both, filled, 0.0))
+            mask = ~valid & ~both
+            return t.append_column(
+                out, pa.array(res, type=pa.float64(), mask=mask))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class RankStatsTransform(Transform):
     """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
     ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =

@@ -164,3 +164,73 @@ def test_gapfill_int32_time_and_empty_bucket_schema(ray_session):
              .read_table(f) for f in sorted(glob.glob(f"{d}/*.parquet"))])
     assert got.num_rows == 3                  # buckets 0,10,20
     assert got.schema.field("o_bucket").type == pa.int32()
+
+
+def test_interp_fill_edges_ties_and_keys(ray_session):
+    from etlray.stages import InterpFillTransform
+
+    t = pa.table({
+        "id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        "k": ["a", "a", "a", "a", "a", "b", "b", "c", "c"],
+        "o": [10, 20, 30, 40, 50, 10, 20, 10, 10],
+        #      edge  interp x2      edge | no next | order tie
+        "v": [None, 4.0, None, None, 10.0, 2.0, None, 1.0, None],
+    })
+    got = {r["id"]: r["v_interp"] for r in InterpFillTransform(
+        "k", "o", "v", tiebreak="id").apply(
+        MemorySource(t).read().repartition(3)).take_all()}
+    assert got[1] is None              # no previous observation
+    assert abs(got[3] - 6.0) < 1e-12   # 4 + (10-4)*(30-20)/(50-20)
+    assert abs(got[4] - 8.0) < 1e-12
+    assert got[5] == 10.0              # non-NULL passes through
+    assert got[7] is None              # no next observation
+    assert got[9] is None              # prev exists, next doesn't
+    # order tie between neighbors carries the previous value
+    tt = pa.table({"id": [1, 2, 3], "k": ["a"] * 3, "o": [5, 5, 5],
+                   "v": [3.0, None, 9.0]})
+    got = {r["id"]: r["v_interp"] for r in InterpFillTransform(
+        "k", "o", "v", tiebreak="id").apply(
+        MemorySource(tt).read()).take_all()}
+    assert got[2] == 3.0
+
+
+def test_interp_matches_pandas_interpolate(ray_session):
+    import pandas as pd
+
+    from etlray.stages import InterpFillTransform
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    v = rng.normal(size=n) * 10
+    v[rng.random(n) < 0.4] = np.nan
+    # unique order values per key so pandas' index-based interpolate
+    # is the exact same rule
+    t = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 6, n),
+        "o": rng.permutation(n).astype(np.int64),
+        "v": pa.array([None if np.isnan(x) else float(x) for x in v]),
+    })
+    ds = MemorySource(t).read().repartition(7)
+    got = {r["id"]: r["v_interp"] for r in InterpFillTransform(
+        "k", "o", "v", tiebreak="id").apply(ds).take_all()}
+    df = t.to_pandas().sort_values(["k", "o"])
+    for _, g in df.groupby("k"):
+        s = pd.Series(g["v"].to_numpy(), index=g["o"].to_numpy())
+        want = s.interpolate(method="index", limit_area="inside")
+        for rid, w in zip(g["id"].to_numpy(), want.to_numpy()):
+            r = got[rid]
+            if np.isnan(w):
+                assert r is None
+            else:
+                assert abs(r - w) < 1e-9, (rid, r, w)
+
+
+def test_interp_rejects_float_order(ray_session):
+    from etlray.errors import TransformError
+    from etlray.stages import InterpFillTransform
+
+    t = pa.table({"k": ["a"], "o": [1.5], "v": [1.0]})
+    with pytest.raises(Exception):
+        InterpFillTransform("k", "o", "v").apply(
+            MemorySource(t).read()).take_all()
