@@ -2759,6 +2759,38 @@ def locf_fill_user_value(sf_dir: str):
 
 
 @register(
+    "orc_roundtrip_agg",
+    """
+    SELECT event_type, count(*) AS n_rows, sum(value) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_roundtrip_agg(sf_dir: str):
+    """ORC format round trip, honestly oracled: the events table is
+    written to a directory of ORC part files (one per block, inside
+    the owning tasks) and read back stripe-streamed with column
+    pruning; the aggregate over the round-tripped data must match the
+    oracle computed on the original parquet — a full fidelity check of
+    schema, values and NULLs through the foreign format."""
+    import os
+
+    from etlray.sinks import OrcSink
+    from etlray.sources import OrcSource
+    from etlray.stages import AggregateTransform, RenameColumnsTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    out = os.path.join(
+        "/tmp", f"etlray_orc_rt_{os.path.basename(os.path.normpath(sf_dir))}")
+    OrcSink(out, overwrite=True).write(ds)
+    back = OrcSource(out).read()
+    agg = AggregateTransform(
+        ["event_type"], [("event_type", "count"), ("value", "sum")],
+    ).apply(back)
+    return RenameColumnsTransform(
+        {"event_type_count": "n_rows", "value_sum": "value_sum"}).apply(agg)
+
+
+@register(
     "interp_fill_user_value",
     """
     WITH w AS (
@@ -3048,6 +3080,7 @@ _GATE_TAIL = [
     "skew_kurt_value_by_type",        # agg family (higher moments)
     "entropy_event_type_by_user",     # agg family (category entropy)
     "interp_fill_user_value",         # time-series two-sided interp
+    "orc_roundtrip_agg",              # source/sink family (ORC)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

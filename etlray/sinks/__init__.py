@@ -3,5 +3,6 @@ from etlray.sinks.json import JsonLinesSink, JsonSink
 from etlray.sinks.console import ConsoleSink
 from etlray.sinks.memory import MemorySink
 from etlray.sinks.delta import DeltaSink
+from etlray.sinks.orc import OrcSink
 
-__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink", "DeltaSink"]
+__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink", "DeltaSink", "OrcSink"]

@@ -3,5 +3,6 @@ from etlray.sources.json import JsonLinesSource, JsonSource, JsonStreamSource
 from etlray.sources.parquet import ParquetSource
 from etlray.sources.memory import MemorySource
 from etlray.sources.delta import DeltaSource
+from etlray.sources.orc import OrcSource
 
-__all__ = ["AsyncCsvSource", "CsvSource", "JsonStreamSource", "JsonSource", "JsonLinesSource", "ParquetSource", "MemorySource", "DeltaSource"]
+__all__ = ["AsyncCsvSource", "CsvSource", "JsonStreamSource", "JsonSource", "JsonLinesSource", "ParquetSource", "MemorySource", "DeltaSource", "OrcSource"]

@@ -251,3 +251,59 @@ def test_delta_sink_lsn_floor_above_watermark(tmp_path, ray_session,
                     content_col="__none__")
     rows = {r["id"]: r["v"] for r in eng.read_snapshot().take_all()}
     assert rows == {1: 2}  # second write applied, not dropped
+
+
+def test_orc_roundtrip_fidelity(tmp_path, ray_session):
+    """Types, NULLs and values survive parquet -> ORC -> Dataset."""
+    import pyarrow as pa
+
+    from etlray.sinks import OrcSink
+    from etlray.sources import MemorySource, OrcSource
+
+    t = pa.table({
+        "i": pa.array([1, None, 3], pa.int64()),
+        "f": pa.array([1.5, 2.5, None], pa.float64()),
+        "s": pa.array(["a", None, "c"]),
+        "ts": pa.array([1_000_000, 2_000_000, None],
+                       pa.timestamp("us")),
+        "b": pa.array([True, False, None]),
+    })
+    out = str(tmp_path / "orc_dir")
+    res = OrcSink(out).write(MemorySource(t).read().repartition(2))
+    assert res["rows_written"] == 3
+    assert all(p.endswith(".orc") for p in res["paths"])
+    ds = OrcSource(out).read()
+    got = ds.sort("i").to_pandas()
+    want = t.to_pandas().sort_values("i").reset_index(drop=True)
+    import pandas as pd
+
+    # ORC's native timestamp unit is ns: the instant survives, the
+    # arrow unit widens us -> ns — normalize before comparing
+    got["ts"] = pd.to_datetime(got["ts"]).astype("datetime64[us]")
+    want["ts"] = pd.to_datetime(want["ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[want.columns], want,
+        check_dtype=False)
+
+
+def test_orc_column_pruning_and_overwrite_guard(tmp_path, ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from etlray.errors import LoadError
+    from etlray.sinks import OrcSink
+    from etlray.sources import MemorySource, OrcSource
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]})
+    out = str(tmp_path / "orc2")
+    OrcSink(out).write(MemorySource(t).read())
+    pruned = OrcSource(out, columns=["a", "c"]).read()
+    assert sorted(pruned.schema().names) == ["a", "c"]
+    with _pytest.raises(LoadError, match="overwrite"):
+        OrcSink(out).write(MemorySource(t).read())
+    res = OrcSink(out, overwrite=True).write(MemorySource(t).read())
+    assert res["rows_written"] == 2
+    # overwrite removed the stale parts — directory holds exactly one set
+    assert OrcSource(out).read().count() == 2
+    with _pytest.raises(LoadError, match="compression"):
+        OrcSink(out, compression="lzo")
