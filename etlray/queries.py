@@ -2759,6 +2759,58 @@ def locf_fill_user_value(sf_dir: str):
 
 
 @register(
+    "json_extract_props_k",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_props_k(sf_dir: str):
+    """Top-level scalar extraction from the JSON ``props`` column —
+    one Arrow C++ extract_regex per batch, no per-row Python (the
+    strict json.loads path is pytest-compared against this one)."""
+    from etlray.stages import JsonScalarExtractTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "props"]).read()
+    ds = JsonScalarExtractTransform(
+        "props", "k", out_col="k", out_type="int64").apply(ds)
+    return SelectColumnsTransform(["event_id", "k"]).apply(ds)
+
+
+@register(
+    "levenshtein_text_chunks",
+    """
+    SELECT doc_id,
+           levenshtein(substr(text, 1, 8), substr(text, 9, 8))
+               AS edit_distance
+    FROM documents
+    """,
+)
+def levenshtein_text_chunks(sf_dir: str):
+    """Byte-exact DuckDB ``levenshtein()`` between each document's
+    first two 8-char chunks — the whole batch advances through ONE
+    shared DP whose every cell update is a numpy op across all rows
+    (the insertion recurrence collapses to a prefix-min), so cost is
+    O(len²) numpy calls per batch, not per row."""
+    from etlray.functions.text import add_levenshtein
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"]).read()
+
+    def chunks(t: pa.Table) -> pa.Table:
+        out = t.select(["doc_id"])
+        out = out.append_column(
+            "a", pc.utf8_slice_codeunits(t["text"], 0, 8))
+        return out.append_column(
+            "b", pc.utf8_slice_codeunits(t["text"], 8, 16))
+
+    ds = BatchMapTransform(chunks).apply(ds)
+    ds = BatchMapTransform(
+        lambda t: add_levenshtein(t, "a", "b")).apply(ds)
+    return SelectColumnsTransform(["doc_id", "edit_distance"]).apply(ds)
+
+
+@register(
     "orc_roundtrip_agg",
     """
     SELECT event_type, count(*) AS n_rows, sum(value) AS value_sum
@@ -3081,6 +3133,8 @@ _GATE_TAIL = [
     "entropy_event_type_by_user",     # agg family (category entropy)
     "interp_fill_user_value",         # time-series two-sided interp
     "orc_roundtrip_agg",              # source/sink family (ORC)
+    "json_extract_props_k",           # scalar-function width (JSON)
+    "levenshtein_text_chunks",        # string-metric width
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

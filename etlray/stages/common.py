@@ -2563,3 +2563,88 @@ class ValidateTransform(Transform):
                 raise TransformError(f"validation failed for {n_bad} rows")
             return t
         return ds.map_batches(validate, **self._mb_kwargs())
+
+
+class JsonScalarExtractTransform(Transform):
+    """Extract one top-level scalar field from a JSON-string column —
+    SQL ``col->>'$.key'`` (DuckDB) is the oracle. Two paths:
+
+    * default (``strict=False``): ONE Arrow C++ ``extract_regex`` per
+      batch matches ``"key": <number|string|true|false|null>`` —
+      zero per-row Python for numeric outputs (string outputs unescape
+      matches in a Python pass). Assumes FLAT objects: a same-named
+      key in a nested object or inside a string value would also
+      match; use strict mode for such payloads.
+    * ``strict=True``: per-row ``json.loads`` (correct for any shape,
+      the documented slow baseline — same trade as the JPEG codec).
+
+    ``out_type`` casts the extracted text (``'int64'``, ``'float64'``,
+    ``'string'``); absent keys and JSON ``null`` yield NULL either
+    way. String values are unescaped via ``json.loads`` only on the
+    (string-typed) match itself.
+    """
+
+    def __init__(self, col: str, key: str, out_col: str | None = None,
+                 out_type: str = "string", strict: bool = False) -> None:
+        if out_type not in ("int64", "float64", "string"):
+            raise TransformError(f"unsupported out_type: {out_type}")
+        self.col = col
+        self.key = key
+        self.out_col = out_col or key
+        self.out_type = out_type
+        self.strict = strict
+
+    def apply(self, ds):
+        import json
+        import re
+
+        col, key, out = self.col, self.key, self.out_col
+        want = {"int64": pa.int64(), "float64": pa.float64(),
+                "string": pa.string()}[self.out_type]
+        pattern = (
+            '"' + re.escape(key) + '"\\s*:\\s*'
+            '(?P<val>"(?:[^"\\\\]|\\\\.)*"'
+            '|-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?'
+            '|true|false|null)')
+        strict = self.strict
+
+        def extract(t: pa.Table) -> pa.Table:
+            if strict:
+                vals = []
+                for s in t[col].to_pylist():
+                    try:
+                        v = json.loads(s).get(key) if s else None
+                    except (ValueError, AttributeError):
+                        v = None
+                    if v is None:
+                        vals.append(None)
+                    elif want == pa.string():
+                        vals.append(v if isinstance(v, str)
+                                    else json.dumps(v))
+                    elif want == pa.int64():
+                        # SQL CAST semantics: numeric strings convert,
+                        # garbage raises (same as the regex path's cast)
+                        vals.append(int(float(v))
+                                    if isinstance(v, str) else int(v))
+                    else:
+                        vals.append(float(v))
+                return t.append_column(out, pa.array(vals, type=want))
+            m = pc.extract_regex(t[col], pattern)
+            raw = pc.struct_field(m, "val")
+            # JSON null -> SQL NULL
+            raw = pc.if_else(pc.equal(raw, "null"),
+                             pa.scalar(None, pa.string()), raw)
+            if want == pa.string():
+                # unescape only actual string values, via json.loads
+                # on the matched literal itself
+                vals = [None if v is None else
+                        json.loads(v) if v.startswith('"') else v
+                        for v in raw.to_pylist()]
+                return t.append_column(out, pa.array(vals, pa.string()))
+            quoted = pc.match_substring_regex(raw, '^"')
+            raw = pc.if_else(pc.fill_null(quoted, False),
+                             pc.utf8_trim(raw, '"'), raw)
+            return t.append_column(out, pc.cast(raw, want))
+
+        return ds.map_batches(extract, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -78,3 +78,69 @@ def test_redact_pii():
     assert out == ["mail me at <EMAIL> now",
                    "see <URL> and id <NUM>",
                    "clean text 123"]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook byte DP — the oracle for the vectorized kernel."""
+    x, y = a.encode(), b.encode()
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i]
+        for j, cy in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (cx != cy)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_matches_bruteforce_and_nulls():
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etlray.functions.text import levenshtein_bytes
+
+    @given(pairs=st.lists(
+        st.tuples(st.text("abcé中 ", max_size=10),
+                  st.text("abcé中 ", max_size=10)),
+        min_size=1, max_size=30))
+    @settings(max_examples=30, deadline=None)
+    def check(pairs):
+        a = pa.array([p[0] for p in pairs])
+        b = pa.array([p[1] for p in pairs])
+        got = levenshtein_bytes(a, b).to_pylist()
+        want = [_lev_ref(*p) for p in pairs]
+        assert got == want
+
+    check()
+    got = levenshtein_bytes(pa.array([None, "ab", None]),
+                            pa.array(["x", None, None])).to_pylist()
+    assert got == [None, None, None]
+
+
+def test_json_scalar_extract_regex_vs_strict(ray_session):
+    import pyarrow as pa
+
+    from etlray.sources import MemorySource
+    from etlray.stages import JsonScalarExtractTransform
+
+    rows = pa.table({"id": list(range(6)), "props": [
+        '{"k": 87, "x": 1}', '{"k": -3.5e2}', '{"k": null}',
+        '{"x": 1}', None, '{"k": "12"}',
+    ]})
+    for strict in (False, True):
+        got = {r["id"]: r["k"] for r in JsonScalarExtractTransform(
+            "props", "k", out_type="float64", strict=strict).apply(
+            MemorySource(rows).read()).take_all()}
+        assert got == {0: 87.0, 1: -350.0, 2: None, 3: None, 4: None,
+                       5: 12.0}, strict
+    # string extraction unescapes; strict handles nesting the regex
+    # fast path documents away
+    rows2 = pa.table({"id": [0, 1], "props": [
+        '{"k": "a\\"b"}', '{"nested": {"k": "inner"}, "k": "top"}',
+    ]})
+    got = {r["id"]: r["k"] for r in JsonScalarExtractTransform(
+        "props", "k", out_type="string", strict=True).apply(
+        MemorySource(rows2).read()).take_all()}
+    assert got[0] == 'a"b'
+    assert got[1] == "top"
