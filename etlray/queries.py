@@ -3071,6 +3071,286 @@ def entropy_event_type_by_user(sf_dir: str):
     return BatchMapTransform(finish).apply(ds)
 
 
+@register(
+    "math_funcs_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7, 2) AS price_r2,
+           ceil(l_discount * 100) AS disc_ceil,
+           floor(l_tax * 100) AS tax_floor,
+           abs(l_quantity - 25.0) AS qty_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           ln(l_extendedprice) AS price_ln,
+           exp(l_discount) AS disc_exp,
+           power(l_quantity, 2) AS qty_sq,
+           sign(l_quantity - 25.0)::BIGINT AS qty_sign,
+           (l_orderkey % 7)::BIGINT AS key_mod7
+    FROM lineitem
+    """,
+)
+def math_funcs_lineitem(sf_dir: str):
+    """Scalar math-function width — round/ceil/floor/abs/sqrt/ln/exp/
+    power/sign over Arrow kernels plus integer modulo (no Arrow kernel
+    — one numpy op). ``round`` divergence note: DuckDB rounds doubles
+    via decimal re-interpretation (``round(2.675::DOUBLE,2) = 2.68``)
+    while Arrow's ``half_towards_infinity`` rounds the binary value
+    (2.67); dividing by 7 first keeps every input off the tie
+    boundary, so the modes agree on all representable inputs (verified
+    0 mismatches over the full table at every test scale)."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax"]).read()
+
+    def funcs(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.float64())
+        out = t.select(["l_orderkey", "l_linenumber"])
+        out = out.append_column(
+            "price_r2",
+            pc.round(pc.divide(t["l_extendedprice"], 7.0), 2,
+                     round_mode="half_towards_infinity"))
+        out = out.append_column(
+            "disc_ceil", pc.ceil(pc.multiply(t["l_discount"], 100.0)))
+        out = out.append_column(
+            "tax_floor", pc.floor(pc.multiply(t["l_tax"], 100.0)))
+        dev = pc.subtract(qty, 25.0)
+        out = out.append_column("qty_dev", pc.abs(dev))
+        out = out.append_column("qty_sqrt", pc.sqrt(qty))
+        out = out.append_column("price_ln", pc.ln(t["l_extendedprice"]))
+        out = out.append_column("disc_exp", pc.exp(t["l_discount"]))
+        out = out.append_column("qty_sq", pc.power(qty, 2.0))
+        out = out.append_column(
+            "qty_sign", pc.cast(pc.sign(dev), pa.int64()))
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return out.append_column("key_mod7", pa.array(keys % 7))
+
+    return BatchMapTransform(funcs).apply(ds)
+
+
+@register(
+    "date_arith_orders",
+    """
+    SELECT o_orderkey,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+               AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           epoch(o_orderdate) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def date_arith_orders(sf_dir: str):
+    """Temporal arithmetic width — calendar-day difference
+    (``pc.days_between`` counts day boundaries exactly like DuckDB's
+    ``date_diff('day', …)``, probed on intra-day timestamps), interval
+    addition, epoch seconds (DuckDB ``epoch()`` returns DOUBLE) and
+    strftime formatting, all Arrow C kernels."""
+    import datetime
+
+    from etlray.stages import BatchMapTransform
+
+    anchor = pa.scalar(datetime.datetime(1995, 1, 1), pa.timestamp("us"))
+
+    def funcs(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        out = t.select(["o_orderkey"])
+        out = out.append_column(
+            "days_since_95",
+            pc.cast(pc.days_between(anchor, ts), pa.int64()))
+        out = out.append_column(
+            "due_ts", pc.add(ts, pa.scalar(
+                datetime.timedelta(days=30), pa.duration("us"))))
+        out = out.append_column(
+            "epoch_s", pc.divide(
+                pc.cast(pc.cast(ts, pa.int64()), pa.float64()), 1e6))
+        return out.append_column("ym", pc.strftime(ts, format="%Y-%m"))
+
+    ds = _pq(sf_dir, "orders",
+             columns=["o_orderkey", "o_orderdate"]).read()
+    return BatchMapTransform(funcs).apply(ds)
+
+
+@register(
+    "rank_events_by_type",
+    """
+    SELECT event_id, event_type, value,
+           rank() OVER (PARTITION BY event_type ORDER BY value)
+               AS value_rank
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def rank_events_by_type(sf_dir: str):
+    """Plain RANK() (gaps after tie runs) — DenseRankTransform's
+    ``dense=False`` mode: each row carries its tie run's first
+    position within the key, one exchange + one sort + two change
+    masks, no per-key loop."""
+    from etlray.stages import DenseRankTransform, SelectColumnsTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    ds = DenseRankTransform("event_type", "value", dense=False,
+                            out_col="value_rank").apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "event_type", "value", "value_rank"]).apply(ds)
+
+
+@register(
+    "zscore_minmax_value_by_type",
+    """
+    SELECT event_id, event_type,
+           (value - avg(value) OVER w)
+               / NULLIF(stddev_pop(value) OVER w, 0) AS zscore,
+           (value - min(value) OVER w)
+               / NULLIF(max(value) OVER w - min(value) OVER w, 0)
+               AS minmax
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def zscore_minmax_value_by_type(sf_dir: str):
+    """Per-group feature scaling (the ML-prep normalize pass): one
+    small aggregate computes each type's n/Σ/Σ²/min/max, the stats
+    table broadcasts into a second streaming pass — the full table is
+    never shuffled, the normalize stage is a pure map. Zero-variance
+    or constant groups yield NULL (NULLIF semantics pinned in the
+    oracle)."""
+    from etlray.stages import (AggregateTransform, BatchMapTransform,
+                               BroadcastJoinTransform,
+                               SelectColumnsTransform)
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        out = t.select(["event_type"])
+        out = out.append_column("n1", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+        out = out.append_column("s1", v)
+        out = out.append_column("s2", pc.multiply(v, v))
+        return out.append_column("v", v)
+
+    stats = BatchMapTransform(moments).apply(ds)
+    stats = AggregateTransform(
+        ["event_type"],
+        [("n1", "sum"), ("s1", "sum"), ("s2", "sum"),
+         ("v", "min"), ("v", "max")], exact_int=True).apply(stats)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n1_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1_sum"].to_numpy(zero_copy_only=False)
+        s2 = t["s2_sum"].to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        out = t.select(["event_type"])
+        out = out.append_column("_mean", pa.array(mean))
+        out = out.append_column("_std", pa.array(np.sqrt(var)))
+        out = out.append_column("_min", t["v_min"])
+        return out.append_column("_max", t["v_max"])
+
+    stats = BatchMapTransform(finish).apply(stats)
+    ds = BroadcastJoinTransform(stats, on="event_type",
+                                how="inner").apply(ds)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        mean = t["_mean"].to_numpy(zero_copy_only=False)
+        std = t["_std"].to_numpy(zero_copy_only=False)
+        lo = t["_min"].to_numpy(zero_copy_only=False)
+        hi = t["_max"].to_numpy(zero_copy_only=False)
+        out = t.select(["event_id", "event_type"])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mean) / std
+            mm = (v - lo) / (hi - lo)
+        out = out.append_column(
+            "zscore", pa.array(np.where(std == 0, 0.0, z),
+                               mask=std == 0))
+        return out.append_column(
+            "minmax", pa.array(np.where(hi == lo, 0.0, mm),
+                               mask=hi == lo))
+
+    ds = BatchMapTransform(normalize).apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "event_type", "zscore", "minmax"]).apply(ds)
+
+
+@register(
+    "label_encode_event_type",
+    """
+    SELECT e.event_id, e.event_type, d.label
+    FROM events e JOIN (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_type) - 1 AS label
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL)
+    ) d USING (event_type)
+    """,
+)
+def label_encode_event_type(sf_dir: str):
+    """Label/dictionary encoding of a categorical column: the distinct
+    pass yields a tiny vocabulary (groups ≪ rows by contract), the
+    sorted vocab broadcasts once, and the encode pass is ONE
+    ``pc.index_in`` per batch — the corpus is never shuffled."""
+    from etlray.stages import BatchMapTransform, DistinctTransform
+
+    vocab_ds = _pq(sf_dir, "events", columns=["event_type"],
+                   filter=pc.field("event_type").is_valid()).read()
+    vocab_t = DistinctTransform(["event_type"]).apply(vocab_ds)
+    vals = sorted(v for v in
+                  vocab_t.to_pandas()["event_type"].tolist())
+    value_set = pa.array(vals, pa.string())
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type"],
+             filter=pc.field("event_type").is_valid()).read()
+
+    def encode(t: pa.Table) -> pa.Table:
+        out = t.select(["event_id", "event_type"])
+        return out.append_column(
+            "label", pc.cast(pc.index_in(t["event_type"],
+                                         value_set=value_set),
+                             pa.int64()))
+
+    return BatchMapTransform(encode).apply(ds)
+
+
+@register(
+    "onehot_event_types",
+    """
+    SELECT event_id,
+           (event_type = 'click')::BIGINT AS is_click,
+           (event_type = 'view')::BIGINT AS is_view,
+           (event_type = 'purchase')::BIGINT AS is_purchase,
+           (event_type = 'signup')::BIGINT AS is_signup,
+           (event_type = 'error')::BIGINT AS is_error
+    FROM events WHERE event_type IS NOT NULL
+    """,
+)
+def onehot_event_types(sf_dir: str):
+    """One-hot encoding over a known category set — one ``pc.equal`` +
+    cast per category, shuffle-free streaming map."""
+    from etlray.stages import BatchMapTransform
+
+    cats = ["click", "view", "purchase", "signup", "error"]
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type"],
+             filter=pc.field("event_type").is_valid()).read()
+
+    def encode(t: pa.Table) -> pa.Table:
+        out = t.select(["event_id"])
+        for c in cats:
+            out = out.append_column(
+                f"is_{c}",
+                pc.cast(pc.equal(t["event_type"], c), pa.int64()))
+        return out
+
+    return BatchMapTransform(encode).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3135,6 +3415,12 @@ _GATE_TAIL = [
     "orc_roundtrip_agg",              # source/sink family (ORC)
     "json_extract_props_k",           # scalar-function width (JSON)
     "levenshtein_text_chunks",        # string-metric width
+    "math_funcs_lineitem",            # scalar-function width (math)
+    "date_arith_orders",              # scalar-function width (temporal arith)
+    "rank_events_by_type",            # window family (plain RANK)
+    "zscore_minmax_value_by_type",    # ML-prep feature scaling
+    "label_encode_event_type",        # ML-prep label encoding
+    "onehot_event_types",             # ML-prep one-hot encoding
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -1168,6 +1168,9 @@ class DenseRankTransform(Transform):
     """Per-key DENSE_RANK over a value ordering — SQL ``dense_rank()
     OVER (PARTITION BY key ORDER BY v)`` is the oracle: ties share a
     rank and the next distinct value increments it by exactly 1.
+    ``dense=False`` switches to plain ``rank()``: ties still share,
+    but the next distinct value jumps to 1 + the number of PRECEDING
+    rows (gaps after tie runs).
 
     Scale shape: ONE hash exchange on the partition key (the same
     partitioning every other per-key window stage uses); per bucket a
@@ -1178,11 +1181,12 @@ class DenseRankTransform(Transform):
 
     def __init__(self, by: str | Sequence[str], value_col: str,
                  descending: bool = False,
-                 out_col: str = "dense_rank") -> None:
+                 out_col: str = "dense_rank", dense: bool = True) -> None:
         self.by = [by] if isinstance(by, str) else list(by)
         self.value_col = value_col
         self.descending = descending
         self.out_col = out_col
+        self.dense = dense
 
     def apply(self, ds):
         import numpy as np
@@ -1192,6 +1196,7 @@ class DenseRankTransform(Transform):
 
         by, vc, out_col = self.by, self.value_col, self.out_col
         vdir = "descending" if self.descending else "ascending"
+        dense = self.dense
 
         def reduce_bucket(t: pa.Table) -> pa.Table:
             if BUCKET_COL in t.column_names:
@@ -1210,12 +1215,21 @@ class DenseRankTransform(Transform):
             vchange = key_change_mask(
                 [t[vc].to_numpy(zero_copy_only=False)], n)
             new_rank = kc | vchange
-            dr = np.cumsum(new_rank)
             starts = np.flatnonzero(kc)
-            base = dr[starts]
-            key_idx = np.repeat(np.arange(len(starts)),
-                                np.diff(np.append(starts, n)))
-            rank = dr - base[key_idx] + 1
+            key_start = np.repeat(starts, np.diff(np.append(starts, n)))
+            idx = np.arange(n)
+            if dense:
+                dr = np.cumsum(new_rank)
+                base = dr[starts]
+                key_idx = np.repeat(np.arange(len(starts)),
+                                    np.diff(np.append(starts, n)))
+                rank = dr - base[key_idx] + 1
+            else:
+                # plain RANK: every row carries its tie run's FIRST
+                # position within the key (gaps after tie runs)
+                tie_start = np.maximum.accumulate(
+                    np.where(new_rank, idx, -1))
+                rank = tie_start - key_start + 1
             return t.append_column(out_col,
                                    pa.array(rank.astype(np.int64)))
 

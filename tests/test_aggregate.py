@@ -298,6 +298,25 @@ def test_dense_rank_ties_and_keys(ray_session):
                    ("y", 5, 1)]
 
 
+def test_plain_rank_gaps_after_ties(ray_session):
+    """dense=False is SQL rank(): a 3-way tie at rank 1 pushes the
+    next distinct value to rank 4; keys reset independently."""
+    import ray.data
+
+    from etlray.stages import DenseRankTransform
+
+    ds = ray.data.from_items([
+        {"g": "x", "v": 10}, {"g": "x", "v": 10}, {"g": "x", "v": 10},
+        {"g": "x", "v": 20}, {"g": "x", "v": 30},
+        {"g": "y", "v": 7}, {"g": "y", "v": 7}, {"g": "y", "v": 9}])
+    out = DenseRankTransform("g", "v", dense=False,
+                             out_col="rank").apply(ds).take_all()
+    got = sorted((r["g"], r["v"], r["rank"]) for r in out)
+    assert got == [("x", 10, 1), ("x", 10, 1), ("x", 10, 1),
+                   ("x", 20, 4), ("x", 30, 5),
+                   ("y", 7, 1), ("y", 7, 1), ("y", 9, 3)]
+
+
 def test_grouping_sets_listed_only(ray_session):
     """mode='sets' emits exactly the listed sets: (b) alone is not a
     rollup prefix; the full set is emitted only when listed; () emits
