@@ -2843,6 +2843,102 @@ def orc_roundtrip_agg(sf_dir: str):
 
 
 @register(
+    "csv_roundtrip_agg",
+    """
+    SELECT event_type, count(*) AS n_rows, sum(value) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def csv_roundtrip_agg(sf_dir: str):
+    """CSV format round trip, honestly oracled like the ORC twin: the
+    events table is written to a directory of CSV part files (one per
+    block, inside the owning tasks) and read back typed; the aggregate
+    over the round-tripped data must match the oracle computed on the
+    original parquet. Arrow's CSV writer emits floats with
+    round-trippable precision, so the sum is exact — a full fidelity
+    check through the TEXT format (types survive via read inference)."""
+    import os
+
+    from etlray.sinks import CsvSink
+    from etlray.sources import CsvSource
+    from etlray.stages import AggregateTransform, RenameColumnsTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"]).read()
+    out = os.path.join(
+        "/tmp", f"etlray_csv_rt_{os.path.basename(os.path.normpath(sf_dir))}")
+    CsvSink(out, overwrite=True).write(ds)
+    import glob
+
+    back = CsvSource(sorted(glob.glob(os.path.join(out, "*.csv")))).read()
+    agg = AggregateTransform(
+        ["event_type"], [("event_type", "count"), ("value", "sum")],
+    ).apply(back)
+    return RenameColumnsTransform(
+        {"event_type_count": "n_rows", "value_sum": "value_sum"}).apply(agg)
+
+
+@register(
+    "feather_roundtrip_agg",
+    """
+    SELECT event_type, count(*) AS n_rows, sum(value) AS value_sum,
+           min(ts) AS first_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def feather_roundtrip_agg(sf_dir: str):
+    """Arrow IPC (Feather v2) round trip, honestly oracled: written to
+    a directory of IPC part files, read back batch-streamed, and the
+    aggregate (including a timestamp column — IPC is Arrow's own
+    layout, so types round-trip bit-exactly) must match the oracle on
+    the original parquet."""
+    import os
+
+    from etlray.sinks import FeatherSink
+    from etlray.sources import FeatherSource
+    from etlray.stages import AggregateTransform, RenameColumnsTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_type", "value", "ts"]).read()
+    out = os.path.join(
+        "/tmp",
+        f"etlray_feather_rt_{os.path.basename(os.path.normpath(sf_dir))}")
+    FeatherSink(out, overwrite=True).write(ds)
+    back = FeatherSource(out).read()
+
+    # AggregateTransform keeps the reference's as_float coercion for
+    # non-exact aggregates (a timestamp would NaN out) — min the ts as
+    # its int64 microsecond payload via exact_int, restore the type
+    # after; value_sum rides the same exact path scaled by 100
+    from etlray.stages import BatchMapTransform
+
+    def ts_as_int(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("ts")
+        return t.set_column(i, "ts", pc.cast(t["ts"], pa.int64()))
+
+    back = BatchMapTransform(ts_as_int).apply(back)
+    back = _scale_int_cols(back, {"value": 100.0}, {})
+    agg = AggregateTransform(
+        ["event_type"],
+        [("event_type", "count"), ("value", "sum"), ("ts", "min")],
+        exact_int=True,
+    ).apply(back)
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("ts_min")
+        t = t.set_column(
+            i, "ts_min", pc.cast(t["ts_min"], pa.timestamp("us")))
+        j = t.column_names.index("value_sum")
+        return t.set_column(
+            j, "value_sum", pc.divide(
+                pc.cast(t["value_sum"], pa.float64()), 100.0))
+
+    agg = BatchMapTransform(finish).apply(agg)
+    return RenameColumnsTransform(
+        {"event_type_count": "n_rows", "value_sum": "value_sum",
+         "ts_min": "first_ts"}).apply(agg)
+
+
+@register(
     "interp_fill_user_value",
     """
     WITH w AS (
@@ -3413,6 +3509,8 @@ _GATE_TAIL = [
     "entropy_event_type_by_user",     # agg family (category entropy)
     "interp_fill_user_value",         # time-series two-sided interp
     "orc_roundtrip_agg",              # source/sink family (ORC)
+    "csv_roundtrip_agg",              # source/sink family (CSV write)
+    "feather_roundtrip_agg",          # source/sink family (Arrow IPC)
     "json_extract_props_k",           # scalar-function width (JSON)
     "levenshtein_text_chunks",        # string-metric width
     "math_funcs_lineitem",            # scalar-function width (math)

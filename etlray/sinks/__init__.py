@@ -4,5 +4,8 @@ from etlray.sinks.console import ConsoleSink
 from etlray.sinks.memory import MemorySink
 from etlray.sinks.delta import DeltaSink
 from etlray.sinks.orc import OrcSink
+from etlray.sinks.csv import CsvSink
+from etlray.sinks.feather import FeatherSink
 
-__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink", "MemorySink", "DeltaSink", "OrcSink"]
+__all__ = ["ParquetSink", "JsonSink", "JsonLinesSink", "ConsoleSink",
+           "MemorySink", "DeltaSink", "OrcSink", "CsvSink", "FeatherSink"]

@@ -307,3 +307,85 @@ def test_orc_column_pruning_and_overwrite_guard(tmp_path, ray_session):
     assert OrcSource(out).read().count() == 2
     with _pytest.raises(LoadError, match="compression"):
         OrcSink(out, compression="lzo")
+
+
+def test_feather_roundtrip_fidelity(tmp_path, ray_session):
+    """Types, NULLs and values survive parquet -> IPC -> Dataset
+    bit-exactly (IPC is Arrow's own layout — no unit widening)."""
+    import pyarrow as pa
+    import ray
+
+    from etlray.sinks import FeatherSink
+    from etlray.sources import FeatherSource, MemorySource
+
+    t = pa.table({
+        "i": pa.array([1, 2, 3], pa.int64()),
+        "f": pa.array([1.5, 2.5, None], pa.float64()),
+        "s": pa.array(["a", None, "c"]),
+        "ts": pa.array([1_000_000, 2_000_000, None],
+                       pa.timestamp("us")),
+        "b": pa.array([True, False, None]),
+        "lst": pa.array([[1.0, 2.0], None, [3.0]],
+                        pa.list_(pa.float64())),
+    })
+    out = str(tmp_path / "ipc_dir")
+    res = FeatherSink(out).write(MemorySource(t).read().repartition(2))
+    assert res["rows_written"] == 3
+    assert all(p.endswith(".feather") for p in res["paths"])
+    # compare as Arrow (ray's to_pandas tensor-casts ragged lists)
+    parts = ray.get(FeatherSource(out).read().sort("i").to_arrow_refs())
+    got = pa.concat_tables([p for p in parts if p.num_rows])
+    assert got.select(t.column_names).equals(t)
+
+
+def test_feather_pruning_and_overwrite_guard(tmp_path, ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from etlray.errors import LoadError
+    from etlray.sinks import FeatherSink
+    from etlray.sources import FeatherSource, MemorySource
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]})
+    out = str(tmp_path / "ipc2")
+    FeatherSink(out).write(MemorySource(t).read())
+    pruned = FeatherSource(out, columns=["a", "c"]).read()
+    assert sorted(pruned.schema().names) == ["a", "c"]
+    with _pytest.raises(LoadError, match="overwrite"):
+        FeatherSink(out).write(MemorySource(t).read())
+    res = FeatherSink(out, overwrite=True).write(MemorySource(t).read())
+    assert res["rows_written"] == 2
+    assert FeatherSource(out).read().count() == 2
+    with _pytest.raises(LoadError, match="compression"):
+        FeatherSink(out, compression="gzip")
+
+
+def test_csv_sink_roundtrip_and_guard(tmp_path, ray_session):
+    """Floats write with round-trippable precision; header + types
+    survive the text format via typed re-read; overwrite guarded."""
+    import glob
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from etlray.errors import LoadError
+    from etlray.sinks import CsvSink
+    from etlray.sources import CsvSource, MemorySource
+
+    t = pa.table({
+        "i": pa.array([1, 2, 3], pa.int64()),
+        "f": pa.array([0.1 + 0.2, 2.5, None], pa.float64()),
+        "s": pa.array(["a", None, "c,with,commas"]),
+    })
+    out = str(tmp_path / "csv_dir")
+    res = CsvSink(out).write(MemorySource(t).read())
+    assert res["rows_written"] == 3
+    back = CsvSource(sorted(glob.glob(out + "/*.csv"))).read() \
+        .sort("i").to_pandas()
+    assert back["f"][0] == 0.1 + 0.2        # exact double round trip
+    assert back["s"][2] == "c,with,commas"  # quoting survives
+    assert back["s"].isna()[1] and back["f"].isna()[2]
+    with _pytest.raises(LoadError, match="overwrite"):
+        CsvSink(out).write(MemorySource(t).read())
+    with _pytest.raises(LoadError, match="delimiter"):
+        CsvSink(out, delimiter="ab")
