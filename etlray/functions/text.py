@@ -300,3 +300,41 @@ def add_levenshtein(t: pa.Table, col_a: str, col_b: str,
     """map_batches adapter for :func:`levenshtein_bytes`."""
     return t.append_column(out_col,
                            levenshtein_bytes(t[col_a], t[col_b]))
+
+
+def dedup_delimited(t: pa.Table, col: str = "text",
+                    delimiter: str = "\n",
+                    out_col: str = "text_dedup") -> pa.Table:
+    """Within-row duplicate-segment removal, first occurrence kept —
+    the Gopher-style repetition scrub generalized over any delimiter
+    (newline for duplicate LINES, space for duplicate TOKENS). SQL
+    oracle: split → first-occurrence ordinal per (row, segment) →
+    string_agg back in ordinal order.
+
+    Vectorized across the batch: ONE Arrow split, a pandas C
+    ``duplicated`` over (parent_row, segment), one ``np.bincount``
+    for the surviving offsets and ONE ``binary_join`` back — no
+    per-row Python. NULL inputs stay NULL."""
+    import pandas as pd
+
+    s = _cc(t[col])
+    lists = pc.split_pattern(s, pattern=delimiter)
+    flat = lists.values
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = ~pd.DataFrame(
+        {"p": parent,
+         "s": flat.to_pandas()}).duplicated().to_numpy()
+    kept_child = flat.filter(pa.array(keep))
+    counts = np.bincount(parent[keep], minlength=len(s))
+    # rows where the split itself is NULL contribute no children;
+    # give them an empty segment list and re-mask after the join
+    offsets = np.zeros(len(s) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            offsets, pc.cast(kept_child, pa.large_string())),
+        pa.scalar(delimiter, pa.large_string()))
+    null_mask = pc.is_null(s)
+    joined = pc.if_else(null_mask, pa.scalar(None, pa.large_string()),
+                        joined)
+    return t.append_column(out_col, pc.cast(joined, pa.string()))

@@ -3447,6 +3447,40 @@ def onehot_event_types(sf_dir: str):
     return BatchMapTransform(encode).apply(ds)
 
 
+@register(
+    "dedup_words_docs",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS seg,
+             unnest(generate_series(1, len(string_split(text, ' '))))
+                 AS ord
+      FROM documents WHERE text IS NOT NULL
+    ), firsts AS (
+      SELECT doc_id, seg, min(ord) AS ord
+      FROM segs GROUP BY doc_id, seg
+    )
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY ord) AS text_dedup
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def dedup_words_docs(sf_dir: str):
+    """Within-document duplicate-segment removal keeping first
+    occurrence (the Gopher repetition scrub as a rewrite, not just a
+    score) — ``dedup_delimited`` with the space delimiter, since this
+    corpus has no newlines. Shuffle-free: one Arrow split, one pandas
+    C duplicated over (row, segment), one binary_join per batch."""
+    from etlray.functions.text import dedup_delimited
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"],
+             filter=pc.field("text").is_valid()).read()
+    ds = BatchMapTransform(
+        lambda t: dedup_delimited(t, "text", " ")).apply(ds)
+    return BatchMapTransform(
+        lambda t: t.select(["doc_id", "text_dedup"])).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3519,6 +3553,7 @@ _GATE_TAIL = [
     "zscore_minmax_value_by_type",    # ML-prep feature scaling
     "label_encode_event_type",        # ML-prep label encoding
     "onehot_event_types",             # ML-prep one-hot encoding
+    "dedup_words_docs",               # within-doc repetition scrub
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -144,3 +144,19 @@ def test_json_scalar_extract_regex_vs_strict(ray_session):
         MemorySource(rows2).read()).take_all()}
     assert got[0] == 'a"b'
     assert got[1] == "top"
+
+
+def test_dedup_delimited_first_occurrence(ray_session):
+    """Duplicate segments drop, first occurrence and order kept;
+    NULL stays NULL; empty string and single-segment rows pass."""
+    import pyarrow as pa
+
+    from etlray.functions.text import dedup_delimited
+
+    t = pa.table({"text": ["a b a c b", None, "", "x x x", "one"]})
+    got = dedup_delimited(t, "text", " ", "d")["d"].to_pylist()
+    assert got == ["a b c", None, "", "x", "one"]
+    # newline-delimited (the Gopher duplicate-LINE scrub)
+    t2 = pa.table({"text": ["l1\nl2\nl1\nl3", "only"]})
+    got2 = dedup_delimited(t2, "text")["text_dedup"].to_pylist()
+    assert got2 == ["l1\nl2\nl3", "only"]
