@@ -3481,6 +3481,163 @@ def dedup_words_docs(sf_dir: str):
         lambda t: t.select(["doc_id", "text_dedup"])).apply(ds)
 
 
+@register(
+    "running_avg_value_by_user",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
+               AS avg_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_avg_value_by_user(sf_dir: str):
+    """Running mean per user in event order — RunningAggTransform's
+    avg mode (running sum / non-null count so far in one pass through
+    the same single exchange; empty window → NULL). Compared in exact
+    CENTS: a float running mean of 2-dp money lands on 4-dp rounding
+    ties (…375/…625) where engine-specific last-ulp noise flips the
+    driver hash; over ints both engines perform the IDENTICAL single
+    IEEE division, so the doubles are bit-equal."""
+    from etlray.stages import RunningAggTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"]).read()
+    ds = _scale_int_cols(ds, {"value": 100.0})
+    out = RunningAggTransform("user_id", "ts", "value", agg="avg",
+                              tiebreak="event_id",
+                              out_col="avg_cents").apply(ds)
+    return out.select_columns(["event_id", "user_id", "avg_cents"])
+
+
+@register(
+    "sort_multi_key_orders",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi_key_orders(sf_dir: str):
+    """Multi-key global sort with mixed directions + limit — the range
+    shuffle carries three sort keys, tiebroken deterministic by the
+    unique order key (the driver hash is order-insensitive; the LIMIT
+    boundary is what the tiebreak pins)."""
+    from etlray.stages import LimitTransform, SortTransform
+
+    ds = _pq(sf_dir, "orders",
+             columns=["o_orderkey", "o_orderstatus",
+                      "o_totalprice"]).read()
+    ds = SortTransform(["o_orderstatus", "o_totalprice", "o_orderkey"],
+                       descending=[False, True, False]).apply(ds)
+    return LimitTransform(100).apply(ds)
+
+
+@register(
+    "paginate_events_by_value",
+    """
+    SELECT event_id, value, rn FROM (
+        SELECT event_id, value,
+               row_number() OVER (ORDER BY value DESC, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+    ) WHERE rn BETWEEN 31 AND 50
+    """,
+)
+def paginate_events_by_value(sf_dir: str):
+    """LIMIT/OFFSET pagination with a stable global position — pure
+    composition: global sort → zip_with_index (prefix scan over block
+    row counts, phase one reads no data) → pushdown-style range
+    filter. No new operator; the page boundary is deterministic via
+    the event_id tiebreak."""
+    from etlray.functions.sampling import zip_with_index
+    from etlray.stages import FilterTransform, SortTransform
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"],
+             filter=pc.field("value").is_valid()).read()
+    ds = SortTransform(["value", "event_id"],
+                       descending=[True, False]).apply(ds)
+    ds = zip_with_index(ds, out_col="rn0")
+    ds = FilterTransform(
+        lambda t: pc.and_(pc.greater_equal(t["rn0"], 30),
+                          pc.less_equal(t["rn0"], 49))).apply(ds)
+
+    def rn1(t: pa.Table) -> pa.Table:
+        out = t.select(["event_id", "value"])
+        return out.append_column("rn", pc.add(t["rn0"], 1))
+
+    from etlray.stages import BatchMapTransform
+
+    return BatchMapTransform(rn1).apply(ds)
+
+
+@register(
+    "having_high_value_types",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_sum_c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    HAVING count(*) > 100 AND avg(value) > 45
+    """,
+)
+def having_high_value_types(sf_dir: str):
+    """GROUP BY … HAVING as the natural composition: aggregate, then a
+    filter over the aggregate's output columns (the HAVING predicate
+    references both a kept column and avg derived from the exact-int
+    sum)."""
+    from etlray.stages import (AggregateTransform, BatchMapTransform,
+                               FilterTransform, RenameColumnsTransform)
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    ds = _scale_int_cols(ds, {"value": 100.0})
+    agg = AggregateTransform(
+        ["event_type"], [("event_type", "count"), ("value", "sum")],
+        exact_int=True).apply(ds)
+
+    def having(t: pa.Table) -> pa.Table:
+        n = t["event_type_count"]
+        avg = pc.divide(
+            pc.cast(t["value_sum"], pa.float64()),
+            pc.multiply(pc.cast(n, pa.float64()), 100.0))
+        keep = pc.and_(pc.greater(n, 100), pc.greater(avg, 45.0))
+        return t.filter(keep)
+
+    ds = BatchMapTransform(having).apply(agg)
+    return RenameColumnsTransform(
+        {"event_type_count": "n_events",
+         "value_sum": "value_sum_c"}).apply(ds)
+
+
+@register(
+    "union_distinct_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def union_distinct_users(sf_dir: str):
+    """SQL UNION (distinct, vs the in-window union_all_events): union
+    the streams, then one hash-distinct — the distinct's per-block
+    pre-collapse keeps the shuffle input small."""
+    from etlray.stages import DistinctTransform, UnionTransform
+
+    clicks = _pq(sf_dir, "events", columns=["user_id"],
+                 filter=pc.field("event_type") == "click").read()
+    buys = _pq(sf_dir, "events", columns=["user_id"],
+               filter=pc.field("event_type") == "purchase").read()
+    ds = UnionTransform(buys).apply(clicks)
+    return DistinctTransform(["user_id"]).apply(ds)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3554,6 +3711,11 @@ _GATE_TAIL = [
     "label_encode_event_type",        # ML-prep label encoding
     "onehot_event_types",             # ML-prep one-hot encoding
     "dedup_words_docs",               # within-doc repetition scrub
+    "running_avg_value_by_user",      # window family (running mean)
+    "sort_multi_key_orders",          # sort family (multi-key mixed dirs)
+    "paginate_events_by_value",       # composition (LIMIT/OFFSET paging)
+    "having_high_value_types",        # composition (GROUP BY HAVING)
+    "union_distinct_users",           # set-op family (UNION distinct)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

@@ -2073,8 +2073,10 @@ class RunningAggTransform(Transform):
     """Per-key RUNNING aggregate in event order — SQL ``agg(v) OVER
     (PARTITION BY key ORDER BY order_col [, tiebreak] ROWS BETWEEN
     UNBOUNDED PRECEDING AND CURRENT ROW)`` with agg ∈ {sum, count,
-    min, max}. The cumulative-state window the LAG/NTILE family
-    doesn't cover (running revenue, events-so-far, high-water marks).
+    min, max, avg}. The cumulative-state window the LAG/NTILE family
+    doesn't cover (running revenue, events-so-far, high-water marks;
+    avg = running sum / non-null count so far, float64 — empty
+    window → NULL).
 
     Scale shape: the usual single key exchange; per bucket one sort +
     pandas' C-implemented grouped cumulative kernels (cumsum/cummax/
@@ -2083,7 +2085,7 @@ class RunningAggTransform(Transform):
     unchanged (SQL window-aggregate semantics); their own row still
     gets the running value so far."""
 
-    _AGGS = ("sum", "count", "min", "max")
+    _AGGS = ("sum", "count", "min", "max", "avg")
 
     def __init__(self, by: str | Sequence[str], order_col: str,
                  value_col: str, agg: str = "sum",
@@ -2124,6 +2126,7 @@ class RunningAggTransform(Transform):
                 t = t.set_column(t.column_names.index(vc), vc,
                                  t[vc].cast(declared))
             vtype = pa.int64() if agg == "count" \
+                else pa.float64() if agg == "avg" \
                 else t.schema.field(vc).type
             if n == 0:
                 return t.append_column(out_col, pa.array([], type=vtype))
@@ -2134,7 +2137,7 @@ class RunningAggTransform(Transform):
             kc = key_change_mask(
                 [t[c].to_numpy(zero_copy_only=False) for c in by], n)
             gid = np.cumsum(kc) - 1
-            if agg != "count" and pa.types.is_integer(vtype) \
+            if agg in ("sum", "min", "max") and pa.types.is_integer(vtype) \
                     and t[vc].null_count > 0:
                 # EXACT integer path: to_numpy on an int column with
                 # nulls promotes to float64 (silently inexact above
@@ -2163,11 +2166,17 @@ class RunningAggTransform(Transform):
                 elif agg == "count":
                     # non-null values so far, INCLUDING the current row
                     run = v.notna().astype("int64").groupby(gid).cumsum()
+                elif agg == "avg":
+                    # running mean = running sum / non-null count so far;
+                    # empty window (count 0) -> SQL NULL via NaN divide
+                    sums = g.cumsum().groupby(gid).ffill()
+                    cnts = v.notna().astype("int64").groupby(gid).cumsum()
+                    run = sums / cnts.where(cnts > 0)
                 elif agg == "min":
                     run = g.cummin()
                 else:
                     run = g.cummax()
-                if agg != "count":
+                if agg not in ("count", "avg"):
                     # SQL window-aggregate semantics at a NULL-value row:
                     # the running value SO FAR (pandas leaves NaN there) —
                     # forward-fill within the key; leading nulls stay null

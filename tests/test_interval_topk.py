@@ -445,6 +445,10 @@ def test_running_agg_sum_min_max_count_null_semantics(ray_session):
                           ("a", 4): 5.0, ("b", 1): 7.0}
     assert run("count") == {("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
                             ("a", 4): 2, ("b", 1): 1}
+    # avg: running sum / non-null count; empty window (leading null
+    # prefix) -> NULL; a NULL row repeats the running mean so far
+    assert run("avg") == {("a", 1): None, ("a", 2): 5.0, ("a", 3): 5.0,
+                          ("a", 4): 3.5, ("b", 1): 7.0}
 
 
 def test_running_agg_int64_with_nulls_stays_exact(ray_session):
