@@ -438,6 +438,93 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
     return merged
 
 
+def _diff_bucket(bucket, old_base, old_deltas, new_base, new_deltas,
+                 keys, lsn_col, op_col, rename, compare_cols):
+    """Diff ONE bucket between two snapshots (runs as a Ray task):
+    merge-read each side (base + delta stack, tombstones dropped),
+    full-outer join on the keys in-process, classify every key as
+    added / deleted / changed over the compare columns (NULL-safe
+    equality), and return only the non-identical keys."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    cols = list(dict.fromkeys(list(keys) + list(compare_cols)))
+
+    def load(base, dps):
+        paths = ([base] if base else []) + list(dps)
+        if not paths:
+            return None
+        # prune the read to the compare columns ONLY when every file
+        # on this side carries them under their final names — a
+        # schema-evolution-era or pre-rename file forces a full read
+        # (the merge conform is what materializes the missing/renamed
+        # columns, and it runs after the per-file projection)
+        prune = True
+        for p in paths:
+            names = set(pq.read_schema(p).names)
+            final = {rename.get(n, n) for n in names}
+            if any(c not in final or c not in names for c in cols):
+                prune = False
+                break
+        return _merge_read_bucket(bucket, base, list(dps), keys, lsn_col,
+                                  op_col, rename, cols if prune else None,
+                                  None)
+
+    old = load(old_base, old_deltas)
+    new = load(new_base, new_deltas)
+    if old is not None and new is not None:
+        # align compare columns across schema eras: absent -> typed
+        # nulls, widened -> compare in the new era's type
+        for c in compare_cols:
+            nt = new[c].type if c in new.column_names else None
+            ot = old[c].type if c in old.column_names else None
+            target = nt if nt is not None else ot \
+                if ot is not None else pa.null()
+            if c not in new.column_names:
+                new = new.append_column(c, pa.nulls(new.num_rows, target))
+            if c not in old.column_names:
+                old = old.append_column(c, pa.nulls(old.num_rows, target))
+            if not old[c].type.equals(new[c].type):
+                old = old.set_column(old.column_names.index(c), c,
+                                     old[c].cast(new[c].type))
+    change_t = pa.string()
+
+    def only(t: pa.Table, label: str) -> pa.Table:
+        out = t.select(list(keys))
+        return out.append_column(
+            "change", pa.array(np.full(t.num_rows, label), change_t))
+
+    if old is None or old.num_rows == 0:
+        return only(new, "added") if new is not None else \
+            pa.table({}).select([])
+    if new is None or new.num_rows == 0:
+        return only(old, "deleted")
+    marker = pa.array(np.ones(new.num_rows, dtype=np.int8))
+    new2 = new.append_column("__in_new", marker)
+    old2 = old.append_column(
+        "__in_old", pa.array(np.ones(old.num_rows, dtype=np.int8)))
+    j = new2.join(old2, keys=list(keys), join_type="full outer",
+                  right_suffix="_old")
+    in_new = pc.is_valid(j["__in_new"])
+    in_old = pc.is_valid(j["__in_old"])
+    diff_any = pa.array(np.zeros(j.num_rows, dtype=bool))
+    for c in compare_cols:
+        a, b = j[c], j[f"{c}_old"]
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        diff_any = pc.or_(diff_any, pc.invert(pc.or_(eq, both_null)))
+    added = pc.and_(in_new, pc.invert(in_old))
+    deleted = pc.and_(in_old, pc.invert(in_new))
+    changed = pc.and_(pc.and_(in_new, in_old), diff_any)
+    label = pc.if_else(added, "added",
+                       pc.if_else(deleted, "deleted",
+                                  pc.if_else(changed, "changed",
+                                             pa.scalar(None, change_t))))
+    out = j.select(list(keys)).append_column("change", label)
+    return out.filter(pc.is_valid(out["change"]))
+
+
 class CDCEngine:
     def __init__(
         self,
@@ -631,6 +718,88 @@ class CDCEngine:
 
         return ds.map_batches(strip, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+    # ------------------------------------------------------------------
+    def diff(self, from_epoch, to_epoch=None,
+             compare_cols: Sequence[str] | None = None) -> dict:
+        """Snapshot diff between two committed epochs: which keys were
+        added, deleted or changed going from ``from_epoch`` to
+        ``to_epoch`` (default: current). Returns ``{"dataset": Dataset
+        of (keys…, change), "buckets": n, "buckets_skipped": s,
+        "buckets_compared": c}``.
+
+        Scale shape: both snapshots share the hash(key)→bucket layout,
+        so the diff runs PER BUCKET with zero shuffle — and a bucket
+        whose base file AND delta stack are identical between the two
+        epochs (the carry-forward case) is skipped without reading a
+        byte, so cost ∝ touched buckets, exactly like the apply path.
+        ``compare_cols`` defaults to every data column except the
+        payload when a ``content_sha`` column is present (the sha IS
+        the payload's identity — comparing both would read the blobs
+        for nothing).
+
+        A rebalance between the two epochs changes the key→bucket
+        mapping and is rejected — diff within one bucketing era, or
+        re-bootstrap."""
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data
+
+        files_a = self.manifest.snapshot_files(from_epoch)
+        files_b = self.manifest.snapshot_files(to_epoch)
+        if files_a is None or files_b is None:
+            missing = from_epoch if files_a is None else to_epoch
+            raise ValueError(f"epoch {missing!r} is not committed")
+        deltas_a = self.manifest.snapshot_deltas(from_epoch)
+        deltas_b = self.manifest.snapshot_deltas(to_epoch)
+
+        def era(epoch):
+            rec = (self.manifest.current_epoch() if epoch is None
+                   else self.manifest._read_record(epoch))
+            return ((rec or {}).get("metrics") or {}).get("num_buckets")
+
+        nb_a, nb_b = era(from_epoch), era(to_epoch)
+        if nb_a is not None and nb_b is not None and nb_a != nb_b:
+            raise ValueError(
+                f"snapshots use different bucket counts ({nb_a} vs "
+                f"{nb_b} — a rebalance happened between them); diff is "
+                "only defined within one bucketing era")
+
+        if compare_cols is None:
+            probe = next(iter(sorted(files_b.values())), None) \
+                or next(iter(sorted(files_a.values())), None)
+            names = list(pq.read_schema(probe).names) if probe else []
+            drop = {*self.keys, self.lsn_col, self.op_col,
+                    BUCKET_COL, APPLIED_COL}
+            if "content_sha" in names:
+                drop.add(self.content_col)
+            compare_cols = [n for n in names if n not in drop]
+
+        buckets = sorted(set(files_a) | set(files_b)
+                         | set(deltas_a) | set(deltas_b))
+        task = ray.remote(_diff_bucket)
+        refs, skipped = [], 0
+        for b in buckets:
+            fa, fb = files_a.get(b), files_b.get(b)
+            da, db = deltas_a.get(b, []), deltas_b.get(b, [])
+            if fa == fb and da == db:
+                skipped += 1  # carry-forward: not a byte read
+                continue
+            refs.append(task.remote(
+                b, fa, da, fb, db, self.keys, self.lsn_col,
+                self.op_col, self.rename_map, list(compare_cols)))
+        if refs:
+            ds = ray.data.from_arrow_refs(refs)
+        else:
+            schema = pa.schema(
+                [pq.read_schema(next(iter(sorted(files_b.values()))))
+                 .field(k) for k in self.keys]
+                + [pa.field("change", pa.string())]) if files_b else \
+                pa.schema([pa.field("change", pa.string())])
+            ds = ray.data.from_arrow(schema.empty_table())
+        return {"dataset": ds, "buckets": len(buckets),
+                "buckets_skipped": skipped,
+                "buckets_compared": len(refs)}
 
     # ------------------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> dict:
@@ -1496,12 +1665,14 @@ class CDCEngine:
 # flagship demo for __ray_entry__.entry()
 # ---------------------------------------------------------------------------
 def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None,
-                      mode: str = "merge"):
+                      mode: str = "merge", return_diff: bool = False):
     """Generate the deterministic CDC fixture (size keyed to sf_dir),
     bootstrap + replay all three schema-evolution epochs, and return
     the final table Dataset. ``mode="delta"`` replays through the
     delta tier and returns a MERGE-ON-READ snapshot (delta stacks left
-    outstanding on purpose, so the read path itself is exercised)."""
+    outstanding on purpose, so the read path itself is exercised).
+    ``return_diff=True`` returns ``diff("bootstrap")`` — the
+    added/deleted/changed key classification — instead of the table."""
     import tempfile
 
     import ray.data
@@ -1542,4 +1713,6 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None,
     eng.bootstrap(ray.data.read_parquet(fx["base"]))
     for i, p in enumerate(fx["epochs"]):
         eng.apply_log(p, epoch_id=i, mode=mode)
+    if return_diff:
+        return eng.diff("bootstrap")["dataset"]
     return eng.read_snapshot()

@@ -1728,6 +1728,18 @@ def cdc_replay_flagship(sf_dir: str):
     return flagship_cdc_demo(sf_dir)
 
 
+@register("cdc_snapshot_diff")
+def cdc_snapshot_diff(sf_dir: str):
+    """Snapshot diff over the flagship replay (rows-only: classified
+    added/deleted/changed keys are oracle-checked against the dict
+    replay in tests/test_cdc.py::test_snapshot_diff_matches_oracle).
+    Carry-forward buckets are skipped without reading a byte — diff
+    cost ∝ touched buckets, like the apply path."""
+    from etlray.cdc.engine import flagship_cdc_demo
+
+    return flagship_cdc_demo(sf_dir, return_diff=True)
+
+
 @register("cdc_delta_replay")
 def cdc_delta_replay(sf_dir: str):
     """Flagship fixture replayed through the DELTA tier (per-bucket
@@ -3724,6 +3736,7 @@ _GATE_TAIL = [
     "multimodal_audio_features",
     "cdc_replay_flagship",
     "cdc_delta_replay",
+    "cdc_snapshot_diff",
 ]
 
 

@@ -384,3 +384,56 @@ def test_generate_fixture_tiny_event_count(tmp_path):
         assert _os.path.exists(p), p
     oracle = oracle_apply(fx["base"], fx["epochs"])
     assert isinstance(oracle, dict)
+
+
+def test_snapshot_diff_matches_oracle(fixture_dir, tmp_path, ray_session):
+    """diff(bootstrap -> current) classifies every key exactly as the
+    dict-replay oracle does (added / deleted / changed on content_sha,
+    commit, language, size), skips carry-forward buckets without
+    reading them, and diff(current -> current) is empty."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    res = eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+    assert res["committed"]
+
+    base_state = oracle_apply(fixture_dir["base"], [])
+    final_state = oracle_apply(fixture_dir["base"],
+                               [fixture_dir["epochs"][0]])
+    want = {}
+    for k in final_state.keys() - base_state.keys():
+        want[k] = "added"
+    for k in base_state.keys() - final_state.keys():
+        want[k] = "deleted"
+    cmp_fields = ("content_sha", "commit", "language", "size")
+    for k in final_state.keys() & base_state.keys():
+        if any(final_state[k].get(f) != base_state[k].get(f)
+               for f in cmp_fields):
+            want[k] = "changed"
+
+    d = eng.diff("bootstrap")
+    got = {(r["repo"], r["path"]): r["change"]
+           for r in d["dataset"].take_all()}
+    assert got == want
+    assert d["buckets_compared"] + d["buckets_skipped"] == d["buckets"]
+
+    # same epoch on both sides: every bucket carry-forward-identical
+    d2 = eng.diff(0, 0)
+    assert d2["buckets_skipped"] == d2["buckets"]
+    assert d2["dataset"].count() == 0
+
+
+def test_snapshot_diff_rejects_cross_rebalance(fixture_dir, tmp_path,
+                                               ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+    eng.rebalance(16)
+    with _pytest.raises(ValueError, match="bucketing era"):
+        eng.diff(0)
