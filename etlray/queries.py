@@ -3650,6 +3650,40 @@ def union_distinct_users(sf_dir: str):
     return DistinctTransform(["user_id"]).apply(ds)
 
 
+@register(
+    "running_distinct_types_by_user",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts, event_type,
+             (row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+              AND event_type IS NOT NULL) AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS types_seen
+    FROM f
+    """,
+)
+def running_distinct_types_by_user(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in event order —
+    SQL windows cannot spell DISTINCT, so the oracle is the standard
+    first-occurrence-flag rewrite; the transform computes the same
+    flag with one pandas C duplicated over (key, value) in frame
+    order plus a segmented cumsum, never materializing the distinct
+    set."""
+    from etlray.stages import RunningDistinctCountTransform
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "event_type"]).read()
+    out = RunningDistinctCountTransform(
+        "user_id", "ts", "event_type", tiebreak="event_id",
+        out_col="types_seen").apply(ds)
+    return out.select_columns(["event_id", "user_id", "types_seen"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3728,6 +3762,7 @@ _GATE_TAIL = [
     "paginate_events_by_value",       # composition (LIMIT/OFFSET paging)
     "having_high_value_types",        # composition (GROUP BY HAVING)
     "union_distinct_users",           # set-op family (UNION distinct)
+    "running_distinct_types_by_user", # window family (running distinct)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",

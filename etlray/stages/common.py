@@ -1999,6 +1999,68 @@ class InterpFillTransform(Transform):
                              reduce_bucket, bucket_col=None)
 
 
+class RunningDistinctCountTransform(Transform):
+    """Per-key running COUNT(DISTINCT value) in event order — the
+    window SQL can't spell directly (no DISTINCT inside window
+    functions), so the oracle is the standard rewrite: flag each
+    (key, value) pair's FIRST occurrence in order via row_number()=1,
+    then a running sum of the flag. NULL values are not counted
+    (COUNT(DISTINCT) ignores NULLs) but their rows still carry the
+    count so far.
+
+    Scale shape: the shared key exchange + frame_sort; the
+    first-occurrence flag is one pandas C ``duplicated`` over
+    (key, value) — computed in frame order, so "first" means first in
+    event time — and the running count is one segmented cumsum. The
+    distinct-value SET is never materialized."""
+
+    def __init__(self, by: str | Sequence[str], order_col: str,
+                 value_col: str, tiebreak: str | None = None,
+                 out_col: str | None = None) -> None:
+        self.by = [by] if isinstance(by, str) else list(by)
+        self.order_col = order_col
+        self.value_col = value_col
+        self.tiebreak = tiebreak
+        self.out_col = out_col or f"{value_col}_distinct_running"
+
+    def apply(self, ds):
+        import numpy as np
+        import pandas as pd
+
+        from etlray.exchange import hash_exchange
+
+        by, oc, vc = self.by, self.order_col, self.value_col
+        tie, out = self.tiebreak, self.out_col
+
+        def reduce_bucket(t: pa.Table) -> pa.Table:
+            t = frame_sort(t, by, oc, tie)
+            n = t.num_rows
+            if n == 0:
+                return t.append_column(out, pa.array([], pa.int64()))
+            cols = {f"k{i}": t[c].to_numpy(zero_copy_only=False)
+                    for i, c in enumerate(by)}
+            vals = t[vc].to_numpy(zero_copy_only=False)
+            cols["v"] = vals
+            first = ~pd.DataFrame(cols).duplicated().to_numpy()
+            # NULL values never count as a new distinct
+            first &= pc.is_valid(
+                t[vc].combine_chunks()
+                if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            ).to_numpy(zero_copy_only=False)
+            kc = key_change_mask(
+                [cols[f"k{i}"] for i in range(len(by))], n)
+            run = np.cumsum(first.astype(np.int64))
+            starts = np.flatnonzero(kc)
+            base = (run - first.astype(np.int64))[starts]
+            key_idx = np.repeat(np.arange(len(starts)),
+                                np.diff(np.append(starts, n)))
+            return t.append_column(
+                out, pa.array(run - base[key_idx]))
+
+        return hash_exchange(ds, by, default_exchange_buckets(),
+                             reduce_bucket, bucket_col=None)
+
+
 class RankStatsTransform(Transform):
     """Per-key PERCENT_RANK and CUME_DIST in one pass — SQL
     ``percent_rank() OVER (PARTITION BY key ORDER BY v)`` =

@@ -533,3 +533,24 @@ def test_rank_stats_percent_rank_cume_dist(ray_session):
                  (20.0, 2 / 3, 0.75), (30.0, 1.0, 1.0)]
     b = [(r["percent_rank"], r["cume_dist"]) for r in out if r["g"] == "b"]
     assert b == [(0.0, 1.0)]
+
+
+def test_running_distinct_count(ray_session):
+    """Distinct-so-far per key: repeats don't increment, NULL values
+    never count but their rows carry the count so far, keys isolate."""
+    import ray.data
+
+    from etlray.stages import RunningDistinctCountTransform
+
+    rows = [{"g": "a", "t": 1, "v": "x"},
+            {"g": "a", "t": 2, "v": "y"},
+            {"g": "a", "t": 3, "v": "x"},
+            {"g": "a", "t": 4, "v": None},
+            {"g": "a", "t": 5, "v": "z"},
+            {"g": "b", "t": 1, "v": "x"}]
+    out = RunningDistinctCountTransform(
+        "g", "t", "v", out_col="r").apply(
+        ray.data.from_items(rows)).take_all()
+    got = {(r["g"], r["t"]): r["r"] for r in out}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("a", 3): 2,
+                   ("a", 4): 2, ("a", 5): 3, ("b", 1): 1}
