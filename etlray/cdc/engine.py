@@ -439,12 +439,16 @@ def _merge_read_bucket(bucket, base_path, delta_paths, keys, lsn_col, op_col,
 
 
 def _diff_bucket(bucket, old_base, old_deltas, new_base, new_deltas,
-                 keys, lsn_col, op_col, rename, compare_cols):
+                 keys, lsn_col, op_col, rename, compare_cols,
+                 include_values=False):
     """Diff ONE bucket between two snapshots (runs as a Ray task):
     merge-read each side (base + delta stack, tombstones dropped),
     full-outer join on the keys in-process, classify every key as
     added / deleted / changed over the compare columns (NULL-safe
-    equality), and return only the non-identical keys."""
+    equality), and return only the non-identical keys.
+    ``include_values=True`` makes it a CHANGE DATA FEED row: each key
+    also carries the new values and the ``_old`` values (NULL on the
+    absent side)."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -492,8 +496,23 @@ def _diff_bucket(bucket, old_base, old_deltas, new_base, new_deltas,
 
     def only(t: pa.Table, label: str) -> pa.Table:
         out = t.select(list(keys))
-        return out.append_column(
+        out = out.append_column(
             "change", pa.array(np.full(t.num_rows, label), change_t))
+        if include_values:
+            # the whole side is absent — its values are typed NULLs
+            for c in compare_cols:
+                cur = t[c] if c in t.column_names \
+                    else pa.nulls(t.num_rows, pa.null())
+                ctype = cur.type
+                if label == "added":
+                    out = out.append_column(c, cur)
+                    out = out.append_column(
+                        f"{c}_old", pa.nulls(t.num_rows, ctype))
+                else:  # deleted: the OLD side holds the values
+                    out = out.append_column(
+                        c, pa.nulls(t.num_rows, ctype))
+                    out = out.append_column(f"{c}_old", cur)
+        return out
 
     if old is None or old.num_rows == 0:
         return only(new, "added") if new is not None else \
@@ -522,6 +541,10 @@ def _diff_bucket(bucket, old_base, old_deltas, new_base, new_deltas,
                                   pc.if_else(changed, "changed",
                                              pa.scalar(None, change_t))))
     out = j.select(list(keys)).append_column("change", label)
+    if include_values:
+        for c in compare_cols:
+            out = out.append_column(c, j[c])
+            out = out.append_column(f"{c}_old", j[f"{c}_old"])
     return out.filter(pc.is_valid(out["change"]))
 
 
@@ -721,12 +744,18 @@ class CDCEngine:
 
     # ------------------------------------------------------------------
     def diff(self, from_epoch, to_epoch=None,
-             compare_cols: Sequence[str] | None = None) -> dict:
+             compare_cols: Sequence[str] | None = None,
+             include_values: bool = False) -> dict:
         """Snapshot diff between two committed epochs: which keys were
         added, deleted or changed going from ``from_epoch`` to
         ``to_epoch`` (default: current). Returns ``{"dataset": Dataset
         of (keys…, change), "buckets": n, "buckets_skipped": s,
-        "buckets_compared": c}``.
+        "buckets_compared": c}``. ``include_values=True`` upgrades the
+        diff to a CHANGE DATA FEED: each row also carries the compare
+        columns' new values and their ``_old`` counterparts (NULL on
+        the absent side) — the input an incremental downstream
+        consumer (materialized aggregate, search index, cache
+        invalidation) needs to apply additions AND retractions.
 
         Scale shape: both snapshots share the hash(key)→bucket layout,
         so the diff runs PER BUCKET with zero shuffle — and a bucket
@@ -787,7 +816,8 @@ class CDCEngine:
                 continue
             refs.append(task.remote(
                 b, fa, da, fb, db, self.keys, self.lsn_col,
-                self.op_col, self.rename_map, list(compare_cols)))
+                self.op_col, self.rename_map, list(compare_cols),
+                include_values))
         if refs:
             ds = ray.data.from_arrow_refs(refs)
         else:

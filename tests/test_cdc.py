@@ -437,3 +437,44 @@ def test_snapshot_diff_rejects_cross_rebalance(fixture_dir, tmp_path,
     eng.rebalance(16)
     with _pytest.raises(ValueError, match="bucketing era"):
         eng.diff(0)
+
+
+def test_snapshot_diff_change_feed_values(fixture_dir, tmp_path,
+                                          ray_session):
+    """include_values=True upgrades the diff to a change data feed:
+    new values + _old values per key, NULL on the absent side, both
+    matching the dict-replay oracle."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+
+    base_state = oracle_apply(fixture_dir["base"], [])
+    final_state = oracle_apply(fixture_dir["base"],
+                               [fixture_dir["epochs"][0]])
+
+    d = eng.diff("bootstrap", include_values=True,
+                 compare_cols=["content_sha", "commit"])
+    rows = {(r["repo"], r["path"]): r for r in d["dataset"].take_all()}
+    for k, r in rows.items():
+        if r["change"] == "added":
+            assert k not in base_state and k in final_state
+            assert r["content_sha"] == final_state[k]["content_sha"]
+            assert r["content_sha_old"] is None
+        elif r["change"] == "deleted":
+            assert k in base_state and k not in final_state
+            assert r["content_sha"] is None
+            assert r["content_sha_old"] == base_state[k]["content_sha"]
+        else:
+            assert r["content_sha"] == final_state[k]["content_sha"]
+            assert r["content_sha_old"] == base_state[k]["content_sha"]
+            assert (r["content_sha"], r["commit"]) != \
+                (r["content_sha_old"], r["commit_old"])
+    # feed covers exactly the non-identical keys on the compare cols
+    want = {k for k in final_state.keys() ^ base_state.keys()}
+    want |= {k for k in final_state.keys() & base_state.keys()
+             if (final_state[k]["content_sha"], final_state[k]["commit"])
+             != (base_state[k]["content_sha"], base_state[k]["commit"])}
+    assert set(rows) == want
