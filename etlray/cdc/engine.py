@@ -1695,7 +1695,8 @@ class CDCEngine:
 # flagship demo for __ray_entry__.entry()
 # ---------------------------------------------------------------------------
 def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None,
-                      mode: str = "merge", return_diff: bool = False):
+                      mode: str = "merge", return_diff: bool = False,
+                      return_view: bool = False):
     """Generate the deterministic CDC fixture (size keyed to sf_dir),
     bootstrap + replay all three schema-evolution epochs, and return
     the final table Dataset. ``mode="delta"`` replays through the
@@ -1741,6 +1742,20 @@ def flagship_cdc_demo(sf_dir: str, work_dir: str | None = None,
     eng = CDCEngine(os.path.join(work, "table"), num_buckets=16,
                     rename_map=RENAME_MAP, max_delta_depth=None)
     eng.bootstrap(ray.data.read_parquet(fx["base"]))
+    if return_view:
+        # incremental materialized view: seed from the bootstrap
+        # snapshot, then fold each epoch's change feed — never rescans
+        from etlray.cdc.view import snapshot_agg_view, update_agg_view
+
+        view = snapshot_agg_view(eng, "language", ["lsn"],
+                                 epoch_id="bootstrap")
+        prev = "bootstrap"
+        for i, p in enumerate(fx["epochs"]):
+            eng.apply_log(p, epoch_id=i, mode=mode)
+            view = update_agg_view(eng, view, from_epoch=prev,
+                                   to_epoch=i)
+            prev = i
+        return view
     for i, p in enumerate(fx["epochs"]):
         eng.apply_log(p, epoch_id=i, mode=mode)
     if return_diff:

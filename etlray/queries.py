@@ -1740,6 +1740,18 @@ def cdc_snapshot_diff(sf_dir: str):
     return flagship_cdc_demo(sf_dir, return_diff=True)
 
 
+@register("cdc_incremental_view")
+def cdc_incremental_view(sf_dir: str):
+    """Materialized (language → n_rows, sum_lsn) view maintained
+    INCREMENTALLY across the flagship's epochs from the change data
+    feed — no rescan; equality with a full snapshot recompute is
+    pytest-gated (tests/test_cdc.py::test_incremental_agg_view…).
+    Rows-only by design."""
+    from etlray.cdc.engine import flagship_cdc_demo
+
+    return flagship_cdc_demo(sf_dir, return_view=True)
+
+
 @register("cdc_delta_replay")
 def cdc_delta_replay(sf_dir: str):
     """Flagship fixture replayed through the DELTA tier (per-bucket
@@ -3772,6 +3784,7 @@ _GATE_TAIL = [
     "cdc_replay_flagship",
     "cdc_delta_replay",
     "cdc_snapshot_diff",
+    "cdc_incremental_view",
 ]
 
 

@@ -478,3 +478,32 @@ def test_snapshot_diff_change_feed_values(fixture_dir, tmp_path,
              if (final_state[k]["content_sha"], final_state[k]["commit"])
              != (base_state[k]["content_sha"], base_state[k]["commit"])}
     assert set(rows) == want
+
+
+def test_incremental_agg_view_matches_recompute(fixture_dir, tmp_path,
+                                                ray_session):
+    """Materialized (language -> n_rows, sum_lsn) view maintained
+    incrementally from the change feed equals a full recompute from
+    the snapshot, across two successive epochs (including group moves
+    when a key's language changes and group dropout)."""
+    import ray.data
+
+    from etlray.cdc.view import snapshot_agg_view, update_agg_view
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)
+
+    view = snapshot_agg_view(eng, "language", ["lsn"], epoch_id=0)
+    assert view.num_rows > 1 and view["n_rows"].to_pylist()
+
+    for i, ep in enumerate(fixture_dir["epochs"][1:], start=1):
+        eng.apply_log(ep, epoch_id=i)
+        view = update_agg_view(eng, view, from_epoch=i - 1, to_epoch=i)
+        want = snapshot_agg_view(eng, "language", ["lsn"], epoch_id=i)
+        got = {r["language"]: (r["n_rows"], r["sum_lsn"])
+               for r in view.to_pylist()}
+        exp = {r["language"]: (r["n_rows"], r["sum_lsn"])
+               for r in want.to_pylist()}
+        assert got == exp, f"epoch {i}: {got} != {exp}"
