@@ -514,9 +514,17 @@ def _diff_bucket(bucket, old_base, old_deltas, new_base, new_deltas,
                     out = out.append_column(f"{c}_old", cur)
         return out
 
+    if old is None and new is None:
+        # unreachable from diff() — identical buckets are skipped before
+        # dispatch — but guard it: a schema-less empty block would poison
+        # from_arrow_refs with heterogeneous block schemas downstream
+        raise ValueError(f"diff bucket {bucket}: both sides absent")
     if old is None or old.num_rows == 0:
-        return only(new, "added") if new is not None else \
-            pa.table({}).select([])
+        # when the new side is also absent (all rows tombstoned and no
+        # new files), emit 0 rows WITH the proper diff schema from the
+        # old side so every block in the feed has identical shape
+        return only(new, "added") if new is not None \
+            else only(old, "deleted")
     if new is None or new.num_rows == 0:
         return only(old, "deleted")
     marker = pa.array(np.ones(new.num_rows, dtype=np.int8))
@@ -821,12 +829,23 @@ class CDCEngine:
         if refs:
             ds = ray.data.from_arrow_refs(refs)
         else:
-            schema = pa.schema(
-                [pq.read_schema(next(iter(sorted(files_b.values()))))
-                 .field(k) for k in self.keys]
-                + [pa.field("change", pa.string())]) if files_b else \
-                pa.schema([pa.field("change", pa.string())])
-            ds = ray.data.from_arrow(schema.empty_table())
+            # all-carry-forward: emit an empty dataset whose schema
+            # matches a non-empty feed exactly (keys + change + the
+            # include_values columns and their _old twins) so consumers
+            # written against the documented feed shape work unchanged
+            probe = next(iter(sorted(files_b.values())), None) \
+                or next(iter(sorted(files_a.values())), None)
+            psch = pq.read_schema(probe) if probe else None
+            fields = ([psch.field(k) for k in self.keys] if psch
+                      is not None else []) \
+                + [pa.field("change", pa.string())]
+            if include_values:
+                for c in compare_cols:
+                    ct = (psch.field(c).type if psch is not None
+                          and c in psch.names else pa.null())
+                    fields += [pa.field(c, ct),
+                               pa.field(f"{c}_old", ct)]
+            ds = ray.data.from_arrow(pa.schema(fields).empty_table())
         return {"dataset": ds, "buckets": len(buckets),
                 "buckets_skipped": skipped,
                 "buckets_compared": len(refs)}

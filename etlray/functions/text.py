@@ -254,7 +254,10 @@ def levenshtein_bytes(a_col, b_col) -> "pa.Array":
     a = a_col.to_pylist() if hasattr(a_col, "to_pylist") else list(a_col)
     b = b_col.to_pylist() if hasattr(b_col, "to_pylist") else list(b_col)
     n = len(a)
-    null = np.array([x is None or y is None for x, y in zip(a, b)])
+    # dtype pinned: an empty batch would otherwise default to float64
+    # and pa.array(mask=...) requires a boolean mask
+    null = np.array([x is None or y is None for x, y in zip(a, b)],
+                    dtype=bool)
     ab = [x.encode("utf-8") if isinstance(x, str) else b"" for x in a]
     bb = [y.encode("utf-8") if isinstance(y, str) else b"" for y in b]
     la = np.fromiter((len(x) for x in ab), dtype=np.int64, count=n)

@@ -2891,9 +2891,7 @@ def csv_roundtrip_agg(sf_dir: str):
     out = os.path.join(
         "/tmp", f"etlray_csv_rt_{os.path.basename(os.path.normpath(sf_dir))}")
     CsvSink(out, overwrite=True).write(ds)
-    import glob
-
-    back = CsvSource(sorted(glob.glob(os.path.join(out, "*.csv")))).read()
+    back = CsvSource(out).read()  # directory read, like the ORC/Feather twins
     agg = AggregateTransform(
         ["event_type"], [("event_type", "count"), ("value", "sum")],
     ).apply(back)

@@ -887,14 +887,16 @@ class CorrStatsTransform(Transform):
         return agg.map_batches(finish, batch_format="pyarrow")
 
 
-_UFUNC_AGGS: dict[str, tuple[Any, Any, str]] = {
-    # fn -> (associative+commutative ufunc, identity, value kind)
-    "bit_and": (None, -1, "int"),
-    "bit_or": (None, 0, "int"),
-    "bit_xor": (None, 0, "int"),
-    "product": (None, 1.0, "float"),
-    "bool_and": (None, 1, "bool"),
-    "bool_or": (None, 0, "bool"),
+_UFUNC_AGGS: dict[str, tuple[str, Any, str]] = {
+    # fn -> (numpy ufunc name — associative+commutative, looked up
+    #        lazily so numpy import stays off module load —, identity,
+    #        value kind)
+    "bit_and": ("bitwise_and", -1, "int"),
+    "bit_or": ("bitwise_or", 0, "int"),
+    "bit_xor": ("bitwise_xor", 0, "int"),
+    "product": ("multiply", 1.0, "float"),
+    "bool_and": ("bitwise_and", 1, "bool"),
+    "bool_or": ("bitwise_or", 0, "bool"),
 }
 
 
@@ -942,9 +944,7 @@ class UfuncAggTransform(Transform):
     def _op(fn: str):
         import numpy as np
 
-        return {"bit_and": np.bitwise_and, "bit_or": np.bitwise_or,
-                "bit_xor": np.bitwise_xor, "product": np.multiply,
-                "bool_and": np.bitwise_and, "bool_or": np.bitwise_or}[fn]
+        return getattr(np, _UFUNC_AGGS[fn][0])
 
     def apply(self, ds):
         from etlray.exchange import hash_exchange
@@ -990,7 +990,11 @@ class UfuncAggTransform(Transform):
                 karr = t[keys[0]]
                 if isinstance(karr, pa.ChunkedArray):
                     karr = karr.combine_chunks()
-                codes = karr.dictionary_encode().indices.to_numpy(
+                # NULL keys form one group (SQL GROUP BY): sentinel -1
+                # BEFORE the numpy cast — null indices otherwise surface
+                # as NaN in float64 and NaN->int64 is platform-defined
+                codes = pc.fill_null(
+                    karr.dictionary_encode().indices, -1).to_numpy(
                     zero_copy_only=False).astype(np.int64)
             else:
                 import pandas as pd

@@ -2650,6 +2650,29 @@ class ValidateTransform(Transform):
         return ds.map_batches(validate, **self._mb_kwargs())
 
 
+def _json_to_i64(v) -> int:
+    """DuckDB ``CAST(col->>'$.k' AS BIGINT)`` semantics for a decoded
+    JSON value: integers pass through exactly, fractional values (and
+    fractional numeric STRINGS) round half away from zero ('2.5' -> 3,
+    '-2.5' -> -3), booleans and garbage raise like SQL's conversion
+    error. Shared by both JsonScalarExtractTransform paths so they
+    cannot drift."""
+    import math
+
+    if isinstance(v, bool):
+        # DuckDB: ->> renders 'true'/'false', CAST to BIGINT errors
+        raise ValueError(f"cannot cast JSON boolean to int64: {v}")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        try:
+            return int(v)  # exact for integer strings, 2^53-safe
+        except ValueError:
+            v = float(v)  # raises on garbage, like SQL CAST
+    return int(math.floor(v + 0.5)) if v >= 0 \
+        else int(math.ceil(v - 0.5))
+
+
 class JsonScalarExtractTransform(Transform):
     """Extract one top-level scalar field from a JSON-string column —
     SQL ``col->>'$.key'`` (DuckDB) is the oracle. Two paths:
@@ -2707,10 +2730,7 @@ class JsonScalarExtractTransform(Transform):
                         vals.append(v if isinstance(v, str)
                                     else json.dumps(v))
                     elif want == pa.int64():
-                        # SQL CAST semantics: numeric strings convert,
-                        # garbage raises (same as the regex path's cast)
-                        vals.append(int(float(v))
-                                    if isinstance(v, str) else int(v))
+                        vals.append(_json_to_i64(v))
                     else:
                         vals.append(float(v))
                 return t.append_column(out, pa.array(vals, type=want))
@@ -2729,6 +2749,23 @@ class JsonScalarExtractTransform(Transform):
             quoted = pc.match_substring_regex(raw, '^"')
             raw = pc.if_else(pc.fill_null(quoted, False),
                              pc.utf8_trim(raw, '"'), raw)
+            if want == pa.int64():
+                # DuckDB CAST(text AS BIGINT): integer strings convert
+                # EXACTLY (no float64 round trip — 2^53-safe), forms
+                # with a fraction or exponent round HALF AWAY FROM
+                # ZERO ('2.5' -> 3, '-2.5' -> -3); garbage raises
+                none_s = pa.scalar(None, pa.string())
+                frac = pc.fill_null(
+                    pc.match_substring_regex(raw, "[.eE]"), False)
+                ints = pc.cast(pc.if_else(frac, none_s, raw),
+                               pa.int64())
+                rounded = pc.cast(
+                    pc.round(pc.cast(pc.if_else(frac, raw, none_s),
+                                     pa.float64()),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+                return t.append_column(
+                    out, pc.if_else(frac, rounded, ints))
             return t.append_column(out, pc.cast(raw, want))
 
         return ds.map_batches(extract, batch_format="pyarrow",

@@ -507,3 +507,68 @@ def test_incremental_agg_view_matches_recompute(fixture_dir, tmp_path,
         exp = {r["language"]: (r["n_rows"], r["sum_lsn"])
                for r in want.to_pylist()}
         assert got == exp, f"epoch {i}: {got} != {exp}"
+
+
+def test_empty_change_feed_schema_matches_nonempty(fixture_dir, tmp_path,
+                                                   ray_session):
+    """An all-carry-forward change feed (same epoch on both sides) must
+    expose the SAME schema as a non-empty feed — keys + change + the
+    compare columns and their _old twins — so consumers written against
+    the documented feed shape work on the empty case too."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(fixture_dir["base"]))
+    assert eng.apply_log(fixture_dir["epochs"][0], epoch_id=0)["committed"]
+
+    full = eng.diff("bootstrap", 0, include_values=True)["dataset"]
+    empty = eng.diff(0, 0, include_values=True)["dataset"]
+    assert empty.count() == 0
+    assert empty.schema().names == full.schema().names
+
+
+def test_diff_tombstoned_bucket_vs_absent_side(tmp_path, ray_session):
+    """Reverse diff where a bucket exists only on the FROM side with
+    every row tombstoned: the per-bucket task must emit 0 rows WITH the
+    proper feed schema (pre-fix it returned a zero-column table,
+    poisoning from_arrow_refs with heterogeneous block schemas)."""
+    import ray.data
+
+    from etlray.cdc.apply import stable_bucket
+
+    cand = [f"src/f{i}.py" for i in range(32)]
+    probe = pa.table({"repo": ["org/a"] * len(cand), "path": cand})
+    bk = stable_bucket(probe, ("repo", "path"), 8)
+    p0 = cand[0]
+    p1 = next(c for c, b in zip(cand, bk) if b != bk[0])
+
+    base = pa.table({"repo": ["org/a"], "path": [p0], "commit": ["c0"],
+                     "lang": ["py"], "content": ["x"]})
+    bp = str(tmp_path / "base.parquet")
+    pq.write_table(base, bp)
+    eng = CDCEngine(str(tmp_path / "table"), num_buckets=8,
+                    rename_map=RENAME_MAP)
+    eng.bootstrap(ray.data.read_parquet(bp))
+
+    def ev(lsn, op, path, content):
+        return pa.table({
+            "lsn": pa.array([lsn], pa.int64()), "op": [op],
+            "repo": ["org/a"], "path": [path],
+            "commit": [None if op == "delete" else f"c{lsn}"],
+            "content": [content],
+            "lang": [None if op == "delete" else "py"]})
+
+    e0 = str(tmp_path / "e0.parquet")
+    pq.write_table(ev(1, "insert", p1, "hello"), e0)
+    e1 = str(tmp_path / "e1.parquet")
+    pq.write_table(ev(2, "delete", p1, None), e1)
+    assert eng.apply_log(e0, epoch_id=0)["committed"]
+    assert eng.apply_log(e1, epoch_id=1)["committed"]
+
+    # FROM epoch 1 (p1's bucket exists, all rows tombstoned) TO the
+    # bootstrap snapshot (bucket entirely absent)
+    d = eng.diff(1, "bootstrap", include_values=True)
+    assert d["dataset"].count() == 0
+    names = d["dataset"].schema().names
+    assert "change" in names and "repo" in names and "path" in names

@@ -160,3 +160,41 @@ def test_dedup_delimited_first_occurrence(ray_session):
     t2 = pa.table({"text": ["l1\nl2\nl1\nl3", "only"]})
     got2 = dedup_delimited(t2, "text")["text_dedup"].to_pylist()
     assert got2 == ["l1\nl2\nl3", "only"]
+
+
+def test_levenshtein_empty_batch():
+    """Ray Data regularly produces 0-row blocks (post-filter, small
+    partitions); the NULL mask must be boolean even then — an empty
+    list otherwise defaults to float64 and pa.array(mask=...) raises."""
+    import pyarrow as pa
+
+    from etlray.functions.text import levenshtein_bytes
+
+    out = levenshtein_bytes(pa.array([], pa.string()),
+                            pa.array([], pa.string()))
+    assert len(out) == 0
+
+
+def test_json_extract_int64_matches_duckdb_cast(ray_session):
+    """int64 extraction == DuckDB CAST(props->>'$.k' AS BIGINT) on BOTH
+    paths: integer strings convert exactly (2^53-safe), fractional
+    values round HALF AWAY FROM ZERO ('2.5' -> 3, '-2.5' -> -3)."""
+    import duckdb
+    import pyarrow as pa
+
+    from etlray.sources import MemorySource
+    from etlray.stages import JsonScalarExtractTransform
+
+    docs = ['{"k": 1.9}', '{"k": 2.5}', '{"k": -2.5}', '{"k": 7}',
+            '{"k": 9007199254740993}', '{"k": null}', '{"x": 1}', None]
+    rows = pa.table({"id": list(range(len(docs))),
+                     "props": pa.array(docs, pa.string())})
+    con = duckdb.connect()
+    con.register("t", rows)
+    want = dict(con.execute(
+        "SELECT id, CAST(props->>'$.k' AS BIGINT) FROM t").fetchall())
+    for strict in (False, True):
+        got = {r["id"]: r["k"] for r in JsonScalarExtractTransform(
+            "props", "k", out_type="int64", strict=strict).apply(
+            MemorySource(rows).read()).take_all()}
+        assert got == want, strict

@@ -89,3 +89,24 @@ def test_ufunc_agg_rejects_unknown_fn(ray_session):
 
     with pytest.raises(TransformError):
         UfuncAggTransform("k", [("v", "median")])
+
+
+def test_ufunc_agg_null_group_key(ray_session):
+    """NULL group keys form ONE group (SQL GROUP BY) on every
+    platform: the dictionary-code path must sentinel null indices
+    BEFORE the numpy int cast — NaN->int64 is platform-defined
+    (INT64_MIN on x86, 0 on aarch64, where NULL rows would silently
+    merge into the code-0 group)."""
+    import warnings
+
+    import pyarrow as pa
+
+    from etlray.stages.aggregate import UfuncAggTransform
+
+    t = pa.table({"g": ["a", None, "a", None], "v": [3, 5, 1, 6]})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = UfuncAggTransform("g", [("v", "bit_or")]).apply(
+            MemorySource(t).read())
+        rows = {r["g"]: r["v_bit_or"] for r in out.take_all()}
+    assert rows == {"a": 3, None: 7}
