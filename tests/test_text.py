@@ -198,3 +198,36 @@ def test_json_extract_int64_matches_duckdb_cast(ray_session):
             "props", "k", out_type="int64", strict=strict).apply(
             MemorySource(rows).read()).take_all()}
         assert got == want, strict
+
+
+def test_json_to_i64_fuzz_vs_duckdb():
+    """Property: _json_to_i64 on a numeric STRING == DuckDB
+    CAST(varchar AS BIGINT) — exact for integer strings, half away
+    from zero for fractional ones (bounded |x| so neither side
+    overflows; shortest-repr floats keep text and double parses in
+    agreement at the .5 boundaries)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etlray.stages.common import _json_to_i64
+
+    con = duckdb.connect()
+    # |x| >= 1e-4 keeps repr out of exponent form: DuckDB 1.0.0 casts
+    # tiny exponent-form strings with a cascaded per-digit rounding
+    # ('5.960464477539063e-08' -> 1, probed), a quirk we neither
+    # reproduce nor rely on
+    nums = st.one_of(
+        st.integers(-2**62, 2**62),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e12, max_value=1e12).filter(
+            lambda x: x == 0.0 or abs(x) >= 1e-4))
+
+    @given(v=nums)
+    @settings(max_examples=200, deadline=None)
+    def check(v):
+        s = repr(v) if isinstance(v, float) else str(v)
+        want = con.execute("SELECT CAST(? AS BIGINT)", [s]).fetchone()[0]
+        assert _json_to_i64(s) == want, s
+
+    check()
