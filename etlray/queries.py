@@ -3695,6 +3695,245 @@ def running_distinct_types_by_user(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 continuation width: CASE WHEN tiering, greatest/least/nullif
+# scalars, exact weighted average, RANK-ties top-k, MAD, month rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "case_when_value_tiers",
+    """
+    SELECT CASE WHEN value IS NULL THEN 'none'
+                WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS tier,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN value IS NULL THEN 0
+                         ELSE CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS sum_value_c
+    FROM events GROUP BY tier
+    """,
+)
+def case_when_value_tiers(sf_dir: str):
+    """SQL CASE WHEN as nested ``pc.if_else`` over Arrow (the NULL arm
+    first, so inner comparisons never leak a null tier), then the
+    ordinary partial-combine aggregate on the computed key — searched
+    CASE costs one vectorized pass, no per-row Python."""
+    from etlray.stages import BatchMapTransform, RenameColumnsTransform
+
+    ds = _pq(sf_dir, "events", columns=["value"]).read()
+
+    def tiers(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        tier = pc.if_else(
+            pc.is_null(v), pa.scalar("none"),
+            pc.if_else(pc.less(v, 50.0), pa.scalar("low"),
+                       pc.if_else(pc.less(v, 150.0), pa.scalar("mid"),
+                                  pa.scalar("high"))))
+        cents = pc.if_else(
+            pc.is_null(v), pa.scalar(0, pa.int64()),
+            pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64()))
+        out = pa.table({"tier": tier, "cents": cents})
+        return out
+
+    ds = BatchMapTransform(tiers).apply(ds)
+    agg = AggregateTransform(["tier"],
+                             [("tier", "count"), ("cents", "sum")],
+                             exact_int=True).apply(ds)
+    return RenameColumnsTransform({"tier_count": "n_events",
+                                   "cents_sum": "sum_value_c"}).apply(agg)
+
+
+@register(
+    "greatest_least_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, 25.0) AS qty_floor25,
+           least(l_discount, l_tax) AS min_rate,
+           coalesce(nullif(l_returnflag, 'N'), '-') AS flag_or_dash,
+           nullif(l_linestatus, 'O') AS status_nulled
+    FROM lineitem
+    """,
+)
+def greatest_least_lineitem(sf_dir: str):
+    """greatest / least / nullif / coalesce as Arrow element-wise
+    kernels: ``max_element_wise`` / ``min_element_wise`` skip NULLs by
+    default — verified equal to DuckDB's NULL-ignoring greatest/least
+    — and NULLIF is a typed-null ``if_else`` with COALESCE as
+    ``fill_null``. One projection pass, zero-copy in."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity",
+                      "l_discount", "l_tax", "l_returnflag",
+                      "l_linestatus"]).read()
+
+    def funcs(t: pa.Table) -> pa.Table:
+        out = t.select(["l_orderkey", "l_linenumber"])
+        out = out.append_column(
+            "qty_floor25", pc.max_element_wise(t["l_quantity"], 25.0))
+        out = out.append_column(
+            "min_rate", pc.min_element_wise(t["l_discount"], t["l_tax"]))
+        flag = pc.if_else(pc.equal(t["l_returnflag"], "N"),
+                          pa.scalar(None, pa.string()), t["l_returnflag"])
+        out = out.append_column("flag_or_dash", pc.fill_null(flag, "-"))
+        return out.append_column(
+            "status_nulled",
+            pc.if_else(pc.equal(t["l_linestatus"], "O"),
+                       pa.scalar(None, pa.string()), t["l_linestatus"]))
+
+    return BatchMapTransform(funcs).apply(ds)
+
+
+@register(
+    "weighted_avg_discount_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+               AS wavg_disc_h
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_discount_by_flag(sf_dir: str):
+    """Quantity-weighted average discount per return flag with EXACT
+    integer numerator/denominator (quantities are integral, discounts
+    carry 2 decimals → ×100): the weighted sums ride the ordinary
+    partial-combine aggregate bit-deterministically at any block
+    order, and only the final one-row-per-group division is float."""
+    from etlray.stages import BatchMapTransform
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_quantity", "l_discount"]).read()
+    ds = _scale_int_cols(ds, {"l_quantity": 1.0, "l_discount": 100.0})
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = t.select(["l_returnflag", "l_quantity"])
+        return out.append_column(
+            "wd", pc.multiply(t["l_quantity"], t["l_discount"]))
+
+    ds = BatchMapTransform(prep).apply(ds)
+    agg = AggregateTransform(["l_returnflag"],
+                             [("wd", "sum"), ("l_quantity", "sum")],
+                             exact_int=True).apply(ds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.select(["l_returnflag"])
+        return out.append_column(
+            "wavg_disc_h",
+            pc.divide(pc.cast(t["wd_sum"], pa.float64()),
+                      pc.cast(t["l_quantity_sum"], pa.float64())))
+
+    return BatchMapTransform(finish).apply(agg)
+
+
+@register(
+    "rank_ties_topk_per_type",
+    """
+    SELECT event_id, event_type, value FROM (
+      SELECT event_id, event_type, value,
+             rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+                 AS r
+      FROM events WHERE value IS NOT NULL) WHERE r <= 3
+    """,
+)
+def rank_ties_topk_per_type(sf_dir: str):
+    """Top-k WITH TIES (the RANK()-gated variant of
+    topk_events_per_type's row_number top-k): every row whose value
+    ties a top-3 rank survives, so k is a floor, not an exact count.
+    Same one-exchange rank kernel, descending order, then a plain
+    filter on the rank column."""
+    from etlray.stages import (DenseRankTransform, FilterTransform,
+                               SelectColumnsTransform)
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "event_type", "value"],
+             filter=pc.field("value").is_valid()).read()
+    ds = DenseRankTransform("event_type", "value", descending=True,
+                            dense=False, out_col="r").apply(ds)
+    ds = FilterTransform(pc.field("r") <= 3).apply(ds)
+    return SelectColumnsTransform(
+        ["event_id", "event_type", "value"]).apply(ds)
+
+
+@register(
+    "mad_value_by_type",
+    """
+    SELECT event_type, mad(value) AS value_mad
+    FROM events GROUP BY event_type
+    """,
+)
+def mad_value_by_type(sf_dir: str):
+    """Median absolute deviation per group — DuckDB ``mad(DOUBLE)`` is
+    ``quantile_cont(|x − quantile_cont(x, .5)|, .5)`` (verified on
+    hand cases). Two exact-quantile passes over the same
+    (group, value, count)-collapsed exchange; the per-group medians
+    (a groups-sized table) broadcast into the second pass as a plain
+    dict closure."""
+    import numpy as np
+
+    from etlray.stages import BatchMapTransform, QuantilePerGroupTransform
+
+    cols = ["event_type", "value"]
+    med_ds = QuantilePerGroupTransform(
+        "event_type", "value", [0.5], names=["med"],
+        interpolation="linear").apply(_pq(sf_dir, "events", columns=cols).read())
+    med = {r["event_type"]: r["med"] for r in med_ds.take_all()}
+
+    ds = _pq(sf_dir, "events", columns=cols).read()
+
+    def absdev(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = pd.Series(t["event_type"].to_numpy(zero_copy_only=False))
+        m = pa.array(g.map(med).to_numpy(dtype=np.float64,
+                                         na_value=np.nan))
+        adev = pc.abs(pc.subtract(t["value"], m))
+        return t.select(["event_type"]).append_column("adev", adev)
+
+    ds = BatchMapTransform(absdev).apply(ds)
+    return QuantilePerGroupTransform(
+        "event_type", "adev", [0.5], names=["value_mad"],
+        interpolation="linear").apply(ds)
+
+
+@register(
+    "monthly_order_totals",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month_ts,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM orders GROUP BY month_ts
+    """,
+)
+def monthly_order_totals(sf_dir: str):
+    """Calendar-month rollup (windowed_agg's hour floor generalized to
+    month boundaries — Arrow floor_temporal(unit='month') matches SQL
+    date_trunc exactly): exact-cents totals through the
+    partial-combine aggregate."""
+    from etlray.stages import BatchMapTransform, RenameColumnsTransform
+
+    ds = _pq(sf_dir, "orders",
+             columns=["o_orderdate", "o_totalprice"]).read()
+    ds = _scale_int_cols(ds, {"o_totalprice": 100.0})
+
+    def trunc(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t["o_orderdate"], unit="month")
+        out = pa.table({"month_ts": m.combine_chunks()
+                        if isinstance(m, pa.ChunkedArray) else m})
+        return out.append_column("c", t["o_totalprice"])
+
+    ds = BatchMapTransform(trunc).apply(ds)
+    agg = AggregateTransform(["month_ts"],
+                             [("month_ts", "count"), ("c", "sum")],
+                             exact_int=True).apply(ds)
+    return RenameColumnsTransform({"month_ts_count": "n_orders",
+                                   "c_sum": "total_c"}).apply(agg)
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
 # The correctness driver checks the FIRST 50 entries of ``queries()``; a
@@ -3773,6 +4012,12 @@ _GATE_TAIL = [
     "having_high_value_types",        # composition (GROUP BY HAVING)
     "union_distinct_users",           # set-op family (UNION distinct)
     "running_distinct_types_by_user", # window family (running distinct)
+    "case_when_value_tiers",          # scalar family (searched CASE)
+    "greatest_least_lineitem",        # scalar family (greatest/least/nullif)
+    "weighted_avg_discount_by_flag",  # aggregate family (exact weighted avg)
+    "rank_ties_topk_per_type",        # window family (RANK-ties top-k)
+    "mad_value_by_type",              # aggregate family (two-pass MAD)
+    "monthly_order_totals",           # aggregate family (month date_trunc)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",
