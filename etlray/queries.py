@@ -3933,6 +3933,178 @@ def monthly_order_totals(sf_dir: str):
                                    "c_sum": "total_c"}).apply(agg)
 
 
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c4 DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped three-table composition (adapted to this
+    schema's o_orderpriority) — the end-to-end showcase wiring the
+    join/aggregate/sort family together the way a real report does:
+
+    * segment-filtered customer KEYS broadcast into a zero-shuffle
+      semi join on orders (the small side ships once, orders stream);
+    * orders⋈lineitem runs as the partitioned hash join with a Bloom
+      prefilter — both sides large at scale, one exchange each, and
+      the Bloom bits drop lineitem rows whose order already failed the
+      date/segment gate before they pay shuffle bytes;
+    * revenue is EXACT int64 (cents × (100−disc_h) = 10^-4 units), so
+      the group sums are associative and the top-10 ordering can never
+      wobble on float summation order;
+    * partial-combine aggregate, then a global sort of the group-sized
+      result + LIMIT.
+
+    Predicates push into the parquet scan (columns= + filter= on all
+    three reads)."""
+    from etlray.stages import BroadcastJoinTransform, PartitionedHashJoinTransform
+
+    cutoff = pa.scalar(__import__("datetime").datetime(1998, 6, 1),
+                       pa.timestamp("us"))
+    cust = _pq(sf_dir, "customer", columns=["c_custkey"],
+               filter=(pc.field("c_mktsegment") == "BUILDING")).read()
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"],
+                 filter=(pc.field("o_orderdate") < cutoff)).read()
+    orders = BroadcastJoinTransform(
+        cust, on="o_custkey", right_on="c_custkey",
+        how="left_semi").apply(orders)
+    line = _pq(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               filter=(pc.field("l_shipdate") > cutoff)).read()
+
+    def revenue(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc_h))
+        out = t.select(["l_orderkey"])
+        return out.append_column(
+            "rev", rev.combine_chunks() if isinstance(rev, pa.ChunkedArray)
+            else rev)
+
+    from etlray.stages import BatchMapTransform
+
+    line = BatchMapTransform(revenue).apply(line)
+    joined = PartitionedHashJoinTransform(
+        orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+        bloom_prefilter=True).apply(line)
+    agg = AggregateTransform(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("rev", "sum")], exact_int=True).apply(joined)
+    agg = RenameColumnsTransform({"rev_sum": "revenue_c4"}).apply(agg)
+    agg = SortTransform(["revenue_c4", "o_orderdate", "l_orderkey"],
+                        descending=[True, False, False]).apply(agg)
+    return LimitTransform(10).apply(agg)
+
+
+@register(
+    "promo_revenue_by_month",
+    """
+    SELECT date_trunc('month', l.l_shipdate) AS month_ts,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100)
+                                            AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS promo_c4,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS total_c4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY month_ts
+    """,
+)
+def promo_revenue_by_month(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue split per ship month — the first
+    query over the ``part`` table: part (small dimension) broadcasts
+    into the lineitem stream with only (p_partkey, p_type) shipped,
+    the PROMO indicator folds into an exact-int conditional revenue
+    column map-side, and both sums ride ONE partial-combine aggregate
+    keyed on the month floor."""
+    from etlray.stages import BatchMapTransform, BroadcastJoinTransform
+
+    part = _pq(sf_dir, "part", columns=["p_partkey", "p_type"]).read()
+    line = _pq(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"]).read()
+    ds = BroadcastJoinTransform(part, on="l_partkey",
+                                right_on="p_partkey",
+                                how="inner").apply(line)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc_h = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                         pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc_h))
+        promo = pc.if_else(pc.equal(t["p_type"], "PROMO"), rev,
+                           pa.scalar(0, pa.int64()))
+        m = pc.floor_temporal(t["l_shipdate"], unit="month")
+        out = pa.table({"month_ts": m.combine_chunks()
+                        if isinstance(m, pa.ChunkedArray) else m})
+        out = out.append_column(
+            "promo", promo.combine_chunks()
+            if isinstance(promo, pa.ChunkedArray) else promo)
+        return out.append_column(
+            "rev", rev.combine_chunks()
+            if isinstance(rev, pa.ChunkedArray) else rev)
+
+    ds = BatchMapTransform(prep).apply(ds)
+    agg = AggregateTransform(["month_ts"],
+                             [("promo", "sum"), ("rev", "sum")],
+                             exact_int=True).apply(ds)
+    return RenameColumnsTransform({"promo_sum": "promo_c4",
+                                   "rev_sum": "total_c4"}).apply(agg)
+
+
+@register(
+    "supplier_stats_by_nation",
+    """
+    SELECT n.n_name, count(*) AS n_suppliers,
+           CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_c
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_stats_by_nation(sf_dir: str):
+    """Supplier census per nation — the first query over the
+    ``supplier`` table: nation broadcasts (25 rows), account balances
+    aggregate as exact cents through the partial-combine path."""
+    from etlray.stages import BroadcastJoinTransform
+
+    sup = _pq(sf_dir, "supplier",
+              columns=["s_nationkey", "s_acctbal"]).read()
+    sup = _scale_int_cols(sup, {"s_acctbal": 100.0})
+    nat = _pq(sf_dir, "nation",
+              columns=["n_nationkey", "n_name"]).read()
+    ds = BroadcastJoinTransform(nat, on="s_nationkey",
+                                right_on="n_nationkey",
+                                how="inner").apply(sup)
+    agg = AggregateTransform(["n_name"],
+                             [("n_name", "count"), ("s_acctbal", "sum")],
+                             exact_int=True).apply(ds)
+    return RenameColumnsTransform({"n_name_count": "n_suppliers",
+                                   "s_acctbal_sum": "acctbal_c"}).apply(agg)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4018,6 +4190,9 @@ _GATE_TAIL = [
     "rank_ties_topk_per_type",        # window family (RANK-ties top-k)
     "mad_value_by_type",              # aggregate family (two-pass MAD)
     "monthly_order_totals",           # aggregate family (month date_trunc)
+    "tpch_q3_shipping_priority",      # composition (3-table join+agg+topk)
+    "promo_revenue_by_month",         # composition (part⋈lineitem Q14 shape)
+    "supplier_stats_by_nation",       # composition (supplier census)
     # no-oracle by design
     "multimodal_decode",
     "multimodal_decode_png",
