@@ -3956,12 +3956,15 @@ def tpch_q3_shipping_priority(sf_dir: str):
     schema's o_orderpriority) — the end-to-end showcase wiring the
     join/aggregate/sort family together the way a real report does:
 
-    * segment-filtered customer KEYS broadcast into a zero-shuffle
-      semi join on orders (the small side ships once, orders stream);
-    * orders⋈lineitem runs as the partitioned hash join with a Bloom
-      prefilter — both sides large at scale, one exchange each, and
-      the Bloom bits drop lineitem rows whose order already failed the
-      date/segment gate before they pay shuffle bytes;
+    * segment-filtered customer KEYS semi-join orders through the
+      partitioned hash join with a Bloom prefilter — customers are a
+      fact-sized table at 100 TB (a fifth of its keys do NOT fit a
+      broadcast), so the keys pay one exchange like any large side and
+      the Bloom bits drop non-segment orders before shuffle bytes;
+    * orders⋈lineitem runs as the same partitioned hash join + Bloom —
+      both sides large at scale, one exchange each, lineitem rows
+      whose order already failed the date/segment gate never pay the
+      shuffle;
     * revenue is EXACT int64 (cents × (100−disc_h) = 10^-4 units), so
       the group sums are associative and the top-10 ordering can never
       wobble on float summation order;
@@ -3970,7 +3973,7 @@ def tpch_q3_shipping_priority(sf_dir: str):
 
     Predicates push into the parquet scan (columns= + filter= on all
     three reads)."""
-    from etlray.stages import BroadcastJoinTransform, PartitionedHashJoinTransform
+    from etlray.stages import PartitionedHashJoinTransform
 
     cutoff = pa.scalar(__import__("datetime").datetime(1998, 6, 1),
                        pa.timestamp("us"))
@@ -3980,9 +3983,9 @@ def tpch_q3_shipping_priority(sf_dir: str):
                  columns=["o_orderkey", "o_custkey", "o_orderdate",
                           "o_orderpriority"],
                  filter=(pc.field("o_orderdate") < cutoff)).read()
-    orders = BroadcastJoinTransform(
+    orders = PartitionedHashJoinTransform(
         cust, on="o_custkey", right_on="c_custkey",
-        how="left_semi").apply(orders)
+        how="left_semi", bloom_prefilter=True).apply(orders)
     line = _pq(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"],
                filter=(pc.field("l_shipdate") > cutoff)).read()
