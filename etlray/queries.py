@@ -4035,20 +4035,21 @@ def tpch_q3_shipping_priority(sf_dir: str):
 )
 def promo_revenue_by_month(sf_dir: str):
     """TPC-H Q14-shaped promo-revenue split per ship month — the first
-    query over the ``part`` table: part (small dimension) broadcasts
-    into the lineitem stream with only (p_partkey, p_type) shipped,
-    the PROMO indicator folds into an exact-int conditional revenue
-    column map-side, and both sums ride ONE partial-combine aggregate
-    keyed on the month floor."""
-    from etlray.stages import BatchMapTransform, BroadcastJoinTransform
+    query over the ``part`` table. Part scales WITH the fact tables in
+    this schema (it is not a bounded dimension), so it joins lineitem
+    through the partitioned hash join — only (p_partkey, p_type) pays
+    the exchange; the PROMO indicator folds into an exact-int
+    conditional revenue column and both sums ride ONE partial-combine
+    aggregate keyed on the month floor."""
+    from etlray.stages import BatchMapTransform, PartitionedHashJoinTransform
 
     part = _pq(sf_dir, "part", columns=["p_partkey", "p_type"]).read()
     line = _pq(sf_dir, "lineitem",
                columns=["l_partkey", "l_shipdate", "l_extendedprice",
                         "l_discount"]).read()
-    ds = BroadcastJoinTransform(part, on="l_partkey",
-                                right_on="p_partkey",
-                                how="inner").apply(line)
+    ds = PartitionedHashJoinTransform(part, on="l_partkey",
+                                      right_on="p_partkey",
+                                      how="inner").apply(line)
 
     def prep(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
