@@ -226,7 +226,10 @@ def pricing_summary(sf_dir: str):
         for name, out, div in (("q_c_sum", "sum_qty", 100.0),
                                ("bp_c_sum", "sum_base_price", 100.0),
                                ("dp_c_sum", "sum_disc_price", 10000.0)):
-            v = pc.divide(pc.cast(t[name], pa.float64()), div)
+            # safe=False: cents sums exceed 2^53 at scale; SQL CAST
+            # rounds, Arrow's default safe cast would raise
+            v = pc.divide(pc.cast(t[name], pa.float64(), safe=False),
+                          div)
             t = t.append_column(
                 out, v.combine_chunks()
                 if isinstance(v, pa.ChunkedArray) else v)
@@ -890,7 +893,8 @@ def windowed_agg(sf_dir: str):
                              [("value", "count"), ("cents", "sum")]).apply(ds)
 
     def to_value(t: pa.Table) -> pa.Table:
-        vs = pc.divide(pc.cast(t["cents_sum"], pa.float64()), 100.0)
+        vs = pc.divide(pc.cast(t["cents_sum"], pa.float64(),
+                               safe=False), 100.0)
         t = t.append_column("value_sum",
                             vs.combine_chunks() if isinstance(vs, pa.ChunkedArray) else vs)
         return t.drop_columns(["cents_sum"])
@@ -2952,7 +2956,8 @@ def feather_roundtrip_agg(sf_dir: str):
         j = t.column_names.index("value_sum")
         return t.set_column(
             j, "value_sum", pc.divide(
-                pc.cast(t["value_sum"], pa.float64()), 100.0))
+                pc.cast(t["value_sum"], pa.float64(), safe=False),
+                100.0))
 
     agg = BatchMapTransform(finish).apply(agg)
     return RenameColumnsTransform(
@@ -3627,8 +3632,8 @@ def having_high_value_types(sf_dir: str):
     def having(t: pa.Table) -> pa.Table:
         n = t["event_type_count"]
         avg = pc.divide(
-            pc.cast(t["value_sum"], pa.float64()),
-            pc.multiply(pc.cast(n, pa.float64()), 100.0))
+            pc.cast(t["value_sum"], pa.float64(), safe=False),
+            pc.multiply(pc.cast(n, pa.float64(), safe=False), 100.0))
         keep = pc.and_(pc.greater(n, 100), pc.greater(avg, 45.0))
         return t.filter(keep)
 
@@ -3822,8 +3827,12 @@ def weighted_avg_discount_by_flag(sf_dir: str):
         out = t.select(["l_returnflag"])
         return out.append_column(
             "wavg_disc_h",
-            pc.divide(pc.cast(t["wd_sum"], pa.float64()),
-                      pc.cast(t["l_quantity_sum"], pa.float64())))
+            # safe=False: SQL CAST(BIGINT AS DOUBLE) rounds past 2^53;
+            # Arrow's default safe cast would RAISE there — sums above
+            # 2^53 are the normal case at scale (caught by test)
+            pc.divide(pc.cast(t["wd_sum"], pa.float64(), safe=False),
+                      pc.cast(t["l_quantity_sum"], pa.float64(),
+                              safe=False)))
 
     return BatchMapTransform(finish).apply(agg)
 
@@ -3986,6 +3995,12 @@ def tpch_q3_shipping_priority(sf_dir: str):
     orders = PartitionedHashJoinTransform(
         cust, on="o_custkey", right_on="c_custkey",
         how="left_semi", bloom_prefilter=True).apply(orders)
+    # the second join consumes this Dataset TWICE (its Bloom pass +
+    # the exchange); pin the semi-join result in the object store so
+    # the customer⋈orders pipeline doesn't re-execute per consumption
+    # (review finding). Bounded: date+segment-filtered orders — and it
+    # is the join build side, so it must be held somewhere regardless.
+    orders = orders.materialize()
     line = _pq(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"],
                filter=(pc.field("l_shipdate") > cutoff)).read()

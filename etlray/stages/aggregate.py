@@ -200,18 +200,25 @@ class AggregateTransform(Transform):
                     v = pc.fill_null(pc.cast(g[p], pa.int64()), 0)
                 elif func == "sum":
                     # cast BEFORE the fill: an all-null block degrades
-                    # its partial to pa.null(), which can't host a 0
-                    v = pc.fill_null(pc.cast(g[p], want),
+                    # its partial to pa.null(), which can't host a 0.
+                    # safe=False: SQL CAST(BIGINT AS DOUBLE) rounds past
+                    # 2^53 where Arrow's safe cast would RAISE — int
+                    # sums above 2^53 are routine at scale
+                    v = pc.fill_null(pc.cast(g[p], want, safe=False),
                                      pa.scalar(0).cast(want))
                 elif func == "average":
-                    cnt = pc.cast(g[extra["cnt"]], pa.float64())
-                    v = pc.if_else(pc.greater(cnt, 0.0),
-                                   pc.divide(pc.cast(g[p], pa.float64()), cnt),
-                                   pa.scalar(None, pa.float64()))
+                    cnt = pc.cast(g[extra["cnt"]], pa.float64(),
+                                  safe=False)
+                    v = pc.if_else(
+                        pc.greater(cnt, 0.0),
+                        pc.divide(pc.cast(g[p], pa.float64(),
+                                          safe=False), cnt),
+                        pa.scalar(None, pa.float64()))
                 else:
                     v = g[p]
                 if not v.type.equals(want):
-                    v = pc.cast(v, want)
+                    v = pc.cast(v, want,
+                                safe=not pa.types.is_floating(want))
                 cols.append(v.combine_chunks()
                             if isinstance(v, pa.ChunkedArray) else v)
                 names.append(name)
@@ -273,7 +280,9 @@ class AggregateTransform(Transform):
                     idx = t.column_names.index(name)
                     col = t.column(idx)
                     if not keep_type:
-                        col = pc.cast(col, pa.float64())
+                        # safe=False: int64 sums past 2^53 round (SQL
+                        # CAST semantics) instead of raising
+                        col = pc.cast(col, pa.float64(), safe=False)
                     col = pc.fill_null(col, pa.scalar(0).cast(col.type)
                                        if keep_type else 0.0)
                     t = t.set_column(idx, name, col.combine_chunks()
@@ -451,7 +460,11 @@ class QuantilePerGroupTransform(Transform):
         cnt = "__cnt"
 
         def partial(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_valid(t[vc]))
+            # NULL values stay as their own (group, NULL) run so a
+            # group whose values are ALL NULL still reaches the reduce
+            # and emits a NULL quantile row — SQL GROUP BY keeps the
+            # group, quantile_cont/disc return NULL (review finding:
+            # filtering here silently dropped such groups)
             g = t.group_by(gb + [vc]).aggregate([([], "count_all")])
             return g.rename_columns(gb + [vc] + [cnt])
 
@@ -473,7 +486,17 @@ class QuantilePerGroupTransform(Transform):
                 t, sort_keys=[(c, "ascending") for c in gb] +
                 [(vc, "ascending")]))
             df = t.to_pandas()
-            vals = df[vc].to_numpy()
+            vcol = t[vc].combine_chunks() if isinstance(t[vc], pa.ChunkedArray) else t[vc]
+            isnull = pc.is_null(vcol).to_numpy(zero_copy_only=False)
+            # fill nulls BEFORE the numpy conversion so an int64 column
+            # with nulls does not round-trip through float64 (which
+            # would lose exactness above 2^53); the filled positions
+            # are trimmed off the sweep below and never read
+            if pa.types.is_integer(vcol.type):
+                vals = pc.fill_null(vcol, pa.scalar(0, vcol.type)) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                vals = vcol.to_numpy(zero_copy_only=False)
             counts = df[cnt].to_numpy()
             from etlray.stages.common import key_change_mask
 
@@ -482,11 +505,19 @@ class QuantilePerGroupTransform(Transform):
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(df))
             out = {c: df[c].to_numpy()[starts] for c in gb}
-            qcols = {n: np.empty(len(starts),
+            qcols = {n: np.zeros(len(starts),
                                  dtype=np.float64 if linear
                                  else vals.dtype)
                      for n in names}
+            null_out = np.zeros(len(starts), dtype=bool)
             for gi, (s, e) in enumerate(zip(starts, ends)):
+                # NULL runs sort to the end of the group (sort_indices
+                # null_placement default); trim them off the sweep —
+                # a group with ONLY null runs emits a NULL row
+                e = e - int(isnull[s:e].sum())
+                if e == s:
+                    null_out[gi] = True  # zeros stay masked below
+                    continue
                 cum = np.cumsum(counts[s:e])
                 n = int(cum[-1])
                 for q, name in zip(qs, names):
@@ -509,8 +540,11 @@ class QuantilePerGroupTransform(Transform):
                         pos = int(np.searchsorted(cum, idx + 1))
                         qcols[name][gi] = vals[s + pos]
             cols = {c: pa.array(out[c]) for c in gb}
+            mask = null_out if null_out.any() else None
             for name in names:
-                cols[name] = pa.array(qcols[name], type=vtype)
+                arr = pa.array(qcols[name], mask=mask)
+                cols[name] = arr if vtype == pa.float64() \
+                    else pc.cast(arr, vtype)
             return pa.table(cols)
 
         from etlray.stages.common import default_exchange_buckets

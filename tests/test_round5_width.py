@@ -102,6 +102,10 @@ def test_mad_matches_brute_force(tmp_path):
     types = rng.choice(["x", "y", "z"], n)
     v = np.round(rng.lognormal(3, 1.2, n), 2)
     v[rng.random(n) < 0.1] = np.nan
+    # one group whose values are ALL NULL: SQL keeps the group with a
+    # NULL mad (review finding — the quantile partial used to drop it)
+    types = np.append(types, ["allnull"] * 20)
+    v = np.append(v, [np.nan] * 20)
     ev = pd.DataFrame({"event_type": types, "value": v})
     sf = _mini_sf(tmp_path, events=ev)
     mine = _run(sf, "mad_value_by_type").set_index("event_type")[
@@ -112,6 +116,7 @@ def test_mad_matches_brute_force(tmp_path):
         med = np.quantile(vals, 0.5, method="linear")
         expect = np.quantile(np.abs(vals - med), 0.5, method="linear")
         assert mine[t] == pytest.approx(expect, rel=1e-12)
+    assert "allnull" in mine.index and np.isnan(mine["allnull"])
     ref = _oracle(sf, "mad_value_by_type").set_index("event_type")[
         "value_mad"].astype(float).sort_index()
     pd.testing.assert_series_equal(mine, ref, rtol=1e-9,
@@ -142,27 +147,38 @@ def test_month_floor_boundaries(tmp_path):
 
 
 def test_weighted_avg_exact_int_large_weights(tmp_path):
-    """Weighted average stays exact when weighted sums are large and
-    blocks combine in arbitrary order — values chosen so a float64
-    numerator would lose low bits."""
+    """Weighted average equals arbitrary-precision integer math when
+    the per-flag numerator exceeds 2^53 (quantities up to 1e12):
+    the int64 partial sums are exact at any block combine order, so
+    the quotient is bit-equal to python-int num/den. Honest scope
+    note: a float64-partials regression would drift these sums by a
+    few ulps (the premise assertion below shows the sums are NOT
+    float64-representable) but pairwise summation can keep the final
+    QUOTIENT identical — the binding guard against such a regression
+    is the DuckDB integer-SQL oracle equality, this test pins the
+    exact-int contract and the overflow headroom."""
     rng = np.random.default_rng(5)
     n = 20000
-    # events table unused; lineitem synthesized through the orders slot
-    # is not possible — this query reads lineitem, so synthesize it.
     d = str(tmp_path / "sf")
     os.makedirs(d, exist_ok=True)
     li = pd.DataFrame({
         "l_returnflag": rng.choice(["A", "N", "R"], n),
-        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_quantity": rng.integers(1, 10**12, n).astype(float),
         "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
     })
     pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
                    f"{d}/lineitem.parquet")
     mine = _run(d, "weighted_avg_discount_by_flag").set_index(
         "l_returnflag")["wavg_disc_h"].sort_index()
+    float_sum_diverges = False
     for f in "ANR":
         sub = li[li.l_returnflag == f]
-        num = int((sub.l_quantity.astype(np.int64)
-                   * np.round(sub.l_discount * 100).astype(np.int64)).sum())
-        den = int(sub.l_quantity.astype(np.int64).sum())
+        prod = (sub.l_quantity.astype(np.int64)
+                * np.round(sub.l_discount * 100).astype(np.int64))
+        num, den = int(prod.sum()), int(sub.l_quantity.astype(np.int64).sum())
+        if int(prod.astype(np.float64).sum()) != num:
+            float_sum_diverges = True
         assert mine[f] == pytest.approx(num / den, rel=0, abs=0)
+    # the test's premise: these sums are NOT float64-representable, so
+    # a regression to float partials would have failed the compare
+    assert float_sum_diverges
