@@ -23,13 +23,25 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _sum_repr(t: pa.DataType) -> pa.DataType:
+    """Accumulator type for a summed column: INTEGER columns keep
+    exact int64 sums — retraction-based maintenance (−old + new) is
+    only equality-preserving when the arithmetic is exact, and int64
+    stays exact at any epoch count. Float columns accumulate in
+    float64; their view can drift from a full recompute by summation
+    rounding over many epochs (documented) — pre-scale decimals to
+    integer cents upstream when bit-equality matters."""
+    return pa.int64() if pa.types.is_integer(t) else pa.float64()
+
+
 def snapshot_agg_view(engine, group_col: str,
                       sum_cols: Sequence[str] = (),
                       epoch_id=None) -> pa.Table:
     """Full (re)computation of the view from a snapshot — the
     bootstrap path and the equality oracle for the incremental path.
     Returns one row per group: ``n_rows`` + ``sum_{c}`` per sum col.
-    NULL group keys form a group; NULL values add nothing."""
+    NULL group keys form a group; NULL values add nothing. Integer
+    sum columns accumulate as exact int64 (see :func:`_sum_repr`)."""
     cols = [group_col, *sum_cols]
     ds = engine.read_snapshot(epoch_id, columns=cols)
 
@@ -40,9 +52,11 @@ def snapshot_agg_view(engine, group_col: str,
         out = out.append_column(
             "n_rows", pa.array(np.ones(t.num_rows, dtype=np.int64)))
         for c in sum_cols:
+            want = _sum_repr(t.schema.field(c).type)
             out = out.append_column(
                 f"sum_{c}",
-                pc.fill_null(pc.cast(t[c], pa.float64()), 0.0))
+                pc.fill_null(pc.cast(t[c], want, safe=False),
+                             pa.scalar(0).cast(want)))
         return out.group_by([group_col]).aggregate(
             [("n_rows", "sum")] + [(f"sum_{c}", "sum") for c in sum_cols])
 
@@ -83,26 +97,32 @@ def update_agg_view(engine, view: pa.Table, from_epoch, to_epoch=None,
         rows = []
         for side, present, suffix in (("new", in_new, ""),
                                       ("old", in_old, "_old")):
-            sign = 1.0 if side == "new" else -1.0
+            sign = 1 if side == "new" else -1
             sub = t.filter(present)
             if sub.num_rows == 0:
                 continue
             out = sub.select([f"{group_col}{suffix}"]) \
                 .rename_columns([group_col])
             out = out.append_column(
-                "n_rows", pa.array(np.full(sub.num_rows, int(sign),
+                "n_rows", pa.array(np.full(sub.num_rows, sign,
                                            dtype=np.int64)))
             for c in sum_cols:
+                # accumulate in the VIEW's own sum type: int64 stays
+                # exact under retraction, float64 documentedly drifts
+                want = view.schema.field(f"sum_{c}").type
                 v = pc.fill_null(
-                    pc.cast(sub[f"{c}{suffix}"], pa.float64()), 0.0)
-                out = out.append_column(f"sum_{c}",
-                                        pc.multiply(v, sign))
+                    pc.cast(sub[f"{c}{suffix}"], want, safe=False),
+                    pa.scalar(0).cast(want))
+                out = out.append_column(
+                    f"sum_{c}",
+                    pc.multiply(v, pa.scalar(sign).cast(want)))
             rows.append(out)
         if not rows:
             sch = pa.schema(
                 [view.schema.field(group_col),
                  pa.field("n_rows_sum", pa.int64())]
-                + [pa.field(f"sum_{c}_sum", pa.float64())
+                + [pa.field(f"sum_{c}_sum",
+                            view.schema.field(f"sum_{c}").type)
                    for c in sum_cols])
             return sch.empty_table()
         part = pa.concat_tables(rows, promote_options="permissive")

@@ -500,8 +500,10 @@ class QuantilePerGroupTransform(Transform):
             counts = df[cnt].to_numpy()
             from etlray.stages.common import key_change_mask
 
-            change = key_change_mask([df[c].to_numpy() for c in gb],
-                                     len(df))
+            # arrow columns: exact key equality (int keys with nulls
+            # would float-convert through pandas and can collapse
+            # distinct keys past 2^53)
+            change = key_change_mask([t[c] for c in gb], len(df))
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(df))
             out = {c: df[c].to_numpy()[starts] for c in gb}

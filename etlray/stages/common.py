@@ -81,16 +81,35 @@ def key_change_mask(arrays, n: int):
     ONE group (NaN != NaN would otherwise split it); index 0 is always
     True. One shared definition — this block was copy-pasted five times
     across the per-group exchange kernels and had to be fixed in
-    lockstep."""
+    lockstep.
+
+    Accepts numpy arrays OR Arrow (Chunked)Arrays per key. Prefer
+    passing the Arrow column: the Arrow path compares without a numpy
+    conversion, so (a) int64 keys in a column WITH nulls keep exact
+    equality — numpy would convert them to float64 (nulls→NaN) and
+    collapse distinct keys past 2^53 — and (b) string keys compare in
+    one vectorized kernel instead of numpy's per-element object
+    loop."""
     import numpy as np
     import pandas as pd
 
     change = np.zeros(n, dtype=bool)
     for v in arrays:
         if n > 1:
-            neq = v[1:] != v[:-1]
-            both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
-            change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                col = v.combine_chunks() \
+                    if isinstance(v, pa.ChunkedArray) else v
+                a, b = col.slice(1), col.slice(0, n - 1)
+                va, vb = pc.is_valid(a), pc.is_valid(b)
+                # both valid: real compare; exactly one null: change;
+                # both null: no change (null run = one group)
+                diff = pc.or_(pc.fill_null(pc.not_equal(a, b), False),
+                              pc.xor(va, vb))
+                change[1:] |= diff.to_numpy(zero_copy_only=False)
+            else:
+                neq = v[1:] != v[:-1]
+                both_null = pd.isna(v[1:]) & pd.isna(v[:-1])
+                change[1:] |= np.asarray(neq) & ~np.asarray(both_null)
     if n:
         change[0] = True
     return change
@@ -118,7 +137,7 @@ def frame_bounds(t: "pa.Table", by, n: int, window: int):
     import numpy as np
 
     change = key_change_mask(
-        [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+        [t[c] for c in by], n)
     starts = np.flatnonzero(change)
     key_start = np.repeat(starts, np.diff(np.append(starts, n)))
     lo = np.maximum(np.arange(n) - window + 1, key_start)
@@ -453,7 +472,7 @@ class TopKPerGroupTransform(Transform):
         # vectorized per-group rank: positions since the last group
         # change (a row starts a new group when ANY key column differs)
         change = key_change_mask(
-            [t[c].to_numpy(zero_copy_only=False) for c in gb], t.num_rows)
+            [t[c] for c in gb], t.num_rows)
         starts = np.flatnonzero(change)
         rank = np.arange(t.num_rows) - np.repeat(
             starts, np.diff(np.append(starts, t.num_rows)))
@@ -563,8 +582,7 @@ class SessionizeTransform(Transform):
                 ([(tie, "ascending")] if tie else [])
             t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
             change = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by],
-                t.num_rows)
+                [t[c] for c in by], t.num_rows)
             ts = t[ts_col].to_numpy(zero_copy_only=False)
             new_session = change.copy()
             if t.num_rows > 1:
@@ -1056,7 +1074,7 @@ class WindowLagTransform(Transform):
             t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
             n = t.num_rows
             change = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             first = change  # row starts a new key
             starts = np.flatnonzero(first)
             key_start = np.repeat(starts, np.diff(np.append(starts, n)))
@@ -1147,7 +1165,7 @@ class RatioToReportTransform(Transform):
             v = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
             null = pc.is_null(col).to_numpy(zero_copy_only=False)
             change = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             starts = np.flatnonzero(change)
             gsum = np.add.reduceat(np.where(null, 0.0, v), starts)
             gsum = np.repeat(gsum, np.diff(np.append(starts, n)))
@@ -1208,12 +1226,12 @@ class DenseRankTransform(Transform):
             t = t.take(pc.sort_indices(
                 t, sort_keys=[(c, "ascending") for c in by] + [(vc, vdir)]))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             # a row starts a NEW RANK when the key changes or the value
             # differs from the previous row (null runs tie — the mask
             # helper already treats consecutive nulls as equal)
             vchange = key_change_mask(
-                [t[vc].to_numpy(zero_copy_only=False)], n)
+                [t[vc]], n)
             new_rank = kc | vchange
             starts = np.flatnonzero(kc)
             key_start = np.repeat(starts, np.diff(np.append(starts, n)))
@@ -1280,7 +1298,7 @@ class NtileTransform(Transform):
                 keys.append((tie, "ascending"))
             t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n_rows)
+                [t[c] for c in by], n_rows)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n_rows))
             key_idx = np.repeat(np.arange(len(starts)), sizes)
@@ -1359,7 +1377,7 @@ class FirstLastValueTransform(Transform):
                 keys.append((tie, "ascending"))
             t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n))
             key_idx = np.repeat(np.arange(len(starts)), sizes)
@@ -1429,8 +1447,7 @@ class NthValueTransform(Transform):
                 t = t.set_column(t.column_names.index(vc), vc,
                                  t[vc].cast(vtype))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by],
-                n_rows)
+                [t[c] for c in by], n_rows)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n_rows))
             key_idx = np.repeat(np.arange(len(starts)), sizes)
@@ -1500,7 +1517,7 @@ class ArgMinMaxTransform(Transform):
                 [(oc, direction), (tie, "ascending")]
             t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in gb], n)
+                [t[c] for c in gb], n)
             return t.take(pa.array(np.flatnonzero(kc)))
 
         pre = ds.map_batches(best_rows, batch_format="pyarrow",
@@ -1553,7 +1570,7 @@ class ArrayAggTransform(Transform):
                 cols[out] = pa.array([], type=pa.large_list(vtype))
                 return pa.table(cols)
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in gb], n)
+                [t[c] for c in gb], n)
             starts = np.flatnonzero(kc)
             offsets = pa.array(np.append(starts, n), type=pa.int64())
             child = t[vc].combine_chunks() \
@@ -1644,7 +1661,7 @@ class RangeWindowAggTransform(Transform):
                     f"RangeWindowAgg order column {oc!r} must be "
                     f"integer or temporal, not {otype}")
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n))
             key_idx = np.repeat(np.arange(len(starts)), sizes)
@@ -1770,8 +1787,7 @@ class GapFillAggTransform(Transform):
             t2 = frame_sort(t.append_column("__b", pa.array(bucket)),
                             by, "__b", None)
             n = t2.num_rows
-            key_arrays = [t2[c].to_numpy(zero_copy_only=False)
-                          for c in by]
+            key_arrays = [t2[c] for c in by]  # arrow: exact keys
             bsorted = t2["__b"].to_numpy(zero_copy_only=False)
             kc = key_change_mask(key_arrays, n)           # per-key runs
             sc = key_change_mask(key_arrays + [bsorted], n)  # per-seg
@@ -1885,7 +1901,7 @@ class LocfFillTransform(Transform):
                 t = t.set_column(t.column_names.index(vc), vc,
                                  t[vc].cast(vtype))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             starts = np.flatnonzero(kc)
             key_start = np.repeat(starts,
                                   np.diff(np.append(starts, n)))
@@ -1969,7 +1985,7 @@ class InterpFillTransform(Transform):
             vals = pc.fill_null(pc.cast(col, pa.float64()), 0.0) \
                 .to_numpy(zero_copy_only=False)
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n))
             key_start = np.repeat(starts, sizes)
@@ -2032,23 +2048,33 @@ class RunningDistinctCountTransform(Transform):
         by, oc, vc = self.by, self.order_col, self.value_col
         tie, out = self.tiebreak, self.out_col
 
+        def dedup_codes(col) -> "np.ndarray":
+            """Dictionary codes as the pandas-duplicated key: exact
+            equality for EVERY type — raw to_numpy would convert an
+            int column with nulls through float64 and could collapse
+            distinct values past 2^53 (and conflate NULL with a
+            literal NaN). Codes are block-local small ints; nulls
+            stay NaN and dedupe only with each other."""
+            a = col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+            return pc.dictionary_encode(a).indices.to_numpy(
+                zero_copy_only=False)
+
         def reduce_bucket(t: pa.Table) -> pa.Table:
             t = frame_sort(t, by, oc, tie)
             n = t.num_rows
             if n == 0:
                 return t.append_column(out, pa.array([], pa.int64()))
-            cols = {f"k{i}": t[c].to_numpy(zero_copy_only=False)
+            cols = {f"k{i}": dedup_codes(t[c])
                     for i, c in enumerate(by)}
-            vals = t[vc].to_numpy(zero_copy_only=False)
-            cols["v"] = vals
+            cols["v"] = dedup_codes(t[vc])
             first = ~pd.DataFrame(cols).duplicated().to_numpy()
             # NULL values never count as a new distinct
             first &= pc.is_valid(
                 t[vc].combine_chunks()
                 if isinstance(t[vc], pa.ChunkedArray) else t[vc]
             ).to_numpy(zero_copy_only=False)
-            kc = key_change_mask(
-                [cols[f"k{i}"] for i in range(len(by))], n)
+            kc = key_change_mask([t[c] for c in by], n)
             run = np.cumsum(first.astype(np.int64))
             starts = np.flatnonzero(kc)
             base = (run - first.astype(np.int64))[starts]
@@ -2106,9 +2132,9 @@ class RankStatsTransform(Transform):
                 t, sort_keys=[(c, "ascending") for c in by]
                 + [(vc, "ascending")]))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             vchange = key_change_mask(
-                [t[vc].to_numpy(zero_copy_only=False)], n)
+                [t[vc]], n)
             starts = np.flatnonzero(kc)
             sizes = np.diff(np.append(starts, n))
             key_idx = np.repeat(np.arange(len(starts)), sizes)
@@ -2197,7 +2223,7 @@ class RunningAggTransform(Transform):
                 keys.append((tie, "ascending"))
             t = t.take(pc.sort_indices(t, sort_keys=keys))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in by], n)
+                [t[c] for c in by], n)
             gid = np.cumsum(kc) - 1
             if agg in ("sum", "min", "max") and pa.types.is_integer(vtype) \
                     and t[vc].null_count > 0:
@@ -2302,8 +2328,7 @@ class ModePerGroupTransform(Transform):
                 t, sort_keys=[(c, "ascending") for c in gb] +
                 [(cnt, "descending"), (vc, "ascending")]))
             kc = key_change_mask(
-                [t[c].to_numpy(zero_copy_only=False) for c in gb],
-                t.num_rows)
+                [t[c] for c in gb], t.num_rows)
             idx = np.flatnonzero(kc)
             first = t.take(pa.array(idx))
             cols = {c: first[c] for c in gb}

@@ -509,6 +509,46 @@ def test_incremental_agg_view_matches_recompute(fixture_dir, tmp_path,
         assert got == exp, f"epoch {i}: {got} != {exp}"
 
 
+def test_agg_view_int_sums_exact_past_2_53(ray_session):
+    """Integer sum columns accumulate as exact int64: with values near
+    2^60 (float64 ulp there is 256) ANY float64 path — snapshot sum or
+    the −old+new retraction fold — would round both the bootstrap sum
+    and the delta away; the int64 path is bit-exact. Uses a stub
+    engine so the arithmetic is isolated from the CDC machinery."""
+    import ray.data
+
+    from etlray.cdc.view import snapshot_agg_view, update_agg_view
+
+    big = 2 ** 60  # not float64-representable ± small ints (ulp 256)
+    base = pa.table({"grp": ["a", "a", "b"],
+                     "sz": pa.array([big, 1, 5], pa.int64())})
+    feed = pa.table({
+        "change": ["changed"],
+        "grp": ["a"], "grp_old": ["a"],
+        "sz": pa.array([2], pa.int64()),
+        "sz_old": pa.array([1], pa.int64()),
+    })
+
+    class StubEngine:
+        def read_snapshot(self, epoch_id=None, columns=None):
+            return ray.data.from_arrow(base.select(columns))
+
+        def diff(self, from_epoch, to_epoch=None, include_values=False,
+                 compare_cols=None):
+            return {"dataset": ray.data.from_arrow(feed)}
+
+    eng = StubEngine()
+    view = snapshot_agg_view(eng, "grp", ["sz"])
+    assert view.schema.field("sum_sz").type == pa.int64()
+    assert dict(zip(view["grp"].to_pylist(),
+                    view["sum_sz"].to_pylist())) == {"a": big + 1, "b": 5}
+    view = update_agg_view(eng, view, from_epoch=0, to_epoch=1)
+    got = dict(zip(view["grp"].to_pylist(), view["sum_sz"].to_pylist()))
+    # float64 at any stage would have collapsed big+1 and big+2 to big
+    assert got == {"a": big + 2, "b": 5}
+    assert view.schema.field("sum_sz").type == pa.int64()
+
+
 def test_empty_change_feed_schema_matches_nonempty(fixture_dir, tmp_path,
                                                    ray_session):
     """An all-carry-forward change feed (same epoch on both sides) must

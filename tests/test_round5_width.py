@@ -182,3 +182,40 @@ def test_weighted_avg_exact_int_large_weights(tmp_path):
     # the test's premise: these sums are NOT float64-representable, so
     # a regression to float partials would have failed the compare
     assert float_sum_diverges
+
+
+def test_key_change_mask_exact_int_keys_past_2_53(ray_session):
+    """Window-family group keys stay exact when an int64 key column
+    contains NULLs: the old numpy conversion went through float64
+    (nulls→NaN), where adjacent distinct keys past 2^53 compare EQUAL
+    (ulp at 2^60 is 256) and whole groups silently merged. The mask
+    helpers now take Arrow columns. Exercises one representative of
+    each mask family: rank (kc), running distinct (kc + value dedup)."""
+    import ray.data
+
+    from etlray.stages.common import (RunningDistinctCountTransform,
+                                      key_change_mask)
+
+    big = 2 ** 60
+    keys = pa.array([big, big, big + 1, None, None], pa.int64())
+    # direct helper contract: 3 groups (big, big+1, null-run)
+    mask = key_change_mask([keys], 5)
+    assert mask.tolist() == [True, False, True, True, False]
+    # float64 path would have merged big and big+1:
+    assert float(big) == float(big + 1)
+
+    # end-to-end through a transform: distinct-so-far per key, where
+    # the VALUES also differ only past the float ulp
+    t = pa.table({
+        "k": pa.array([big, big, big, big + 1, big + 1], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([big, big + 1, None, big, big], pa.int64()),
+    })
+    out = RunningDistinctCountTransform(
+        "k", "ts", "v", out_col="nd").apply(
+        ray.data.from_arrow(t)).take_all()
+    got = {(r["k"], r["ts"]): r["nd"] for r in out}
+    # k=big sees big then big+1 (DISTINCT → 2), then NULL (carries 2);
+    # k=big+1 is its own group restarting at 1
+    assert got == {(big, 1): 1, (big, 2): 2, (big, 3): 2,
+                   (big + 1, 1): 1, (big + 1, 2): 1}
