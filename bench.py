@@ -431,9 +431,28 @@ def contract_line(sec: float, events_per_sec: float,
         contract["queries"] = {k: round(v, 1) for k, v in queries.items()}
         line = json.dumps(contract, separators=(",", ":"))
     if len(line) > budget:
-        contract.pop("queries")
+        # keep the "queries" key in the parsed record (driver contract
+        # shape) but truncate to the prefix that fits — registry order,
+        # so the headline pipelines stay visible; n_queries records the
+        # true total and the 3-dp detail line above carries every row
         contract["n_queries"] = len(queries)
-        line = json.dumps(contract, separators=(",", ":"))
+        kept = {k: round(v, 1) for k, v in queries.items()}
+        while kept:
+            contract["queries"] = kept
+            line = json.dumps(contract, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+            # drop the tail proportionally to the overshoot, using the
+            # MEASURED average entry width so we land near the budget
+            over = len(line) - budget
+            base = len(json.dumps({**contract, "queries": {}},
+                                  separators=(",", ":")))
+            avg = max(1.0, (len(line) - base) / len(kept))
+            drop = max(1, -(-over // int(avg)))  # ceil
+            kept = dict(list(kept.items())[:max(0, len(kept) - drop)])
+        else:
+            contract.pop("queries", None)
+            line = json.dumps(contract, separators=(",", ":"))
     assert len(line) <= budget, f"contract line {len(line)} > {budget}"
     return line
 
