@@ -31,22 +31,39 @@ def test_contract_line_small_query_set():
 
 
 def test_contract_line_real_registry():
-    # the REAL query registry (76+ names) must degrade to a parseable
-    # line — with this many queries that means dropping the per-query
-    # map (the detail line keeps it at 3 dp)
+    # the REAL query registry (130+ names) degrades to a parseable line
+    # that KEEPS a registry-order per-query prefix (the headline
+    # pipelines stay visible) plus the true total in n_queries; the
+    # detail line keeps the full map at 3 dp
     queries = {k: 123.456 for k in QUERIES}
     line = bench.contract_line(99.999, 9_999_999.9, queries, 0.1, 32)
     parsed = _roundtrip(line)
     assert parsed["value"] == 99.999
     assert parsed["events_per_sec"] == 9999999.9
-    if "queries" not in parsed:
-        assert parsed["n_queries"] == len(QUERIES)
+    assert parsed["n_queries"] == len(QUERIES)
+    kept = parsed["queries"]
+    assert 0 < len(kept) < len(QUERIES)
+    # prefix in registry order, values at 1 dp
+    assert list(kept) == list(QUERIES)[:len(kept)]
+    assert all(v == 123.5 for v in kept.values())
 
 
 def test_contract_line_pathological_query_count():
-    # even 500 long-named queries can't break the parse
+    # even 500 long-named queries can't break the parse; the kept
+    # prefix shrinks to whatever fits
     queries = {f"very_long_query_name_number_{i:04d}": 12.345
                for i in range(500)}
     line = bench.contract_line(1.0, 2.0, queries, 0.001, 8)
     parsed = _roundtrip(line)
     assert parsed["value"] == 1.0 and parsed["n_queries"] == 500
+    if "queries" in parsed:
+        assert list(parsed["queries"]) == list(queries)[:len(parsed["queries"])]
+
+
+def test_contract_line_unshrinkable_names_drop_the_map():
+    # absurd single-entry width: the loop must terminate and still
+    # emit a parseable line even if that means no queries map at all
+    queries = {("q" * 2500): 1.0}
+    line = bench.contract_line(1.0, 2.0, queries, 0.001, 8)
+    parsed = _roundtrip(line)
+    assert parsed["n_queries"] == 1 and "queries" not in parsed
