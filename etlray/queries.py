@@ -3052,16 +3052,21 @@ def bitwise_bool_aggs_lineitem(sf_dir: str):
 @register(
     "product_discount_by_order",
     """
-    SELECT l_orderkey, product(1.0 - l_discount) AS keep_product
+    SELECT l_orderkey,
+           product(1.0 - l_discount ORDER BY 1.0 - l_discount)
+             AS keep_product
     FROM lineitem GROUP BY l_orderkey
     """,
 )
 def product_discount_by_order(sf_dir: str):
-    """Per-order compounded discount retention — SQL ``product()``.
-    Values sit in (0.89, 1.0] over ≤7 rows per order, so the float
-    product's order sensitivity is ~1 ulp; the partial-product
-    exchange carries one row per (order, block)."""
-    from etlray.stages import BatchMapTransform, UfuncAggTransform
+    """Per-order compounded discount retention — SQL ``product()``
+    with a pinned multiply order. The unordered form is ~1-ulp
+    order-sensitive and sf0.1 has 29 orders whose exact-cent product
+    lands ON a 4-dp rounding boundary (0.79515), so engine-vs-oracle
+    rounding flips; the ordered fold (ascending value, sequential —
+    ``OrderedProductTransform``) makes both engines perform the same
+    rounding sequence and the result bit-equal at every sf."""
+    from etlray.stages import BatchMapTransform, OrderedProductTransform
 
     ds = _pq(sf_dir, "lineitem",
              columns=["l_orderkey", "l_discount"]).read()
@@ -3073,8 +3078,8 @@ def product_discount_by_order(sf_dir: str):
                                 pc.cast(t["l_discount"], pa.float64())))
 
     ds = BatchMapTransform(prep).apply(ds)
-    return UfuncAggTransform(
-        "l_orderkey", [("keep", "product")]).apply(ds)
+    return OrderedProductTransform(
+        "l_orderkey", "keep", out_col="keep_product").apply(ds)
 
 
 @register(

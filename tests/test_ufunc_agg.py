@@ -110,3 +110,41 @@ def test_ufunc_agg_null_group_key(ray_session):
             MemorySource(t).read())
         rows = {r["g"]: r["v_bit_or"] for r in out.take_all()}
     assert rows == {"a": 3, None: 7}
+
+
+def test_ordered_product_bit_equal_and_nulls(ray_session):
+    """OrderedProductTransform multiplies each group's values in
+    ascending order, sequentially — bit-equal to an explicit left
+    fold over the sorted values (the sequence DuckDB's
+    ``product(v ORDER BY v)`` performs), NULL values skipped,
+    many-block input order irrelevant."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etlray.stages import OrderedProductTransform
+
+    rng = np.random.default_rng(11)
+    n = 500
+    g = rng.integers(0, 40, n)
+    v = 1.0 - rng.integers(0, 11, n) / 100.0
+    null = rng.random(n) < 0.1
+    vals = [None if m else float(x) for x, m in zip(v, null)]
+    t = pa.table({"g": g, "v": vals})
+    # shuffle rows + split into blocks so exchange order != key order
+    perm = rng.permutation(n)
+    t = t.take(pa.array(perm))
+    ds = MemorySource(t).read().repartition(7)
+    out = OrderedProductTransform("g", "v", out_col="p").apply(ds)
+    got = {r["g"]: r["p"] for r in out.take_all()}
+
+    want = {}
+    for gi, vi in zip(g, vals):
+        if vi is not None:
+            want.setdefault(int(gi), []).append(vi)
+    for k, vs in want.items():
+        acc = np.float64(1.0)
+        for x in sorted(vs):
+            acc = acc * np.float64(x)
+        assert got[k] == acc, (k, got[k], acc)  # BIT equal, not isclose
+    # all-NULL groups are dropped (documented), none here by chance?
+    assert set(got) == set(want)
