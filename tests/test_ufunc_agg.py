@@ -148,3 +148,20 @@ def test_ordered_product_bit_equal_and_nulls(ray_session):
         assert got[k] == acc, (k, got[k], acc)  # BIT equal, not isclose
     # all-NULL groups are dropped (documented), none here by chance?
     assert set(got) == set(want)
+
+
+def test_ordered_product_null_key_and_all_null_group(ray_session):
+    """NULL group keys form ONE group (SQL GROUP BY); a group whose
+    values are ALL NULL is dropped (documented deviation from the
+    NULL-emitting SQL aggregate — pair with WHERE v IS NOT NULL)."""
+    import pyarrow as pa
+
+    from etlray.stages import OrderedProductTransform
+
+    t = pa.table({"g": ["a", None, "a", None, "b", "b"],
+                  "v": [0.5, 0.25, 0.5, 0.5, None, None]})
+    out = OrderedProductTransform("g", "v", out_col="p").apply(
+        MemorySource(t).read().repartition(3))
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["g"] is None, str(r["g"])))
+    assert rows == [{"g": "a", "p": 0.25}, {"g": None, "p": 0.125}]
